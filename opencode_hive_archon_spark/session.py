@@ -1,0 +1,84 @@
+"""SparkSession factory + testdata catalog bootstrap.
+
+Scale posture: these configs are tuned for the local[32] harness but the
+defaults they encode (AQE on, partition coalescing, skew-join handling,
+UTC session timezone, Arrow transfer) are exactly what a 1000-executor
+cluster run wants too — only ``shuffle.partitions`` and memory sizing are
+deployment-specific, and both are overridable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "opencode_hive_archon_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    AQE is enabled so runtime statistics re-plan joins (broadcast demotion/
+    promotion, skew splitting, partition coalescing) — at 100 TB this is the
+    difference between a plan that survives skewed keys and one that doesn't.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables lazily (no action triggered).
+
+    Columnar parquet scans get predicate pushdown + column pruning from
+    Catalyst for free; callers must select/filter declaratively so the
+    pruning reaches the scan.
+    """
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view so each capability is
+    reachable from SQL as well as the DataFrame API (BASELINE.json
+    ``spark_approach``: Spark SQL surface; Hive metastore-backed tables where
+    a metastore is deployed, temp views in the local harness)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

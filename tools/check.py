@@ -1,0 +1,123 @@
+"""Local correctness harness mimicking the driver's t2 gate.
+
+For every registered query: run the Spark callable AND the DuckDB oracle on
+the same sf dir, then compare row count, column names, and order-insensitive
+row values. Floats are compared exactly first (the driver hash is exact);
+on mismatch the max abs diff is reported so rounding strategy can be tuned.
+
+Usage:
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(df):
+    """pandas DF -> canonical list of row tuples (column-name sorted,
+    row-sorted, floats kept exact)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for row in df.itertuples(index=False, name=None):
+        norm = []
+        for v in row:
+            if isinstance(v, float):
+                norm.append(("f", v))
+            elif hasattr(v, "isoformat"):
+                norm.append(("t", v.isoformat()))
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                norm.append(("a", tuple(float(x) for x in v)))
+            else:
+                norm.append((type(v).__name__[:1], v))
+        rows.append(tuple(norm))
+    return cols, sorted(rows, key=repr)
+
+
+def compare(name, spark_pdf, oracle_pdf):
+    issues = []
+    s_cols, s_rows = normalize(spark_pdf)
+    o_cols, o_rows = normalize(oracle_pdf)
+    if s_cols != o_cols:
+        issues.append(f"SCHEMA: spark={s_cols} oracle={o_cols}")
+    if len(s_rows) != len(o_rows):
+        issues.append(f"ROWCOUNT: spark={len(s_rows)} oracle={len(o_rows)}")
+    if not issues and s_rows != o_rows:
+        # find first differing row + max float diff
+        max_diff, n_diff, example = 0.0, 0, None
+        for a, b in zip(s_rows, o_rows):
+            if a != b:
+                n_diff += 1
+                if example is None:
+                    example = (a, b)
+                for (ta, va), (tb, vb) in zip(a, b):
+                    if ta == tb == "f" and not (math.isnan(va) and math.isnan(vb)):
+                        max_diff = max(max_diff, abs(va - vb))
+        issues.append(
+            f"VALUES: {n_diff}/{len(s_rows)} rows differ, max_float_diff={max_diff:.3e}\n"
+            f"    spark : {example[0] if example else None}\n"
+            f"    oracle: {example[1] if example else None}"
+        )
+    return issues
+
+
+def main():
+    import duckdb
+
+    from opencode_hive_archon_spark import registry
+    from opencode_hive_archon_spark.session import TABLE_NAMES, get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    specs = registry.all_specs()
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in specs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(get_spark("check"), sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            ok = len(spark_pdf) >= 0
+            print(f"rows-only {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            oracle_pdf = con.execute(spec.oracle).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        issues = compare(name, spark_pdf, oracle_pdf)
+        if issues:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for i in issues:
+                print(f"  {i}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
