@@ -21,6 +21,7 @@ __all__ = ["QueryFn", "QuerySpec", "all_specs", "queries", "oracle_sql"]
 # Operator modules that contribute SPECS (grown as families land).
 _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.recall",
+    "opencode_hive_archon_spark.operators.relational",
 ]
 
 

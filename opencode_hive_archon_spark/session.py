@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read the raw int64 and convert (see read_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -63,6 +66,29 @@ def get_spark(
     return spark
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with type normalization.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as raw int64
+    (legacy nanosAsLong conf) and we convert to a microsecond timestamp by
+    truncation — the same conversion DuckDB applies, so oracle comparisons
+    agree.
+    """
+    if name == "events":
+        # Runtime-settable; needed even when the caller built the session
+        # (e.g. the grading driver) without our factory.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load the driver's parquet tables lazily (no action triggered).
 
@@ -70,7 +96,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     Catalyst for free; callers must select/filter declaratively so the
     pruning reaches the scan.
     """
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+    return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

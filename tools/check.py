@@ -27,8 +27,12 @@ def normalize(df):
     for row in df.itertuples(index=False, name=None):
         norm = []
         for v in row:
-            if isinstance(v, float):
-                norm.append(("f", v))
+            if v is None:
+                norm.append(("n", None))
+            elif isinstance(v, float):
+                # pandas conflates NULL and NaN for double columns on both
+                # sides; normalize to one sentinel so comparisons agree.
+                norm.append(("n", None) if math.isnan(v) else ("f", v))
             elif hasattr(v, "isoformat"):
                 norm.append(("t", v.isoformat()))
             elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
