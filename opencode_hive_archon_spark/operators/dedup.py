@@ -1,0 +1,307 @@
+"""Family 3b — document deduplication over ``documents``.
+
+The training-data-pipeline dedup ladder, each tier Spark-first:
+
+* exact           — hash-groupBy on normalized text (sha2); one shuffle on
+                    the 256-bit digest, never on the text itself.
+* near (Jaccard)  — token-3-gram shingle sets, banded self-join: length
+                    bands prune the candidate space from O(n²) to near-dup
+                    neighborhoods before any set intersection runs.
+* MinHash + LSH   — the 100 TB path: per-doc signature (k independent
+                    min-hashes via seeded xxhash64), banded into b groups of
+                    r rows; candidate pairs share a (band, band-hash) bucket;
+                    exact Jaccard verifies. Only the bucket join shuffles,
+                    carrying (doc_id, band_hash) pairs — not text.
+* SimHash         — 64-bit bit-majority fingerprint over token hashes;
+                    hamming ≤ 3 pairs via 4×16-bit band join.
+
+Exact/near have exact DuckDB oracles. MinHash/SimHash depend on engine hash
+functions (xxhash64) with no DuckDB equivalent => rows-only for the driver;
+tests assert recall against the exact-Jaccard pair set instead.
+
+Tokenization parity notes in functions/text.py (whitespace-normalized,
+lowercase).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+JACCARD_THRESHOLD = 0.8
+LENGTH_BAND = 100  # near-dup candidates must be within this n_chars distance
+
+# Spark-side normalized token array (NON-distinct: shingles need order).
+def _toks():
+    """Lazy: Column construction needs an active SparkSession (JVM)."""
+    return F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+_TOKS_SQL = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct token-3-gram shingles (empty when < 3 tokens).
+
+    Guard: Spark's ``sequence(1, n)`` DESCENDS when n < 1, so short docs
+    must short-circuit to an empty array."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB mirror: token CTE + list comprehension (range() end-exclusive,
+# empty when len < 3 — no guard needed).
+_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, n_chars, {_TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, n_chars,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM tok
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via sha2(normalized text): summary + per-group stats."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    groups = (
+        docs.select(F.sha2(norm, 256).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum("copies").alias("n_docs"),
+        (F.sum("copies") - F.count(F.lit(1))).alias("n_redundant_docs"),
+        F.max("copies").alias("largest_group"),
+    )
+
+
+_ORACLE_DEDUP_EXACT = """
+WITH groups AS (
+  SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         count(*) AS copies
+  FROM documents GROUP BY 1
+)
+SELECT count(*) AS n_distinct_texts,
+       CAST(sum(copies) AS BIGINT) AS n_docs,
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_redundant_docs,
+       max(copies) AS largest_group
+FROM groups
+"""
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: token-3-gram Jaccard >= 0.8 within a length band.
+
+    Banding: each doc lands in buckets floor(n_chars/B) and +1; pairs within
+    B chars of each other are guaranteed to share a bucket. The shingle-set
+    intersection only ever runs on banded candidates — this is the blocking
+    that keeps the self-join linear-ish at scale (SURVEY.md §4 point 4).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _shingles(_toks()).alias("sh")
+    )
+    banded = docs.select(
+        "doc_id", "n_chars", "sh",
+        F.explode(
+            F.array(
+                (F.col("n_chars") / LENGTH_BAND).cast("long"),
+                (F.col("n_chars") / LENGTH_BAND).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"),
+        F.col("sh").alias("sh_a"), "band",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"),
+        F.col("sh").alias("sh_b"), "band",
+    )
+    pairs = (
+        a.join(b, ["band"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= LENGTH_BAND)
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_ORACLE_DEDUP_NEAR = f"""
+WITH {_SHINGLE_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH (the scale path; rows-only) -----------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> array<long> of per-seed min-hashes, via explode + groupBy.
+
+    xxhash64(shingle, seed_i) per shingle x seed; min per (doc, seed). The
+    shuffle carries (doc_id, seed, hash) triples — bounded by shingle count,
+    independent of document size.
+    """
+    ex = docs.select("doc_id", F.explode(_shingles(_toks())).alias("sh"))
+    hashed = ex.select(
+        "doc_id",
+        *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(N_HASHES)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.array(*[F.min(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs verified by exact Jaccard.
+
+    Banding: signature split into N_BANDS bands of r rows; docs sharing any
+    (band_idx, band_hash) bucket become candidates. P[candidate] ≈
+    1-(1-j^r)^b — steep around the 0.8 target with r=4, b=4.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    r = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.element_at("sig", bi * r + j + 1) for j in range(r)]).alias("bh"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", _shingles(_toks()).alias("sh"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- SimHash (rows-only) ----------------------------------------------------
+
+SIMHASH_BITS = 16  # per band
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash: bit j of the fingerprint is the majority vote of bit j
+    across xxhash64(token) of every (distinct) token."""
+    ex = docs.select("doc_id", F.explode(F.array_distinct(_toks())).alias("tok"))
+    hashed = ex.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2 ** j).cast("long") if j < 63 else F.when(
+            F.col(f"b{j}") * 2 > F.col("n"), F.lit(-(2 ** 63))
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("fp"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 3, candidates via
+    4x16-bit band equality (pigeonhole: <=3 differing bits leave at least
+    one of 4 bands identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs)
+    bands = fps.select(
+        "doc_id", "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), bi * SIMHASH_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+                        .alias("bh"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", "b.band", "b.bh")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        bands.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band", "bh")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+SPECS = [
+    QuerySpec("dedup_exact", dedup_exact, _ORACLE_DEDUP_EXACT, "dedup",
+              "exact dedup via sha2 hash-groupBy"),
+    QuerySpec("dedup_near", dedup_near, _ORACLE_DEDUP_NEAR, "dedup",
+              "length-banded token-3-gram Jaccard near-dup pairs"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, "dedup",
+              "MinHash+LSH banded near-dup (rows-only; recall tested vs exact)"),
+    QuerySpec("dedup_simhash", dedup_simhash, None, "dedup",
+              "SimHash hamming<=3 near-dup (rows-only)"),
+]

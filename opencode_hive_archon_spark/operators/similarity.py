@@ -1,0 +1,238 @@
+"""Family 3a — vector similarity search over ``embeddings`` (array<float>).
+
+Brute-force cosine is the exact baseline: a broadcast of the query vector
+against a parallel scan — embarrassingly parallel, no shuffle until the
+final top-k (TakeOrderedAndProject). The LSH variant is the 100 TB scale
+path: random-hyperplane signatures bucket the vectors so candidate
+generation touches only matching buckets (candidates ≪ n), then exact
+cosine re-ranks within buckets.
+
+Float determinism: all folds are sequential double adds (F.aggregate), and
+oracles mirror them with DuckDB list_reduce — bit-identical results. Cross-
+row sums of similarity doubles go through DECIMAL casts (order-insensitive).
+The query vector is sourced FROM THE TABLE on both sides (vec_id = 0), never
+re-serialized through a SQL literal (DuckDB parses plain decimal literals as
+DECIMAL, which round-trips float32 differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.functions.vector import cosine_similarity, dot_product
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+QUERY_VEC_ID = 0
+SIM_THRESHOLD = 0.2
+NEAR_DUP_COSINE = 0.3
+
+
+def _with_query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ⨯ broadcast(1-row query vector) + cosine column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+    )
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the fixed query vector."""
+    return (
+        _with_query_vec(spark, sf_dir)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def similarity_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label neighbor stats above a similarity threshold (the vector
+    analogue of the reference's rerank-then-aggregate shape, R7+R12)."""
+    sims = _with_query_vec(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
+    return (
+        sims.filter(F.col("sim") >= SIM_THRESHOLD)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.max("sim").alias("best_sim"),
+            F.min("sim").alias("worst_sim"),
+            F.sum(F.col("sim").cast("decimal(18,12)")).cast("double").alias("sum_sim"),
+        )
+        .orderBy("label")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= 0.3).
+
+    Local harness uses the exact self-join; at 100 TB the LSH bucketing of
+    ann_lsh_topk prunes candidates first (same verify step).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("label").alias("label_b"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+            cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= NEAR_DUP_COSINE)
+    )
+
+
+# --- LSH scale path (approximate => rows-only driver check) ---------------
+# L hash tables of B bits each: a neighbor is a candidate if it collides in
+# ANY table — recall is tunable via (L, B) without touching the join shape.
+
+# (L=6, B=4): for a neighbor at cos~0.4 (θ≈66°), P[bit match]≈0.63,
+# P[collide in a table]≈0.63^4≈0.16, P[any of 6]≈0.64 — decent recall while
+# candidates stay a fraction of the table.
+LSH_TABLES = 6
+LSH_BITS = 4
+N_HYPERPLANES = LSH_TABLES * LSH_BITS
+
+
+def _signature(vec_col, hyperplanes_col):
+    """Random-hyperplane signature: bit i = (vec · plane_i) > 0, as a compact
+    bit-string bucket key. Hyperplanes are table-derived (vec_id 1..N) =>
+    deterministic."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            hyperplanes_col,
+            lambda h: F.when(dot_product(vec_col, h) > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, table, sig): one row per vector per hash
+    table. Hyperplanes are table-derived (vec_id 1..N) => deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_HYPERPLANES))
+        .orderBy("vec_id")
+        .agg(F.collect_list("embedding").alias("planes"))
+    )
+    signed = emb.crossJoin(F.broadcast(planes))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _signature(
+                    F.col("embedding"),
+                    F.slice(F.col("planes"), t * LSH_BITS + 1, LSH_BITS),
+                ).alias("sig"),
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+    return signed.select(
+        "vec_id", "label", "embedding", F.explode(tables).alias("b")
+    ).select("vec_id", "label", "embedding", "b.table", "b.sig")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: multi-table random-hyperplane LSH + exact re-rank.
+
+    Candidate generation = equi-join on (table, signature) — a hash shuffle
+    on the bucket key, no quadratic blow-up; exact cosine re-ranks the
+    deduplicated candidates. Approximate by construction => rows-only
+    check; tests assert recall vs the brute-force baseline.
+    """
+    bucketed = lsh_bucketed(spark, sf_dir)
+    query = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("table").alias("qt"), F.col("sig").alias("qsig")
+    )
+    cand = (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(query),
+            (F.col("table") == F.col("qt")) & (F.col("sig") == F.col("qsig")),
+        )
+        .select("vec_id", "label", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select(
+            "vec_id", "label", cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles — sequential-fold parity via list_reduce (see module docstring).
+# ---------------------------------------------------------------------------
+
+_SQ_NORM = (
+    "list_reduce(list_prepend(0.0, list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN sqrt({_SQ_NORM.format(v=a)}) * sqrt({_SQ_NORM.format(v=b)}) <> 0.0 "
+        f"THEN {_DOT.format(a=a, b=b)} / (sqrt({_SQ_NORM.format(v=a)}) * sqrt({_SQ_NORM.format(v=b)})) END"
+    )
+
+
+_ORACLE_SIM_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sims AS (
+  SELECT vec_id, label, {_cos_sql('embedding', 'qv')} AS sim
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+_ORACLE_SIM_LABELS = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sims AS (
+  SELECT vec_id, label, {_cos_sql('embedding', 'qv')} AS sim
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT label, count(*) AS n_neighbors, max(sim) AS best_sim, min(sim) AS worst_sim,
+       CAST(sum(CAST(sim AS DECIMAL(18,12))) AS DOUBLE) AS sum_sim
+FROM sims WHERE sim >= {SIM_THRESHOLD}
+GROUP BY label
+"""
+
+_ORACLE_DEDUP_COSINE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       a.label = b.label AS same_label,
+       {_cos_sql('a.embedding', 'b.embedding')} AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
+"""
+
+SPECS = [
+    QuerySpec("similarity_topk", similarity_topk, _ORACLE_SIM_TOPK, "similarity",
+              "brute-force cosine top-10 (exact ANN baseline)"),
+    QuerySpec("similarity_join_labels", similarity_join_labels, _ORACLE_SIM_LABELS,
+              "similarity", "per-label neighbor stats above threshold"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _ORACLE_DEDUP_COSINE,
+              "similarity", "embedding-cosine near-dup pairs"),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, None, "similarity",
+              "random-hyperplane LSH bucketed ANN (rows-only; recall tested vs brute force)"),
+]

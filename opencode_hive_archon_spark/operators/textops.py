@@ -1,0 +1,310 @@
+"""Family 3c — text analysis over ``documents`` (training-data pipeline ops).
+
+Token statistics, language profiling, heuristic language-ID, quality
+scoring, token counting (whitespace + regex segmentation), document
+fingerprinting, and the multimodal text⋈vector join. All hot-path
+expressions are built-ins (split/explode/regexp/aggregate) — whole-stage
+codegen end to end; nothing leaves the JVM.
+
+Per-row ratio doubles are deterministic (int/int division); no cross-row
+float sums except through DECIMAL casts (see relational.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.functions.vector import cosine_similarity
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+def _toks():
+    """Lazy: Column construction needs an active SparkSession (JVM)."""
+    return F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+_TOKS_SQL = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+# Tiny deterministic marker lexicons for heuristic language ID. (The
+# synthetic corpus is English-ish for every lang label; the CLASSIFIER is
+# still exercised end-to-end — prediction quality is not the point.)
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 terms by frequency (count desc, token asc) with
+    distinct-doc counts — explode + two-level aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_ORACLE_TOKEN_STATS = f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+FROM ex GROUP BY token
+ORDER BY freq DESC, token ASC LIMIT 20
+"""
+
+
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang corpus profile: doc counts, length stats, exact p50/p95."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.percentile(F.col("n_chars"), F.lit(0.5)).alias("p50_chars"),
+            F.percentile(F.col("n_chars"), F.lit(0.95)).alias("p95_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_LANG_PROFILE = """
+SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.95) AS p95_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _marker_hits(lang: str):
+    toks = F.array_distinct(_toks())
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]]))
+    )
+    return hits
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-token language ID + confusion-matrix aggregate.
+
+    argmax over per-lang marker hit counts (ties + zero-hits -> 'und'),
+    evaluated as a when() cascade — pure codegen, no UDF.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    langs = list(_LANG_MARKERS)
+    scored = docs.select(
+        "lang", *[_marker_hits(lg).alias(f"hits_{lg}") for lg in langs]
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    # first lang (in fixed order) achieving the max, if any marker hit
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return (
+        scored.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _marker_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_intersect(list_distinct({_TOKS_SQL}), [{markers}]))"
+
+
+_langs = list(_LANG_MARKERS)
+_best_sql = "greatest(" + ", ".join(f"hits_{lg}" for lg in _langs) + ")"
+_pred_sql = "CASE " + " ".join(
+    f"WHEN hits_{lg} = {_best_sql} AND {_best_sql} > 0 THEN '{lg}'" for lg in _langs
+) + " ELSE 'und' END"
+
+_ORACLE_LANGID = f"""
+WITH scored AS (
+  SELECT lang,
+         {", ".join(f"{_marker_hits_sql(lg)} AS hits_{lg}" for lg in _langs)}
+  FROM documents
+)
+SELECT lang, {_pred_sql} AS predicted_lang, count(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: token counts, stopword/punct ratios, mean
+    token length, composite score — the standard pre-training quality
+    filter features, all as one codegen'd projection."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    n_toks = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    )
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    mean_tok_len = (F.col("n_chars").cast("double") - (n_toks - 1)) / n_toks
+    stop_ratio = stop_hits.cast("double") / n_toks
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    quality = (
+        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(10.0)) * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        stop_hits.alias("stopword_hits"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+_ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, t -> t IN ({_STOPS_SQL}))) AS stopword_hits,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) AS text_len,
+         n_chars
+  FROM base
+)
+SELECT doc_id, n_tokens, stopword_hits,
+       CAST(stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / text_len AS punct_ratio,
+       (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens AS mean_token_len,
+       least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+         + least(1.0, (CAST(stopword_hits AS DOUBLE) / n_tokens) * 10.0) * 0.3
+         + (1.0 - CAST(n_punct AS DOUBLE) / text_len) * 0.2 AS quality_score
+FROM feat
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single other), plus a
+    chars-per-token estimate — the standard token-budget accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(_toks())
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        (F.col("n_chars").cast("double") / ws).alias("chars_per_ws_token"),
+    )
+
+
+_ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({_TOKS_SQL}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+       CAST(n_chars AS DOUBLE) / len({_TOKS_SQL}) AS chars_per_ws_token
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of normalized text + shingle cardinalities
+    (the container for containment/near-dup bookkeeping downstream)."""
+    from opencode_hive_archon_spark.operators.dedup import _shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    sh = _shingles(_toks())
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+        F.size(_toks()).alias("n_tokens"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+_ORACLE_FINGERPRINT = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id,
+       substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint,
+       len(t) AS n_tokens,
+       len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, greatest(len(t) - 1, 1))])) AS n_shingles
+FROM tok
+"""
+
+
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings (doc_id = vec_id): text + vector modalities in
+    one relation, with vector stats and query-vector similarity."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("dim"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim_to_query"),
+        )
+    )
+
+
+_SQ_NORM = (
+    "list_reduce(list_prepend(0.0, list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+_ORACLE_MULTIMODAL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT doc_id, lang, source, n_chars, label,
+       len(embedding) AS dim,
+       CASE WHEN sqrt({_SQ_NORM.format(v='embedding')}) * sqrt({_SQ_NORM.format(v='qv')}) <> 0.0
+            THEN {_DOT.format(a='embedding', b='qv')}
+                 / (sqrt({_SQ_NORM.format(v='embedding')}) * sqrt({_SQ_NORM.format(v='qv')})) END AS sim_to_query
+FROM documents JOIN embeddings ON doc_id = vec_id, q
+"""
+
+
+SPECS = [
+    QuerySpec("text_token_stats", text_token_stats, _ORACLE_TOKEN_STATS, "text",
+              "global top-20 term frequencies"),
+    QuerySpec("text_lang_profile", text_lang_profile, _ORACLE_LANG_PROFILE, "text",
+              "per-lang corpus profile with exact percentiles"),
+    QuerySpec("text_langid", text_langid, _ORACLE_LANGID, "text",
+              "marker-token language ID confusion matrix"),
+    QuerySpec("text_quality_score", text_quality_score, _ORACLE_QUALITY, "text",
+              "per-doc quality-filter features"),
+    QuerySpec("text_token_count", text_token_count, _ORACLE_TOKEN_COUNT, "text",
+              "whitespace + regex token accounting"),
+    QuerySpec("text_fingerprint", text_fingerprint, _ORACLE_FINGERPRINT, "text",
+              "md5 fingerprint + shingle cardinalities"),
+    QuerySpec("multimodal_join", multimodal_join, _ORACLE_MULTIMODAL, "text",
+              "text ⋈ vector multimodal relation"),
+]

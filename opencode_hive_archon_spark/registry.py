@@ -22,6 +22,9 @@ __all__ = ["QueryFn", "QuerySpec", "all_specs", "queries", "oracle_sql"]
 _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.recall",
     "opencode_hive_archon_spark.operators.relational",
+    "opencode_hive_archon_spark.operators.similarity",
+    "opencode_hive_archon_spark.operators.dedup",
+    "opencode_hive_archon_spark.operators.textops",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Family 3 tests: dedup / similarity / text analysis.
+
+Exact-oracle parity is covered by tools/check.py; these tests pin the
+approximate operators (LSH, SimHash) against their exact baselines —
+the property that matters: candidate pruning must not lose true pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.operators import dedup as D
+from opencode_hive_archon_spark.operators import similarity as S
+from opencode_hive_archon_spark.operators import textops as T
+
+
+def test_dedup_near_finds_planted_pairs(spark, sf_dir):
+    pairs = D.dedup_near(spark, sf_dir).collect()
+    assert len(pairs) > 0, "generator plants near-dup docs (the 'dup' marker)"
+    for p in pairs:
+        assert p["jaccard"] >= D.JACCARD_THRESHOLD
+        assert p["doc_a"] < p["doc_b"]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates + exact verify must recover every exact near-dup pair
+    whose docs fall in the same length band (the exact query's blocking)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in D.dedup_near(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in D.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "need planted pairs for a meaningful recall test"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} (exact={len(exact)}, lsh={len(lsh)})"
+    # every LSH-emitted pair is jaccard-verified, so no false positives
+    for a, b in lsh:
+        assert a < b
+
+
+def test_simhash_pairs_are_near(spark, sf_dir):
+    rows = D.dedup_simhash(spark, sf_dir).collect()
+    for r in rows[:50]:
+        assert r["hamming"] <= D.HAMMING_MAX
+
+
+def test_dedup_exact_consistency(spark, sf_dir):
+    row = D.dedup_exact(spark, sf_dir).first()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert row["n_docs"] == n_docs
+    assert row["n_distinct_texts"] + row["n_redundant_docs"] == n_docs
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """LSH top-k must overlap heavily with brute-force top-k."""
+    brute = [r["vec_id"] for r in S.similarity_topk(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in S.ann_lsh_topk(spark, sf_dir).collect()]
+    assert len(approx) > 0, "LSH buckets must produce candidates"
+    # sims of returned candidates must be exact (re-ranked), so any overlap
+    # item agrees in order; require >= 30% top-10 recall for 3x5-bit tables.
+    overlap = len(set(brute) & set(approx))
+    assert overlap >= 3, f"ANN recall too low: {overlap}/10 (brute={brute}, ann={approx})"
+
+
+def test_similarity_topk_bounds(spark, sf_dir):
+    rows = S.similarity_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_embedding_near_dup_symmetric_bound(spark, sf_dir):
+    rows = S.dedup_embedding_cosine(spark, sf_dir).collect()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["sim"] >= S.NEAR_DUP_COSINE
+
+
+def test_quality_scores_bounded(spark, sf_dir):
+    rows = T.text_quality_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_langid_covers_all_docs(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    agg = T.text_langid(spark, sf_dir).agg(F.sum("n_docs")).first()[0]
+    assert agg == n_docs
+
+
+def test_fingerprint_unique_iff_text_unique(spark, sf_dir):
+    fp = T.text_fingerprint(spark, sf_dir)
+    n_fp = fp.select("fingerprint").distinct().count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_text = docs.select(F.lower(F.trim("text"))).distinct().count()
+    assert n_fp == n_text
