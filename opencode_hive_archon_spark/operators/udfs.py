@@ -1,0 +1,155 @@
+"""Family 5 — the Python UDF/UDAF/UDTF surface (SURVEY.md §2B).
+
+The reference has no UDF facility; these demonstrate the engine's Python
+extension points the Spark-preferred way:
+
+* scalar      — Arrow-vectorized ``pandas_udf`` (Series -> Series), never
+                row-at-a-time Python.
+* grouped agg — ``applyInPandas`` (grouped map), the UDAF-by-composition
+                pattern.
+* table fn    — a Python UDTF (Spark >= 3.5) exploding one row into many
+                via a LATERAL join.
+
+Float determinism for the grouped normalize: group means/variances are
+computed from EXACT integer cent sums (Python bigints — no float
+accumulation order to disagree about), then combined with a fixed sequence
+of double ops that the SQL oracle replicates verbatim.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+CLAMP_STEP = 0.05
+
+
+def udf_scalar_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference rerank clamp (voyage.py:74) as a vectorized pandas UDF:
+    confidence' = min(1.0, base + 0.05 * overlap). Arrow-batched; the JVM
+    computes the overlap, Python only the clamp arithmetic."""
+    from opencode_hive_archon_spark.functions.text import overlap_count
+    from opencode_hive_archon_spark.operators.recall import BASE_CONFIDENCE, DEFAULT_QUERY
+
+    @F.pandas_udf("double")
+    def clamp(base: pd.Series, overlap: pd.Series) -> pd.Series:
+        return (base + CLAMP_STEP * overlap).clip(upper=1.0)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        clamp(
+            F.lit(float(BASE_CONFIDENCE)).cast("double"),
+            overlap_count(DEFAULT_QUERY, F.col("text")).cast("double"),
+        ).alias("confidence"),
+    )
+
+
+# Same arithmetic shape: base + 0.05*k is exact-deterministic; least() = clip.
+_ORACLE_CLAMP = """
+SELECT doc_id,
+       least(1.0, 0.5 + 0.05 * len(list_intersect(
+           list_distinct(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')),
+           list_distinct(string_split('fast hash join table scan merge', ' '))
+       ))) AS confidence
+FROM documents
+"""
+
+
+def udaf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority z-score of order totals via applyInPandas (grouped map).
+
+    Exact-integer statistics: totals are 2-decimal, so cents are integers;
+    Python bigint sums are exact regardless of order. The double-op sequence
+    (mean, var, z) is mirrored token-for-token in the oracle SQL.
+    """
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = [int(round(v * 100)) for v in pdf["o_totalprice"]]
+        n = len(cents)
+        s = sum(cents)                      # exact
+        sq = sum(c * c for c in cents)      # exact
+        mean = float(s) / 100.0 / n
+        # sample variance in dollars^2: (sumsq/1e4 - n*mean^2) / (n-1)
+        var = (float(sq) / 10000.0 - n * (mean * mean)) / (n - 1)
+        std = var ** 0.5
+        out = pdf[["o_orderkey", "o_orderpriority", "o_totalprice"]].copy()
+        out["z"] = [((c / 100.0) - mean) / std for c in cents]
+        out["group_mean"] = mean
+        out["group_std"] = std
+        return out
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").applyInPandas(
+        normalize,
+        schema="o_orderkey long, o_orderpriority string, o_totalprice double, "
+        "z double, group_mean double, group_std double",
+    )
+
+
+_ORACLE_NORMALIZE = """
+WITH stats AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS mean,
+         sqrt((CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+               - count(*) * (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+                             * (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*))))
+              / (count(*) - 1)) AS std
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+       ((CAST(round(o_totalprice * 100) AS BIGINT) / 100.0) - mean) / std AS z,
+       mean AS group_mean, std AS group_std
+FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+"""
+
+
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token explode as a Python UDTF (1 doc row -> N token rows) applied
+    with a LATERAL join; positions are 1-based."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            import re
+
+            toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            for i, t in enumerate(toks, start=1):
+                yield i, t
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.token FROM _udtf_docs, LATERAL split_tokens(text) s"
+    )
+
+
+_ORACLE_UDTF = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest([{'pos': i, 'token': t[i]} for i in range(1, len(t) + 1)]) AS u
+  FROM tok
+)
+SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token AS token FROM ex
+"""
+
+
+SPECS = [
+    QuerySpec("udf_scalar_clamp", udf_scalar_clamp, _ORACLE_CLAMP, "udf",
+              "vectorized pandas UDF scalar clamp (rerank formula)"),
+    QuerySpec("udaf_grouped_normalize", udaf_grouped_normalize, _ORACLE_NORMALIZE, "udf",
+              "applyInPandas grouped z-score with exact-integer stats"),
+    QuerySpec("udtf_explode_tokens", udtf_explode_tokens, _ORACLE_UDTF, "udf",
+              "Python UDTF token explode via LATERAL join"),
+]

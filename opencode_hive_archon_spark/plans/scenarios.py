@@ -1,0 +1,234 @@
+"""Scenario corpus + replay harness (reference parity: R19, R21).
+
+The 13 branch-validation scenarios (manual_branch_scenarios.py:23-247,
+S001-S048) re-expressed as a declarative table, plus a SET-WISE replay: all
+scenarios run through the engine in ONE DataFrame plan — routing is resolved
+driver-side per scenario (it is plan configuration, SURVEY.md §4), then
+candidate synthesis (the deterministic fallback source, memory.py:89-141),
+conditional rerank rescoring (voyage.py:54-88), confidence aggregation and
+the branch CASE all evaluate JVM-side across every scenario at once.
+
+The replay's oracle is the EXPECTED table itself: the driver check then
+asserts "the engine reproduces the reference's branch/action truth table".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.config import RetrievalRequest
+from opencode_hive_archon_spark.functions.text import overlap_count
+from opencode_hive_archon_spark.plans import branching
+from opencode_hive_archon_spark.plans.routing import route_retrieval
+from opencode_hive_archon_spark.spec import QuerySpec
+
+# (id, description, query, mode, provider_status, feature_flags,
+#  expected_branch, expected_action, expected_rerank_type, tags)
+SCENARIOS = [
+    ("S001", "Conversation Mem0 high confidence", "test high confidence query",
+     "conversation", {"mem0": "available", "supabase": "available"},
+     {"mem0_enabled": True, "supabase_enabled": True, "graphiti_enabled": False},
+     "RERANK_BYPASSED", "proceed", "provider-native", ["smoke", "policy"]),
+    ("S002", "Conversation Mem0 no candidates", "empty set query",
+     "conversation", {"mem0": "available"},
+     {"mem0_enabled": True, "supabase_enabled": False},
+     "EMPTY_SET", "fallback", "none", ["smoke", "edge"]),
+    ("S003", "Conversation Mem0 low confidence", "low confidence query",
+     "conversation", {"mem0": "available"}, {"mem0_enabled": True},
+     "LOW_CONFIDENCE", "clarify", "provider-native", ["smoke", "edge"]),
+    ("S004", "Conversation Supabase high confidence", "supabase query",
+     "conversation", {"mem0": "unavailable", "supabase": "available"},
+     {"mem0_enabled": False, "supabase_enabled": True},
+     "SUCCESS", "proceed", "external", ["smoke"]),
+    ("S013", "All providers disabled", "no providers query",
+     "conversation", {}, {"mem0_enabled": False, "supabase_enabled": False},
+     "EMPTY_SET", "fallback", "none", ["edge"]),
+    ("S014", "All providers unavailable", "all unavailable query",
+     "conversation", {"mem0": "unavailable", "supabase": "unavailable"},
+     {"mem0_enabled": True, "supabase_enabled": True},
+     "EMPTY_SET", "fallback", "none", ["edge"]),
+    ("S015", "Mem0 degraded, Supabase available fallback", "degraded mem0 query",
+     "conversation", {"mem0": "degraded", "supabase": "available"},
+     {"mem0_enabled": True, "supabase_enabled": True},
+     "LOW_CONFIDENCE", "clarify", "none", ["degraded"]),
+    ("S016", "Mem0 available, Supabase degraded", "mem0 primary query",
+     "conversation", {"mem0": "available", "supabase": "degraded"},
+     {"mem0_enabled": True, "supabase_enabled": True},
+     "RERANK_BYPASSED", "proceed", "provider-native", ["degraded"]),
+    ("S022", "Rerank service disabled", "rerank disabled query",
+     "fast", {"mem0": "unavailable", "supabase": "available"},
+     {"mem0_enabled": False, "supabase_enabled": True, "external_rerank_enabled": False},
+     "SUCCESS", "proceed", "none", ["policy"]),
+    ("S025", "Mem0 external override on", "mem0 override query",
+     "conversation", {"mem0": "available"},
+     {"mem0_enabled": True, "supabase_enabled": True, "mem0_external_override": True},
+     "RERANK_BYPASSED", "proceed", "provider-native", ["policy"]),
+    ("S026", "Mem0 external override off default", "mem0 default query",
+     "conversation", {"mem0": "available"},
+     {"mem0_enabled": True, "supabase_enabled": True},
+     "RERANK_BYPASSED", "proceed", "provider-native", ["policy"]),
+    ("S027", "Channel mismatch forced validation", "channel mismatch query",
+     "conversation", {"mem0": "available"}, {"mem0_enabled": True},
+     "CHANNEL_MISMATCH", "escalate", "none", ["edge", "validation"]),
+    ("S048", "Deterministic replay test 1", "deterministic test query",
+     "conversation", {"mem0": "available"}, {"mem0_enabled": True},
+     "RERANK_BYPASSED", "proceed", "provider-native", ["policy", "deterministic"]),
+]
+
+FILTER_TAG = "smoke"
+
+
+def scenario_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (s[0], s[1], s[2], s[3], s[6], s[7], s[8], s[9]) for s in SCENARIOS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, description string, query string, mode string, "
+        "expected_branch string, expected_action string, "
+        "expected_rerank_type string, tags array<string>",
+    )
+
+
+def scenario_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21: tag-filtered scenario counts per expected branch."""
+    return (
+        scenario_df(spark)
+        .filter(F.array_contains("tags", FILTER_TAG))
+        .groupBy("expected_branch", "expected_action")
+        .agg(F.count(F.lit(1)).alias("n_scenarios"))
+        .orderBy("expected_branch")
+    )
+
+
+def _tag_filter_oracle() -> str:
+    rows = ", ".join(
+        f"('{s[0]}', '{s[6]}', '{s[7]}', {str(FILTER_TAG in s[9]).upper()})"
+        for s in SCENARIOS
+    )
+    return f"""
+WITH scenarios(id, expected_branch, expected_action, has_tag) AS (VALUES {rows})
+SELECT expected_branch, expected_action, count(*) AS n_scenarios
+FROM scenarios WHERE has_tag GROUP BY 1, 2
+"""
+
+
+def scenario_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: replay every scenario through the engine pipeline set-wise;
+    emit expected-vs-actual branch/action with match booleans."""
+    routed = []
+    for (sid, _desc, query, mode, status, flags, eb, ea, _ert, tags) in SCENARIOS:
+        provider, opts = route_retrieval(RetrievalRequest(query=query, mode=mode),
+                                         status, flags)
+        skip = opts["skip_external_rerank"]
+        external_enabled = flags.get("external_rerank_enabled", True)
+        force_branch = eb if "validation" in tags else None
+        routed.append((sid, query, provider, skip, external_enabled, force_branch, eb, ea))
+    base = spark.createDataFrame(
+        routed,
+        "id string, query string, provider string, skip_rerank boolean, "
+        "external_enabled boolean, force_branch string, "
+        "expected_branch string, expected_action string",
+    )
+
+    # Deterministic fallback source (memory.py:89-141) as an array column.
+    q = F.lower(F.col("query"))
+    cand = F.when(
+        F.col("provider") == "none", F.array().cast("array<struct<content:string,confidence:double>>")
+    ).when(
+        q.contains("empty") | q.contains("no candidate"),
+        F.array().cast("array<struct<content:string,confidence:double>>"),
+    ).when(
+        q.contains("low confidence"),
+        F.array(F.struct(
+            F.concat(F.lit("Low confidence result for: "), F.col("query")).alias("content"),
+            F.lit(0.45).alias("confidence"),
+        )),
+    ).when(
+        q.contains("degraded"),
+        F.array(F.struct(
+            F.concat(F.lit("Degraded result for: "), F.col("query")).alias("content"),
+            F.lit(0.5).alias("confidence"),
+        )),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.concat(F.lit("High confidence result for: "), F.col("query")).alias("content"),
+                F.lit(0.85).alias("confidence"),
+            ),
+            F.struct(
+                F.concat(F.lit("Secondary result for: "), F.col("query")).alias("content"),
+                F.lit(0.72).alias("confidence"),
+            ),
+        )
+    )
+    with_cands = base.withColumn("cands", cand)
+
+    # External rerank applies iff: not skipped AND >1 candidates AND enabled
+    # (voyage.py:36-45 elides 0/1-candidate reranks). Rescoring per R7.
+    ex = with_cands.select(
+        "*", F.explode_outer("cands").alias("c")
+    )
+    rerank_applies = (
+        (~F.col("skip_rerank"))
+        & F.col("external_enabled")
+        & (F.size("cands") > 1)
+    )
+    conf = F.when(
+        rerank_applies,
+        F.least(
+            F.lit(1.0),
+            F.col("c.confidence")
+            + F.lit(0.05) * overlap_count(F.col("query"), F.col("c.content")),
+        ),
+    ).otherwise(F.col("c.confidence"))
+    agg = (
+        ex.groupBy(
+            "id", "provider", "skip_rerank", "force_branch",
+            "expected_branch", "expected_action",
+        )
+        .agg(
+            F.coalesce(F.max(conf), F.lit(0.0)).alias("top_confidence"),
+            F.count(F.col("c.confidence")).alias("candidate_count"),
+        )
+    )
+    natural = branching.branch_col(
+        F.col("candidate_count"), F.col("top_confidence"),
+        0.6, F.col("skip_rerank"), F.col("provider"),
+    )
+    actual_branch = F.coalesce(F.col("force_branch"), natural)
+    return (
+        agg.select(
+            "id", "expected_branch",
+            actual_branch.alias("actual_branch"),
+            "expected_action",
+            branching.action_col(actual_branch).alias("actual_action"),
+        )
+        .select(
+            "id", "expected_branch", "actual_branch",
+            (F.col("expected_branch") == F.col("actual_branch")).alias("branch_match"),
+            "expected_action", "actual_action",
+            (F.col("expected_action") == F.col("actual_action")).alias("action_match"),
+        )
+        .orderBy("id")
+    )
+
+
+def _replay_oracle() -> str:
+    """The reference truth table: every scenario's actual == expected."""
+    rows = ", ".join(f"('{s[0]}', '{s[6]}', '{s[7]}')" for s in SCENARIOS)
+    return f"""
+WITH expected(id, branch, action) AS (VALUES {rows})
+SELECT id, branch AS expected_branch, branch AS actual_branch, TRUE AS branch_match,
+       action AS expected_action, action AS actual_action, TRUE AS action_match
+FROM expected
+"""
+
+
+SPECS = [
+    QuerySpec("scenario_tag_filter", scenario_tag_filter, _tag_filter_oracle(),
+              "retrieval", "tag-filtered scenario corpus counts (R21)"),
+    QuerySpec("scenario_replay", scenario_replay, _replay_oracle(),
+              "retrieval", "full scenario replay vs reference truth table (R19)"),
+]

@@ -25,6 +25,11 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.similarity",
     "opencode_hive_archon_spark.operators.dedup",
     "opencode_hive_archon_spark.operators.textops",
+    "opencode_hive_archon_spark.operators.udfs",
+    "opencode_hive_archon_spark.operators.multimodal",
+    "opencode_hive_archon_spark.operators.plandiff",
+    "opencode_hive_archon_spark.plans.scenarios",
+    "opencode_hive_archon_spark.streaming.jobs",
 ]
 
 

@@ -1,0 +1,297 @@
+"""Structured Streaming jobs over ``events`` (SURVEY.md §2B Family 4).
+
+Execution harness: the parquet table is streamed (readStream), the
+transformation is applied, and a memory sink is driven to completion with
+``processAllAvailable()`` — the returned DataFrame reads the sink table.
+At production scale the same code points at a Kafka source and a real sink;
+only the source/sink factory changes (unified batch/stream model).
+
+Determinism & oracles:
+* Single-batch input => the final watermark is max(ts) - delay, so append
+  mode emits exactly the windows with window_end <= watermark. The batch
+  oracle replicates that closure condition — exact check.
+* The late-data query needs MULTI-batch arrival order (maxFilesPerTrigger);
+  arrival order isn't part of the declared result => rows-only + pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.spec import QuerySpec
+
+WATERMARK_DELAY = "10 minutes"
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos->micros fix."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # File stream sources need a directory: expose the single parquet file
+    # through a symlinked temp dir (kept for the session; tiny).
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_table(spark: SparkSession, agg: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming DF to completion into a memory sink; return it as a
+    static DataFrame (materialized so the sink can be torn down)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows: count + exact value sum per event_type.
+    Append mode => only watermark-closed windows emit (oracle mirrors)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_table(spark, agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_ORACLE_TUMBLING = """
+WITH bounds AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+         time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS window_end,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n_events, total_value
+FROM agg, bounds WHERE window_end <= wm
+"""
+
+
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5: average value per window."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
+    out = _run_to_table(spark, agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+        "avg_value",
+    )
+
+
+# Each event belongs to the two 10-min windows starting at bucket and
+# bucket-5min; expand via the two offsets and aggregate.
+_ORACLE_SLIDING = """
+WITH bounds AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+expanded AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - o * (INTERVAL 5 MINUTE) AS window_start,
+         value
+  FROM events, unnest([0, 1]) AS t(o)
+),
+agg AS (
+  SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+  FROM expanded GROUP BY 1, 2
+)
+SELECT window_start, window_end, n_events, avg_value
+FROM agg, bounds WHERE window_end <= wm
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_table(spark, agg, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+# Gaps-and-islands: a session breaks when the gap from the previous event of
+# the same user exceeds 30 min; session_end = last_ts + gap (session_window
+# semantics). Same watermark closure as above.
+_ORACLE_SESSION = """
+WITH bounds AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM islands GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sessions, bounds WHERE session_end <= wm
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type, minute) within the
+    watermark: emits one row per first-seen key. Output is the KEY SET
+    (arrival order decides which row survives, keys don't depend on it)."""
+    ev = _stream_events(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", F.col("ts")).alias("minute"),
+        F.col("ts"),
+    )
+    deduped = (
+        keyed.withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicates(["user_id", "event_type", "minute"])
+        .select("user_id", "event_type", "minute")
+    )
+    return _run_to_table(spark, deduped, "append")
+
+
+_ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+FROM events
+"""
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics demo: events arrive in time-ordered micro-batches
+    except a held-back slice replayed at the end — by then the watermark has
+    passed them, so append-mode aggregation drops them from the counts.
+
+    Multi-batch arrival (maxFilesPerTrigger=1) is inherently harness-
+    dependent => rows-only; tests assert held-back rows were dropped.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    cut = lo + __import__("datetime").timedelta(seconds=span / 2)
+
+    held_back = F.col("event_id") % 199 == 0
+    slices = [
+        ev.filter((F.col("ts") < F.lit(cut)) & ~held_back),   # batch 0: on time
+        ev.filter(F.col("ts") >= F.lit(cut)),                  # batch 1: advances watermark
+        ev.filter((F.col("ts") < F.lit(cut)) & held_back),     # batch 2: LATE -> dropped
+    ]
+    workdir = tempfile.mkdtemp(prefix="late_stream_")
+    indir = os.path.join(workdir, "in")
+    os.makedirs(indir)
+    try:
+        for i, sl in enumerate(slices):
+            tmp = os.path.join(workdir, f"w{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(indir, f"{i:04d}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(indir).schema
+        ).option("maxFilesPerTrigger", 1).parquet(indir)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = _run_to_table(spark, agg, "append")
+        return out.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+SPECS = [
+    QuerySpec("stream_tumbling_counts", stream_tumbling_counts, _ORACLE_TUMBLING,
+              "streaming", "5-min tumbling windows, watermark-closed"),
+    QuerySpec("stream_sliding_avg", stream_sliding_avg, _ORACLE_SLIDING,
+              "streaming", "10/5-min sliding window averages"),
+    QuerySpec("stream_session_windows", stream_session_windows, _ORACLE_SESSION,
+              "streaming", "30-min-gap session windows per user"),
+    QuerySpec("stream_dedup", stream_dedup, _ORACLE_STREAM_DEDUP,
+              "streaming", "streaming dedup within watermark (key set)"),
+    QuerySpec("stream_late_data", stream_late_data, None,
+              "streaming", "late-data drop via watermark (rows-only)"),
+]
