@@ -59,12 +59,15 @@ def main() -> None:
     # Warm the JVM/session with a trivial action before timing.
     spark.range(1000).count()
 
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].fn
         t0 = time.perf_counter()
         run_query(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        if verbose:
+            print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

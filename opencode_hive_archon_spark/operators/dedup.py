@@ -109,44 +109,81 @@ FROM groups
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: token-3-gram Jaccard >= 0.8 within a length band.
 
-    Banding: each doc lands in buckets floor(n_chars/B) and +1; pairs within
-    B chars of each other are guaranteed to share a bucket. The shingle-set
-    intersection only ever runs on banded candidates — this is the blocking
-    that keeps the self-join linear-ish at scale (SURVEY.md §4 point 4).
+    Prefix-filtered set-similarity join (SSJoin/PPJoin family — Chaudhuri
+    et al. ICDE'06, Xiao et al. WWW'08 — exact, no LSH miss probability):
+
+    1. canonical order: shingles ranked by (global frequency asc, value) —
+       rare shingles first, so indexed prefixes collide rarely;
+    2. each doc indexes only its first L = |A| - ceil(0.8|A|) + 1 shingles
+       in that order; the prefix-filter theorem guarantees every pair with
+       J >= 0.8 shares at least one indexed prefix token;
+    3. candidates = equi-join on the prefix token (+ length-band filter),
+       then ONE exact array_intersect verify per distinct candidate pair.
+
+    Shuffle profile: two key-partitioned shuffles (frequency count, prefix
+    join) over ~0.2 of the shingle instances — the verify set is tiny, so
+    cost tracks true near-duplicates, not n².
     """
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", _shingles(_toks()).alias("sh")
+    # The shingle arrays feed four downstream branches (freq, rank, prefix,
+    # verify); materialize them ONCE — otherwise the tokenize+3-gram
+    # expression re-evaluates per branch (and per exploded row in some
+    # collapsed plan shapes), turning a 2 s pass into minutes. At cluster
+    # scale this is the persist() of the shared intermediate.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "n_chars", _shingles(_toks()).alias("sh"))
+        .localCheckpoint()
     )
-    banded = docs.select(
-        "doc_id", "n_chars", "sh",
-        F.explode(
-            F.array(
-                (F.col("n_chars") / LENGTH_BAND).cast("long"),
-                (F.col("n_chars") / LENGTH_BAND).cast("long") + 1,
-            )
-        ).alias("band"),
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = ex.join(freq, "shingle").select(
+        "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("key")
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"),
-        F.col("sh").alias("sh_a"), "band",
+    prefix_len = lambda n: n - F.ceil(F.lit(JACCARD_THRESHOLD) * n).cast("int") + 1
+    prefixes = (
+        ranked.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("key")).alias("ordered"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.col("ordered"), 1, prefix_len(F.size("ordered"))
+                )
+            ).alias("key"),
+        )
+        .select("doc_id", F.col("key.shingle").alias("shingle"))
+        .localCheckpoint()  # reused by both join sides
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"),
-        F.col("sh").alias("sh_b"), "band",
+    # Candidate pairs carry ONLY ids through the prefix join — the shingle
+    # arrays are joined in afterwards, once per deduplicated pair. (Carrying
+    # the arrays through the join multiplies shuffle volume by |A|.)
+    lens = docs.select("doc_id", "n_chars")
+    pa = prefixes.join(lens, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"), "shingle"
     )
-    pairs = (
-        a.join(b, ["band"])
+    pb = prefixes.join(lens, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"), "shingle"
+    )
+    cand = (
+        pa.join(pb, ["shingle"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= LENGTH_BAND)
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -165,18 +202,22 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 # --- MinHash + LSH (the scale path; rows-only) -----------------------------
 
-N_HASHES = 16
-N_BANDS = 4  # 4 bands x 4 rows
+# r=5 rows per band: for planted near-dups (j ≈ 0.95) P[candidate] =
+# 1-(1-j^5)^4 ≈ 0.997, while a random pair at j = 0.2 collides with
+# P ≈ 4·3e-4 — an order of magnitude fewer junk candidates than r=4.
+N_HASHES = 20
+N_BANDS = 4  # 4 bands x 5 rows
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id -> array<long> of per-seed min-hashes, via explode + groupBy.
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) -> (doc_id, sig: array<long>) of per-seed
+    min-hashes, via explode + groupBy.
 
     xxhash64(shingle, seed_i) per shingle x seed; min per (doc, seed). The
     shuffle carries (doc_id, seed, hash) triples — bounded by shingle count,
     independent of document size.
     """
-    ex = docs.select("doc_id", F.explode(_shingles(_toks())).alias("sh"))
+    ex = shingled.select("doc_id", F.explode("sh").alias("sh"))
     hashed = ex.select(
         "doc_id",
         *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(N_HASHES)],
@@ -193,7 +234,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_hash) bucket become candidates. P[candidate] ≈
     1-(1-j^r)^b — steep around the 0.8 target with r=4, b=4.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _shingles(_toks()).alias("sh"))
+        .localCheckpoint()  # shared by signature + verify branches
+    )
     sigs = minhash_signatures(docs)
     r = N_HASHES // N_BANDS
     bands = sigs.select(
@@ -217,13 +263,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", _shingles(_toks()).alias("sh"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -263,8 +308,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 3, candidates via
     4x16-bit band equality (pigeonhole: <=3 differing bits leave at least
     one of 4 bands identical)."""
-    docs = _t(spark, sf_dir, "documents")
-    fps = simhash_fingerprints(docs)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fps = simhash_fingerprints(docs).localCheckpoint()  # reused by both join sides
     bands = fps.select(
         "doc_id", "fp",
         F.explode(

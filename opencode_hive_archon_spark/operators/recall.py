@@ -47,7 +47,9 @@ def scored_candidates(
 ) -> DataFrame:
     """documents scan -> overlap rescoring. Column-pruned scan: only
     (doc_id, text, source) are read from parquet."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         F.col("doc_id").alias("id"),
         F.col("text").alias("content"),

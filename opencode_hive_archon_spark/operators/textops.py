@@ -19,6 +19,15 @@ from opencode_hive_archon_spark.functions.vector import cosine_similarity
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, re-split across cores: the parquet is a single row
+    group (one scan partition), so heavy per-row text expressions must be
+    redistributed or they run single-threaded."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _toks():
     """Lazy: Column construction needs an active SparkSession (JVM)."""
     return F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
@@ -41,7 +50,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 terms by frequency (count desc, token asc) with
     distinct-doc counts — explode + two-level aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ex = docs.select("doc_id", F.explode(_toks()).alias("token"))
     return (
         ex.groupBy("token")
@@ -64,7 +73,7 @@ ORDER BY freq DESC, token ASC LIMIT 20
 
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang corpus profile: doc counts, length stats, exact p50/p95."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.groupBy("lang")
         .agg(
@@ -104,7 +113,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax over per-lang marker hit counts (ties + zero-hits -> 'und'),
     evaluated as a when() cascade — pure codegen, no UDF.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     langs = list(_LANG_MARKERS)
     scored = docs.select(
         "lang", *[_marker_hits(lg).alias(f"hits_{lg}") for lg in langs]
@@ -148,7 +157,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: token counts, stopword/punct ratios, mean
     token length, composite score — the standard pre-training quality
     filter features, all as one codegen'd projection."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = _toks()
     n_toks = F.size(toks)
     stop_hits = F.size(
@@ -206,7 +215,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     segmentation (letter runs / digit runs / single other), plus a
     chars-per-token estimate — the standard token-budget accounting."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ws = F.size(_toks())
     bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
     return docs.select(
@@ -231,7 +240,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the container for containment/near-dup bookkeeping downstream)."""
     from opencode_hive_archon_spark.operators.dedup import _shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     sh = _shingles(_toks())
     return docs.select(
@@ -256,7 +265,7 @@ FROM tok
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings (doc_id = vec_id): text + vector modalities in
     one relation, with vector stats and query-vector similarity."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (

@@ -39,7 +39,9 @@ def udf_scalar_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     def clamp(base: pd.Series, overlap: pd.Series) -> pd.Series:
         return (base + CLAMP_STEP * overlap).clip(upper=1.0)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         clamp(

@@ -1,0 +1,103 @@
+"""Format read/write matrix + the round-trip verification query.
+
+``write_any`` / ``read_any`` cover parquet, ORC, CSV and JSON with explicit
+schemas on read (no runtime inference in an engine path — schema drift must
+fail loudly, and inference costs an extra pass at scale). Writes default to
+snappy parquet; partitioned writes use ``partitionBy`` so downstream scans
+get partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table
+from opencode_hive_archon_spark.spec import QuerySpec
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(fmt).load(path)
+
+
+def delta_writer(*_args, **_kwargs):
+    """Delta Lake sink — requires delta-spark jars (not in this image)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Delta Lake support requires the delta-spark package/jars; "
+            "install them and configure spark.sql.extensions."
+        ) from e
+
+
+def iceberg_writer(*_args, **_kwargs):
+    """Apache Iceberg sink — requires iceberg-spark-runtime jars."""
+    raise NotImplementedError(
+        "Iceberg support requires iceberg-spark-runtime on the classpath "
+        "and a configured catalog (spark.sql.catalog.*)."
+    )
+
+
+def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``nation`` through every format and read it back: per-format
+    row count and an exact checksum (sum of keys) proving lossless I/O."""
+    nation = read_table(spark, sf_dir, "nation")
+    workdir = tempfile.mkdtemp(prefix="roundtrip_")
+    rows = []
+    try:
+        for fmt in FORMATS:
+            path = os.path.join(workdir, fmt)
+            write_any(nation, path, fmt)
+            back = read_any(spark, path, fmt, nation.schema)
+            agg = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").alias("key_sum"),
+                F.countDistinct("n_regionkey").alias("n_regions"),
+            ).first()
+            rows.append((fmt, agg["n"], int(agg["key_sum"]), agg["n_regions"]))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "format string, n_rows long, key_sum long, n_regions long"
+    )
+
+
+def _oracle() -> str:
+    per_fmt = " UNION ALL ".join(
+        f"SELECT '{fmt}' AS format, count(*) AS n_rows, "
+        f"CAST(sum(n_nationkey) AS BIGINT) AS key_sum, "
+        f"count(DISTINCT n_regionkey) AS n_regions FROM nation"
+        for fmt in FORMATS
+    )
+    return per_fmt
+
+
+SPECS = [
+    QuerySpec("source_roundtrip_formats", source_roundtrip_formats, _oracle(),
+              "sources", "parquet/orc/csv/json write+read-back checksums"),
+]
