@@ -226,9 +226,99 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
 """
 
+# --- IVF scale path (coarse k-means quantizer; rows-only) ------------------
+
+IVF_K = 8
+IVF_ITERS = 3
+IVF_NPROBE = 2
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (L2) via broadcast."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cvec"),
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "label", "embedding", "cid", dist2.alias("d2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d2")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    vectors into K cells; queries probe only the NPROBE nearest cells and
+    re-rank exactly within them.
+
+    Lloyd's iterations run as DataFrame jobs (assign = broadcast argmin,
+    update = posexplode + per-(cell,dim) mean); only K centroids ever reach
+    the driver. Approximate by construction => rows-only; tests assert
+    recall vs brute force. At 100 TB the cell assignment is written once
+    (partitioned by cid) and probes become partition-pruned scans.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic init: first K vectors as seed centroids
+    centroids = (
+        emb.filter(F.col("vec_id") < IVF_K)
+        .select(F.col("vec_id").alias("cid"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("cvec"))
+        .localCheckpoint()
+    )
+    for _ in range(IVF_ITERS):
+        assigned = _assign(emb, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    assigned = _assign(emb, centroids).localCheckpoint()
+    query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    # nearest NPROBE cells for the query vector
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"),
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cid", qd2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("cid").asc())
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label",
+                cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 SPECS = [
     QuerySpec("similarity_topk", similarity_topk, _ORACLE_SIM_TOPK, "similarity",
               "brute-force cosine top-10 (exact ANN baseline)"),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, None, "similarity",
+              "IVF coarse-quantizer ANN with nprobe cells (rows-only)"),
     QuerySpec("similarity_join_labels", similarity_join_labels, _ORACLE_SIM_LABELS,
               "similarity", "per-label neighbor stats above threshold"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _ORACLE_DEDUP_COSINE,

@@ -1,0 +1,90 @@
+"""Skew-handling + SQL-surface patterns.
+
+``agg_skew_salted`` demonstrates the two-phase salted aggregation that a
+hot-key distribution needs at scale: l_returnflag has 3 distinct values, so
+a naive groupBy sends a third of a 100 TB table to each of 3 reducers. The
+salt splits each hot key across 16 sub-partitions for the heavy partial
+phase; the final phase combines 3x16 tiny partial states. AQE's skew
+handling covers joins automatically; salting is the pattern for skewed
+AGGREGATION pipelines where the key itself is the bottleneck.
+
+``sql_pricing_summary`` runs the same logical plan through the Spark SQL
+string surface over registered views (BASELINE.json ``spark_approach``) —
+Catalyst produces the identical physical plan either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+N_SALTS = 16
+
+
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation over the 3-value l_returnflag key."""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(N_SALTS)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev_dec"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("rev_dec").cast("double").alias("total_price"),
+            F.max("max_qty").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_SKEW = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape expressed through the SQL string surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+               count(*) AS count_order
+        FROM sql_lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_ORACLE_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+SPECS = [
+    QuerySpec("agg_skew_salted", agg_skew_salted, _ORACLE_SKEW, "relational",
+              "two-phase salted aggregation over a hot 3-value key"),
+    QuerySpec("sql_pricing_summary", sql_pricing_summary, _ORACLE_SQL_PRICING,
+              "relational", "Q1 shape via the Spark SQL string surface"),
+]

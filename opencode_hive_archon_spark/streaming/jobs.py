@@ -283,7 +283,66 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running profile (event count, exact value total, first/last
+    event second) maintained in explicit GroupState across micro-batches.
+
+    Value totals accumulate as integer cents inside the state (exact, order
+    independent) so the emitted doubles match the batch oracle bit-for-bit.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts", "value")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents, first_s, last_s = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(sum(int(round(v * 100)) for v in pdf["value"]))
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            lo, hi = int(secs.min()), int(secs.max())
+            first_s = lo if first_s is None else min(first_s, lo)
+            last_s = hi if last_s is None else max(last_s, hi)
+        state.update((n, cents, first_s, last_s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "first_sec": [first_s],
+                "last_sec": [last_s],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, "
+        "first_sec long, last_sec long",
+        stateStructType="n long, cents long, first_s long, last_s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(spark, out, "update")
+
+
+# Single-batch input => one state emission per user == the batch profile.
+_ORACLE_STATEFUL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_sec,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+FROM events GROUP BY user_id
+"""
+
+
 SPECS = [
+    QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, _ORACLE_STATEFUL,
+              "streaming", "applyInPandasWithState per-user running profile"),
     QuerySpec("stream_tumbling_counts", stream_tumbling_counts, _ORACLE_TUMBLING,
               "streaming", "5-min tumbling windows, watermark-closed"),
     QuerySpec("stream_sliding_avg", stream_sliding_avg, _ORACLE_SLIDING,

@@ -98,3 +98,15 @@ def test_fingerprint_unique_iff_text_unique(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_text = docs.select(F.lower(F.trim("text"))).distinct().count()
     assert n_fp == n_text
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=2 of 8 cells must recover a meaningful share of the
+    brute-force top-10 and return exactly re-ranked cosines."""
+    brute = [r["vec_id"] for r in S.similarity_topk(spark, sf_dir).collect()]
+    ivf = S.ann_ivf_topk(spark, sf_dir).collect()
+    assert len(ivf) == 10
+    sims = [r["sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    overlap = len(set(brute) & {r["vec_id"] for r in ivf})
+    assert overlap >= 2, f"IVF recall too low: {overlap}/10"

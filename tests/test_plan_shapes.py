@@ -1,0 +1,89 @@
+"""Physical plan audits — the properties that decide 100 TB viability.
+
+Each assertion pins a plan shape that must survive refactors: filters
+reaching the parquet scan, column pruning, broadcast joins for small dims,
+TakeOrderedAndProject for top-k, partial aggregation, and whole-stage
+codegen in hot paths. A regression here is a scale bug even when results
+stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from opencode_hive_archon_spark.operators import recall as RC
+from opencode_hive_archon_spark.operators import relational as R
+from opencode_hive_archon_spark.operators import similarity as S
+from opencode_hive_archon_spark.operators import textops as T
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    p = plan(R.scan_project_filter(spark, sf_dir))
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # ReadSchema must not include unused columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_tax" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    df = R.pricing_summary(spark, sf_dir)
+    p = plan(df)
+    # partial (map-side) + final aggregate pair: the shuffle carries partial
+    # states, not rows
+    assert "partial_sum" in p and p.count("HashAggregate") >= 2
+    # codegen markers appear once AQE finalizes the plan — execute, re-read
+    df.collect()
+    final = plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
+    assert re.search(r"\*\(\d+\)", final), final[:500]
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan(R.join_broadcast(spark, sf_dir))
+    # customer (150*sf rows) should broadcast against the big fact side too
+    assert "BroadcastHashJoin" in plan(R.join_shuffle(spark, sf_dir))
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    p = plan(R.sort_multi_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    p2 = plan(RC.recall_score_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p2
+
+
+def test_semi_anti_stay_semi(spark, sf_dir):
+    p = plan(R.join_semi_anti(spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_similarity_broadcasts_query_vector(spark, sf_dir):
+    p = plan(S.similarity_topk(spark, sf_dir))
+    assert "Broadcast" in p  # 1-row query vector must never shuffle the scan side
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    for fn in (
+        R.join_shuffle,
+        R.join_asof_event_order,
+        T.multimodal_join,
+        S.similarity_join_labels,
+    ):
+        assert "CartesianProduct" not in plan(fn(spark, sf_dir)), fn.__name__
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    """The union+window as-of formulation must shuffle once on user_id, not
+    join-explode: no SortMergeJoin / no BroadcastNestedLoop in the plan."""
+    p = plan(R.join_asof_event_order(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2  # union shuffle + AQE read at most
+
+
+def test_window_functions_codegen(spark, sf_dir):
+    p = plan(R.window_rank_topk_per_group(spark, sf_dir))
+    assert "Window" in p and "Filter" in p

@@ -93,3 +93,21 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact = li.select("l_partkey").distinct().count()
     assert row["approx_parts"] == pytest.approx(exact, rel=0.1)
+
+
+def test_skew_salted_equals_plain_groupby(spark, sf_dir):
+    from opencode_hive_archon_spark.operators.skew import agg_skew_salted
+
+    got = {r["l_returnflag"]: (r["n_rows"], r["total_price"]) for r in
+           agg_skew_salted(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["n"], float(r["s"]))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == plain
