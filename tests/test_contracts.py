@@ -1,0 +1,111 @@
+"""Contract validation + property-based invariants (hypothesis).
+
+Mirrors the reference's contract suite (test_context_packet_contract.py):
+bounds violations raise; plus randomized truth-table properties for the
+branch cascade and routing policy — coverage the reference lacks
+(SURVEY.md §5 notes no property-based testing there).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from opencode_hive_archon_spark.config import RetrievalRequest
+from opencode_hive_archon_spark.functions import validation as V
+from opencode_hive_archon_spark.plans import branching
+from opencode_hive_archon_spark.plans.routing import route_retrieval
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+class TestChecks:
+    def test_confidence_bounds_pass(self, spark):
+        df = spark.createDataFrame([(0.0,), (0.5,), (1.0,)], "confidence double")
+        assert V.checked(df, "conf", V.confidence_in_bounds()).count() == 3
+
+    def test_confidence_bounds_raise(self, spark):
+        df = spark.createDataFrame([(0.5,), (1.5,)], "confidence double")
+        with pytest.raises(Exception) as exc:
+            V.checked(df, "conf", V.confidence_in_bounds()).collect()
+        assert "conf" in str(exc.value)
+
+    def test_request_model_validation(self):
+        with pytest.raises(ValueError):
+            RetrievalRequest(query="q", mode="bogus")
+        with pytest.raises(ValueError):
+            RetrievalRequest(query="q", top_k=0)
+        with pytest.raises(ValueError):
+            RetrievalRequest(query="q", threshold=1.5)
+
+
+# Driver-side reimplementation of the branch truth table for the property
+# check (reference fallbacks.py:180-199 semantics).
+def _expected_branch(count, top, threshold, bypassed, provider):
+    if count == 0:
+        return "EMPTY_SET"
+    if top < threshold:
+        return "LOW_CONFIDENCE"
+    if bypassed and provider == "mem0":
+        return "RERANK_BYPASSED"
+    return "SUCCESS"
+
+
+class TestBranchProperties:
+    @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        count=st.integers(min_value=0, max_value=10),
+        top=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        threshold=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        bypassed=st.booleans(),
+        provider=st.sampled_from(["mem0", "supabase", "graphiti", "none"]),
+    )
+    def test_cascade_matches_reference_semantics(
+        self, spark, count, top, threshold, bypassed, provider
+    ):
+        row = (
+            spark.range(1)
+            .select(
+                branching.branch_col(
+                    F.lit(count), F.lit(top), threshold, bypassed, provider
+                ).alias("b")
+            )
+            .first()
+        )
+        assert row["b"] == _expected_branch(count, top, threshold, bypassed, provider)
+
+    @settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        mode=st.sampled_from(["fast", "accurate", "conversation"]),
+        statuses=st.fixed_dictionaries(
+            {
+                p: st.sampled_from(["available", "unavailable", "degraded"])
+                for p in ("mem0", "supabase", "graphiti")
+            }
+        ),
+        flags=st.fixed_dictionaries(
+            {
+                "mem0_enabled": st.booleans(),
+                "supabase_enabled": st.booleans(),
+                "graphiti_enabled": st.booleans(),
+            }
+        ),
+    )
+    def test_routing_invariants(self, mode, statuses, flags):
+        provider, opts = route_retrieval(
+            RetrievalRequest(query="q", mode=mode), statuses, flags
+        )
+        # 1. a disabled provider is never selected
+        if provider != "none":
+            assert flags.get(f"{provider}_enabled", provider != "graphiti")
+            # 2. an unavailable provider is never selected
+            assert statuses.get(provider) in ("available", "degraded")
+        # 3. skip_external_rerank iff mem0 (the overlap policy)
+        assert opts["skip_external_rerank"] == (provider == "mem0")
+        # 4. determinism
+        assert (provider, opts) == route_retrieval(
+            RetrievalRequest(query="q", mode=mode), statuses, flags
+        )
