@@ -56,8 +56,13 @@ def main() -> None:
     spark = get_spark("bench")
 
     specs = registry.all_specs()
-    # Warm the JVM/session with a trivial action before timing.
+    # Warm the JVM (codegen, parquet footers, Arrow) so per-query timings
+    # reflect steady state rather than first-touch initialization.
     spark.range(1000).count()
+    from opencode_hive_archon_spark.session import TABLE_NAMES, read_table
+
+    for t in TABLE_NAMES:
+        read_table(spark, sf_dir, t).count()
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
     timings: dict[str, float] = {}

@@ -103,8 +103,8 @@ def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.min("n_bytes").alias("min_bytes"),
-            F.max("n_bytes").alias("max_bytes"),
+            F.min("n_bytes").cast("long").alias("min_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
         )
         .orderBy("modality")
     )

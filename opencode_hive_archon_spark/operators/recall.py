@@ -175,6 +175,47 @@ def recall_envelope(
     )
 
 
+def recall_multi_provider_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """The multi-provider merge the reference DECLARES but simplifies to
+    "first available" (retrieval_router.py:48; product plan names a real
+    multi-store merge + rerank — SURVEY.md §2A negative findings).
+
+    Engine version, done properly: two provider views over the document
+    store (hash-partitioned by doc_id parity, standing in for mem0 /
+    supabase), each scored with its own base prior; merged by id keeping
+    the best-scoring hit (dedupe across stores), then the external rerank
+    adjustment and global top-k. One union + one groupBy shuffle.
+    """
+    scored = scored_candidates(spark, sf_dir, query)
+    mem0 = scored.filter(F.col("id") % 2 == 0).withColumn("provider", F.lit("mem0"))
+    supa = (
+        scored.filter(F.col("id") % 3 == 0)
+        .withColumn("provider", F.lit("supabase"))
+        # provider-specific prior: supabase hits score slightly lower
+        .withColumn("confidence", F.greatest(F.lit(0.0), F.col("confidence") - F.lit(0.05)))
+    )
+    merged = (
+        mem0.unionByName(supa)
+        .groupBy("id")
+        .agg(
+            F.max(F.struct("confidence", "provider")).alias("best"),
+            F.count(F.lit(1)).alias("n_providers"),
+        )
+        .select(
+            "id",
+            F.col("best.provider").alias("provider"),
+            F.col("best.confidence").alias("confidence"),
+            "n_providers",
+        )
+    )
+    return merged.orderBy(F.col("confidence").desc(), F.col("id").asc()).limit(top_k)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles. The scoring CTE mirrors functions/text.py token-for-token:
 # whitespace-normalize -> lower -> split on single space -> distinct ->
@@ -266,7 +307,35 @@ SELECT '{PROVIDER}' AS provider,
 FROM classified
 """
 
+_ORACLE_MULTI_MERGE = f"""
+WITH {_SCORED_CTE},
+mem0 AS (
+  SELECT id, confidence, 'mem0' AS provider FROM scored WHERE id % 2 = 0
+),
+supa AS (
+  SELECT id, greatest(0.0, confidence - 0.05) AS confidence, 'supabase' AS provider
+  FROM scored WHERE id % 3 = 0
+),
+unioned AS (SELECT * FROM mem0 UNION ALL SELECT * FROM supa),
+merged AS (
+  SELECT id, provider, confidence,
+         count(*) OVER (PARTITION BY id) AS n_providers,
+         row_number() OVER (PARTITION BY id ORDER BY confidence DESC, provider DESC) AS rn
+  FROM unioned
+)
+SELECT id, provider, confidence, n_providers
+FROM merged WHERE rn = 1
+ORDER BY confidence DESC, id ASC LIMIT {DEFAULT_TOP_K}
+"""
+
 SPECS = [
+    QuerySpec(
+        name="recall_multi_provider_merge",
+        fn=recall_multi_provider_merge,
+        oracle=_ORACLE_MULTI_MERGE,
+        family="retrieval",
+        description="real multi-store merge + dedupe + top-k (reference declares, engine delivers)",
+    ),
     QuerySpec(
         name="recall_score_topk",
         fn=recall_score_topk,

@@ -388,7 +388,7 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
     )
@@ -623,8 +623,8 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.min("dim").alias("min_dim"),
-            F.max("dim").alias("max_dim"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
             F.min("norm").alias("min_norm"),
             F.max("norm").alias("max_norm"),
             F.min("first_elem").alias("min_first"),

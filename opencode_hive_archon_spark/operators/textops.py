@@ -176,8 +176,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_toks.alias("n_tokens"),
-        stop_hits.alias("stopword_hits"),
+        n_toks.cast("long").alias("n_tokens"),
+        stop_hits.cast("long").alias("stopword_hits"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         mean_tok_len.alias("mean_token_len"),
@@ -220,8 +220,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
     return docs.select(
         "doc_id",
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_ish_tokens"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
         (F.col("n_chars").cast("double") / ws).alias("chars_per_ws_token"),
     )
 
@@ -246,8 +246,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
-        F.size(_toks()).alias("n_tokens"),
-        F.size(sh).alias("n_shingles"),
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        F.size(sh).cast("long").alias("n_shingles"),
     )
 
 
@@ -277,7 +277,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_chars",
             "label",
-            F.size("embedding").alias("dim"),
+            F.size("embedding").cast("long").alias("dim"),
             cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim_to_query"),
         )
     )

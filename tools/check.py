@@ -109,6 +109,13 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        sd = {c: str(t) for c, t in spark_pdf.dtypes.items()}
+        od = {c: str(t) for c, t in oracle_pdf.dtypes.items()}
+        dtype_diff = {
+            c: (sd.get(c), od.get(c)) for c in sd if sd.get(c) != od.get(c)
+        }
+        if dtype_diff:
+            print(f"  DTYPE {name}: {dtype_diff}")
         issues = compare(name, spark_pdf, oracle_pdf)
         if issues:
             n_fail += 1
