@@ -33,12 +33,18 @@ def get_spark(
     app_name: str = "opencode_hive_archon_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
     AQE is enabled so runtime statistics re-plan joins (broadcast demotion/
     promotion, skew splitting, partition coalescing) — at 100 TB this is the
     difference between a plan that survives skewed keys and one that doesn't.
+
+    ``hive_metastore=True`` enables Hive catalog support (persistent
+    databases/tables, external storage per BASELINE.json's deployment
+    approach); the local harness defaults to the in-memory catalog, which
+    still supports saveAsTable/bucketBy against spark.sql.warehouse.dir.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -61,6 +67,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if hive_metastore:
+        try:
+            builder = builder.enableHiveSupport()
+        except Exception:
+            pass  # Hive classes absent: fall back to the in-memory catalog
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
