@@ -82,7 +82,62 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer-grained than rollup/cube): totals by
+    (priority, status), by priority alone, and by status alone — no grand
+    total (a set rollup can't express)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+"""
+
+
+def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each customer's share of their segment's
+    max single-order total. Catalyst decorrelates this into an aggregate +
+    join — the declarative form survives at scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT max(o_totalprice) FROM sq_orders WHERE o_custkey = c_custkey)
+                   AS best_order,
+               (SELECT count(*) FROM sq_orders WHERE o_custkey = c_custkey)
+                   AS n_orders
+        FROM sq_customer
+        """
+    )
+
+
+_ORACLE_SCALAR_SUBQUERY = """
+SELECT c_custkey, c_mktsegment,
+       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS best_order,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+"""
+
+
 SPECS = [
+    QuerySpec("grouping_sets_orders", grouping_sets_orders, _ORACLE_GROUPING_SETS,
+              "relational", "explicit GROUPING SETS aggregation"),
+    QuerySpec("scalar_subquery_orders", scalar_subquery_orders, _ORACLE_SCALAR_SUBQUERY,
+              "relational", "correlated scalar subqueries (decorrelated by Catalyst)"),
     QuerySpec("agg_skew_salted", agg_skew_salted, _ORACLE_SKEW, "relational",
               "two-phase salted aggregation over a hot 3-value key"),
     QuerySpec("sql_pricing_summary", sql_pricing_summary, _ORACLE_SQL_PRICING,

@@ -262,6 +262,63 @@ FROM tok
 """
 
 
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash document fingerprint (winnowing-style):
+    polynomial hash h(g) = fold(acc*31 + ascii(c)) mod (2^31-1) over each
+    token-3-gram shingle's characters; the doc fingerprint keeps the MIN and
+    MAX shingle hash plus the hash of the full normalized text.
+
+    Pure integer arithmetic (fold stays < 2^36 before each mod), so Spark
+    and DuckDB agree exactly — unlike engine hash builtins (xxhash64),
+    this rolling hash is portable and oracle-checked.
+    """
+    from opencode_hive_archon_spark.operators.dedup import _shingles
+
+    docs = _docs(spark, sf_dir)
+    mod = (1 << 31) - 1
+
+    def roll(strcol):
+        return F.aggregate(
+            F.split(strcol, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % mod,
+        )
+
+    sh_hashes = F.transform(_shingles(_toks()), roll)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        roll(norm).alias("text_hash"),
+        F.array_min(sh_hashes).alias("min_shingle_hash"),
+        F.array_max(sh_hashes).alias("max_shingle_hash"),
+    )
+
+
+_ROLL_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    "for c in string_split_regex({s}, '')]), (acc, x) -> (acc * 31 + x) % 2147483647)"
+)
+
+_ORACLE_ROLLING_FP = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+         {_TOKS_SQL} AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, norm,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM tok
+)
+SELECT doc_id,
+       {_ROLL_SQL.format(s='norm')} AS text_hash,
+       list_min([{_ROLL_SQL.format(s='g')} for g in shingles]) AS min_shingle_hash,
+       list_max([{_ROLL_SQL.format(s='g')} for g in shingles]) AS max_shingle_hash
+FROM sh
+"""
+
+
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings (doc_id = vec_id): text + vector modalities in
     one relation, with vector stats and query-vector similarity."""
@@ -314,6 +371,8 @@ SPECS = [
               "whitespace + regex token accounting"),
     QuerySpec("text_fingerprint", text_fingerprint, _ORACLE_FINGERPRINT, "text",
               "md5 fingerprint + shingle cardinalities"),
+    QuerySpec("text_rolling_fingerprint", text_rolling_fingerprint, _ORACLE_ROLLING_FP,
+              "text", "Karp-Rabin rolling-hash fingerprint (portable, oracle-exact)"),
     QuerySpec("multimodal_join", multimodal_join, _ORACLE_MULTIMODAL, "text",
               "text ⋈ vector multimodal relation"),
 ]
