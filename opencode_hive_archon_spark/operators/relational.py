@@ -285,6 +285,60 @@ def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join via applyInPandas + pd.merge_asof per user group
+    (the guide's alternative strategy for when the window formulation can't
+    express the semantics, e.g. tolerance bands or nearest-either-side).
+
+    Seconds are derived as micros/1e6 per timestamp before subtraction —
+    the exact double sequence Spark's timestamp->double cast uses — so this
+    variant, the window variant, and the DuckDB ASOF oracle all agree
+    bit-for-bit.
+    """
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        purchases = pdf[pdf["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"]
+        )
+        clicks = (
+            pdf[pdf["event_type"] == "click"][["ts"]]
+            .sort_values("ts")
+            .rename(columns={"ts": "last_click_ts"})
+        )
+        if purchases.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_ts", "last_click_ts", "secs_since_click"]
+            )
+        merged = pd.merge_asof(
+            purchases, clicks, left_on="ts", right_on="last_click_ts",
+            direction="backward",
+        )
+
+        def secs(col):
+            # micros -> seconds; NaT must surface as NaN, not int garbage
+            raw = (col.astype("int64") // 1000) / 1e6
+            return raw.where(col.notna())
+
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "purchase_ts": merged["ts"],
+                "last_click_ts": merged["last_click_ts"],
+                "secs_since_click": secs(merged["ts"]) - secs(merged["last_click_ts"]),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="event_id long, user_id long, purchase_ts timestamp, "
+        "last_click_ts timestamp, secs_since_click double",
+    )
+
+
 _ORACLE_ASOF = """
 SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
        c.ts AS last_click_ts,
@@ -668,6 +722,8 @@ SPECS = [
               "left outer join + coalesce backfill"),
     QuerySpec("join_asof_event_order", join_asof_event_order, _ORACLE_ASOF, "relational",
               "as-of join via union+running-max (oracle: DuckDB ASOF JOIN)"),
+    QuerySpec("join_asof_pandas", join_asof_pandas, _ORACLE_ASOF, "relational",
+              "same as-of via applyInPandas + merge_asof (strategy B)"),
     QuerySpec("agg_distinct", agg_distinct, _ORACLE_AGG_DISTINCT, "relational",
               "exact distinct counts per group"),
     QuerySpec("agg_approx_distinct", agg_approx_distinct, None, "relational",

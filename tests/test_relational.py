@@ -111,3 +111,10 @@ def test_skew_salted_equals_plain_groupby(spark, sf_dir):
         .collect()
     }
     assert got == plain
+
+
+def test_asof_strategies_agree(spark, sf_dir):
+    """Window formulation and applyInPandas merge_asof must be row-identical."""
+    a = {tuple(r) for r in R.join_asof_event_order(spark, sf_dir).collect()}
+    b = {tuple(r) for r in R.join_asof_pandas(spark, sf_dir).collect()}
+    assert a == b
