@@ -1,0 +1,113 @@
+"""TPC-H-style multi-join analytics over the full star schema.
+
+Completes table coverage (supplier and part join the fact chain) with the
+classic Q5/Q14 shapes:
+
+* ``local_supplier_volume`` (Q5 shape): region -> nation -> customer ->
+  orders -> lineitem -> supplier, with the "local" condition that customer
+  and supplier share a nation. Catalyst/AQE broadcast the dimension chain
+  (region/nation/supplier/customer are tiny vs lineitem) — the only big
+  shuffle is lineitem ⋈ orders.
+* ``promo_revenue_share`` (Q14 shape): lineitem ⋈ part, monthly share of
+  revenue from PROMO-type parts — conditional aggregation over a broadcast
+  join, exact in decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,2)")
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))  # local suppliers
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_ORACLE_Q5 = f"""
+SELECT r_name, n_name,
+       CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    month = F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+    promo_rev = F.sum(
+        F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total_rev = F.sum(_revenue())
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(month)
+        .agg(
+            promo_rev.cast("double").alias("promo_revenue"),
+            total_rev.cast("double").alias("total_revenue"),
+            (promo_rev.cast("double") / total_rev.cast("double") * F.lit(100.0)).alias(
+                "promo_share_pct"
+            ),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_ORACLE_Q14 = f"""
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS total_revenue,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum({_REVENUE_SQL}) AS DOUBLE) * 100.0 AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("local_supplier_volume", local_supplier_volume, _ORACLE_Q5,
+              "relational", "Q5-shape six-table join, local-supplier revenue by nation"),
+    QuerySpec("promo_revenue_share", promo_revenue_share, _ORACLE_Q14,
+              "relational", "Q14-shape promo revenue share per month"),
+]
