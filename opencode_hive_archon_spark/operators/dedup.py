@@ -62,6 +62,20 @@ def _shingles(toks: Column) -> Column:
     )
 
 
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, sh) materialized once. Tokens land in their own
+    projection so the tokenize regex evaluates a single time per row (the
+    shingle expression references the token array ~5x), then the whole
+    result is checkpointed for the multi-branch consumers."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "n_chars", _toks().alias("toks"))
+        .select("doc_id", "n_chars", _shingles(F.col("toks")).alias("sh"))
+        .localCheckpoint()
+    )
+
+
 # DuckDB mirror: token CTE + list comprehension (range() end-exclusive,
 # empty when len < 3 — no guard needed).
 _SHINGLE_CTE = f"""
@@ -129,12 +143,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression re-evaluates per branch (and per exploded row in some
     # collapsed plan shapes), turning a 2 s pass into minutes. At cluster
     # scale this is the persist() of the shared intermediate.
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "n_chars", _shingles(_toks()).alias("sh"))
-        .localCheckpoint()
-    )
+    docs = _shingled_docs(spark, sf_dir)
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ranked = ex.join(freq, "shingle").select(
@@ -174,10 +183,18 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Broadcast the (small) doc->shingles map into both verify joins: the
+    # candidate pairs never shuffle with array payloads attached.
     sh = docs.select("doc_id", "sh")
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(
+            F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))),
+            "doc_b",
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -234,12 +251,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_hash) bucket become candidates. P[candidate] ≈
     1-(1-j^r)^b — steep around the 0.8 target with r=4, b=4.
     """
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", _shingles(_toks()).alias("sh"))
-        .localCheckpoint()  # shared by signature + verify branches
-    )
+    docs = _shingled_docs(spark, sf_dir)  # shared by signature + verify
     sigs = minhash_signatures(docs)
     r = N_HASHES // N_BANDS
     bands = sigs.select(
@@ -267,8 +279,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(
+            F.broadcast(docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
