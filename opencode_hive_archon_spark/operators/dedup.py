@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opencode_hive_archon_spark.session import materialize as _materialize
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -67,12 +68,39 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection so the tokenize regex evaluates a single time per row (the
     shingle expression references the token array ~5x), then the whole
     result is checkpointed for the multi-branch consumers."""
-    return (
+    return _materialize(
         _t(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "n_chars", _toks().alias("toks"))
         .select("doc_id", "n_chars", _shingles(F.col("toks")).alias("sh"))
-        .localCheckpoint()
+    )
+
+
+def _attach_pair_shingles(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs -> (doc_a, doc_b, sh_a, sh_b) WITHOUT a
+    corpus-wide broadcast.
+
+    A broadcast-hash verify join against the doc->shingles map OOMs once the
+    corpus outgrows driver/executor memory (the map is the whole corpus'
+    shingle arrays). Instead: melt each pair into two (pair, doc_id) rows,
+    shuffle-hash join ONCE against the shingle map keyed by doc_id — one
+    key-partitioned pass over the corpus arrays, non-candidates drop out in
+    the join — then regroup by pair. Only candidate rows (bounded by the
+    near-dup count, not the corpus) carry array payloads through the second
+    shuffle. The SHUFFLE_HASH hint pins the scale-safe physical join so
+    size-estimate drift can never re-introduce a broadcast.
+    """
+    melted = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id"),
+    )
+    joined = melted.join(sh.hint("shuffle_hash"), "doc_id")
+    side = lambda which: F.first(
+        F.when(F.col("doc_id") == F.col(which), F.col("sh")), ignorenulls=True
+    )
+    return joined.groupBy("doc_a", "doc_b").agg(
+        side("doc_a").alias("sh_a"), side("doc_b").alias("sh_b")
     )
 
 
@@ -162,8 +190,8 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("key"),
         )
         .select("doc_id", F.col("key.shingle").alias("shingle"))
-        .localCheckpoint()  # reused by both join sides
     )
+    prefixes = _materialize(prefixes)  # reused by both join sides
     # Candidate pairs carry ONLY ids through the prefix join — the shingle
     # arrays are joined in afterwards, once per deduplicated pair. (Carrying
     # the arrays through the join multiplies shuffle volume by |A|.)
@@ -183,19 +211,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Broadcast the (small) doc->shingles map into both verify joins: the
-    # candidate pairs never shuffle with array payloads attached.
-    sh = docs.select("doc_id", "sh")
-    verified = (
-        cand.join(
-            F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))),
-            "doc_b",
-        )
-    )
+    verified = _attach_pair_shingles(cand, docs.select("doc_id", "sh"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -209,11 +225,11 @@ _ORACLE_DEDUP_NEAR = f"""
 WITH {_SHINGLE_CTE}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         / len(list_distinct(a.sh || b.sh)) AS jaccard
+         / NULLIF(len(list_distinct(a.sh || b.sh)), 0) AS jaccard
 FROM sh a JOIN sh b
   ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+        / NULLIF(len(list_distinct(a.sh || b.sh)), 0) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -279,14 +295,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(
-            F.broadcast(docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))),
-            "doc_b",
-        )
+        _attach_pair_shingles(cand, docs.select("doc_id", "sh"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -329,7 +338,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    fps = simhash_fingerprints(docs).localCheckpoint()  # reused by both join sides
+    fps = _materialize(simhash_fingerprints(docs))  # reused by both join sides
     bands = fps.select(
         "doc_id", "fp",
         F.explode(

@@ -460,23 +460,52 @@ FROM (
 
 
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + lag delta over daily order revenue. The running sum
-    stays in DECIMAL inside the frame so segment-tree vs sequential window
-    evaluation cannot perturb bits."""
+    """Running total + lag delta over daily order revenue, year-partitioned.
+
+    A global ``Window.orderBy`` funnels ALL rows through one partition — a
+    scale bug even when the input is a per-day aggregate. Instead: running
+    sums within each year partition, then a stitched offset of prior years'
+    totals (one row per year, joined broadcast). Because every intermediate
+    stays DECIMAL (exact, associative), the stitched result is bit-identical
+    to the single-partition formulation the oracle uses. The year-offset
+    table is built with a triangle join over #years rows (bounded by the
+    calendar, not data volume) — no unpartitioned WindowExec anywhere.
+    """
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total_dec"))
+        .withColumn("yr", F.year("day"))
     )
-    w = Window.orderBy("day")
+    year_edge = daily.groupBy("yr").agg(
+        F.sum("day_total_dec").alias("yr_total"),
+        F.max_by("day_total_dec", "day").alias("yr_last"),
+    )
+    offsets = (
+        year_edge.alias("a")
+        .join(year_edge.alias("b"), F.col("b.yr") < F.col("a.yr"), "left")
+        .groupBy(F.col("a.yr").alias("yr"))
+        .agg(
+            F.coalesce(F.sum("b.yr_total"), F.lit(0).cast("decimal(18,2)")).alias("prior_total"),
+            F.max_by(F.col("b.yr_last"), F.col("b.yr")).alias("prev_yr_last"),
+        )
+    )
+    w_in = Window.partitionBy("yr").orderBy("day")
     return (
-        daily.withColumn(
+        daily.join(F.broadcast(offsets), "yr")
+        .withColumn(
             "running_total",
-            F.sum("day_total_dec").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"),
+            (
+                F.sum("day_total_dec").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+                + F.col("prior_total")
+            ).cast("double"),
         )
         .withColumn(
             "delta",
-            (F.col("day_total_dec") - F.lag("day_total_dec", 1).over(w)).cast("double"),
+            (
+                F.col("day_total_dec")
+                - F.coalesce(F.lag("day_total_dec", 1).over(w_in), F.col("prev_yr_last"))
+            ).cast("double"),
         )
         .select(
             "day",
@@ -502,6 +531,14 @@ FROM daily
 
 
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average over daily event values, year-partitioned with
+    halo rows: the last 6 rows of each year are duplicated into the next
+    year's partition so every ROWS BETWEEN 6 PRECEDING frame is complete
+    inside its partition — no single-partition WindowExec. Halo rows are
+    dropped after the window (part == yr keeps originals only). Sums stay
+    DECIMAL, so the stitched frames are bit-identical to the global-order
+    oracle. (Assumes every year holds > 6 daily rows — true for any dense
+    event stream; a sparser calendar would need a deeper halo.)"""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -509,15 +546,30 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value_dec"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .withColumn("yr", F.year("day"))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day",
-        F.col("day_value_dec").cast("double").alias("day_value"),
-        "n_events",
-        (F.sum("day_value_dec").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
-            "ma7"
+    rn_desc = F.row_number().over(Window.partitionBy("yr").orderBy(F.col("day").desc()))
+    parts = daily.withColumn("rn_desc", rn_desc).withColumn(
+        "part",
+        F.explode(
+            F.when(
+                F.col("rn_desc") <= 6, F.array(F.col("yr"), F.col("yr") + 1)
+            ).otherwise(F.array(F.col("yr")))
         ),
+    )
+    w = Window.partitionBy("part").orderBy("day").rowsBetween(-6, 0)
+    return (
+        parts.withColumn(
+            "ma7",
+            F.sum("day_value_dec").over(w).cast("double") / F.count(F.lit(1)).over(w),
+        )
+        .filter(F.col("part") == F.col("yr"))
+        .select(
+            "day",
+            F.col("day_value_dec").cast("double").alias("day_value"),
+            "n_events",
+            "ma7",
+        )
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencode_hive_archon_spark.functions.vector import cosine_similarity, dot_product
+from opencode_hive_archon_spark.session import materialize as _materialize
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -69,11 +70,12 @@ def similarity_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= 0.3).
+def _all_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive O(n²) cosine pairs — the recall baseline for tests ONLY.
 
-    Local harness uses the exact self-join; at 100 TB the LSH bucketing of
-    ann_lsh_topk prunes candidates first (same verify step).
+    This is the nested-loop shape that must never ship as the production
+    query (it cannot survive a 100× scale-up); `dedup_embedding_cosine`
+    ships the LSH-pruned plan instead and tests assert its recall here.
     """
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(
@@ -96,14 +98,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH candidates + exact-cosine verify.
+
+    The scale path end to end: random-hyperplane bucketing (lsh_bucketed)
+    generates candidates via an equi-join on the (table, signature) bucket
+    key — a hash shuffle, no O(n²) nested loop — then the exact cosine
+    re-check runs once per distinct candidate pair. Because the hyperplanes
+    are table-derived dot products (no engine hash functions), the WHOLE
+    pipeline is deterministic and mirrored exactly by the DuckDB oracle —
+    the approximate algorithm itself is hash-verified, not just row-counted.
+    The exhaustive baseline lives in `_all_pairs_cosine` (tests assert
+    recall of this plan against it).
+    """
+    sigs = lsh_bucketed(spark, sf_dir).select("vec_id", "table", "sig")
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["table", "sig"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # Verify joins keyed on vec_id: SHUFFLE_HASH pins the shuffle join so a
+    # size-estimate can never broadcast the corpus-wide embedding map.
+    emb = _t(spark, sf_dir, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("label").alias("label_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("label").alias("label_b"),
+    )
+    return (
+        cand.join(ea.hint("shuffle_hash"), "vec_a")
+        .join(eb.hint("shuffle_hash"), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+            cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= NEAR_DUP_COSINE)
+    )
+
+
 # --- LSH scale path (approximate => rows-only driver check) ---------------
 # L hash tables of B bits each: a neighbor is a candidate if it collides in
 # ANY table — recall is tunable via (L, B) without touching the join shape.
 
-# (L=6, B=4): for a neighbor at cos~0.4 (θ≈66°), P[bit match]≈0.63,
-# P[collide in a table]≈0.63^4≈0.16, P[any of 6]≈0.64 — decent recall while
-# candidates stay a fraction of the table.
-LSH_TABLES = 6
+# (L=10, B=4): the testdata's strongest pairs sit near cos≈0.48 (θ≈61°,
+# P[bit]≈0.66, P[table]≈0.19) — with 10 tables P[candidate]≈0.88 there and
+# ≈0.74 at the 0.3 threshold, while candidates stay a fraction of n².
+# Recall tunes via (L, B) without touching the join shape.
+LSH_TABLES = 10
 LSH_BITS = 4
 N_HYPERPLANES = LSH_TABLES * LSH_BITS
 
@@ -125,10 +173,16 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, embedding, table, sig): one row per vector per hash
     table. Hyperplanes are table-derived (vec_id 1..N) => deterministic."""
     emb = _t(spark, sf_dir, "embeddings")
+    # sort_array(collect_list(struct)) — NOT orderBy + collect_list, whose
+    # order Spark does not guarantee across partial/final aggregation.
     planes = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_HYPERPLANES))
-        .orderBy("vec_id")
-        .agg(F.collect_list("embedding").alias("planes"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"],
+            ).alias("planes")
+        )
     )
     signed = emb.crossJoin(F.broadcast(planes))
     tables = F.array(
@@ -218,11 +272,35 @@ FROM sims WHERE sim >= {SIM_THRESHOLD}
 GROUP BY label
 """
 
+# Exact mirror of the LSH pipeline: hyperplanes are embedding rows 1..24
+# sorted by vec_id; bit i of table t's signature is sign(dot(v, plane
+# t*4+i)) with the same sequential-fold dot as Spark (list_reduce parity),
+# so candidate buckets — and therefore the final pair set — match
+# bit-for-bit. string_agg ORDER BY pid reproduces Spark's slice order
+# ((pid-1)//4 = table, pid ascending within a table).
 _ORACLE_DEDUP_COSINE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+WITH planes AS (
+  SELECT vec_id AS pid, embedding AS p FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {N_HYPERPLANES}
+),
+sigs AS (
+  SELECT e.vec_id, CAST((p.pid - 1) // {LSH_BITS} AS INT) AS tbl,
+         string_agg(CASE WHEN {_DOT.format(a='e.embedding', b='p.p')} > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, (p.pid - 1) // {LSH_BITS}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM sigs x JOIN sigs y
+    ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
        a.label = b.label AS same_label,
        {_cos_sql('a.embedding', 'b.embedding')} AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
 """
 
@@ -266,15 +344,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _t(spark, sf_dir, "embeddings")
     # deterministic init: first K vectors as seed centroids
-    centroids = (
+    centroids = _materialize(
         emb.filter(F.col("vec_id") < IVF_K)
         .select(F.col("vec_id").alias("cid"),
                 F.transform("embedding", lambda x: x.cast("double")).alias("cvec"))
-        .localCheckpoint()
     )
     for _ in range(IVF_ITERS):
         assigned = _assign(emb, centroids)
-        centroids = (
+        centroids = _materialize(
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -284,9 +361,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
                 ).alias("cvec")
             )
-            .localCheckpoint()
         )
-    assigned = _assign(emb, centroids).localCheckpoint()
+    assigned = _materialize(_assign(emb, centroids))
     query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
@@ -322,7 +398,9 @@ SPECS = [
     QuerySpec("similarity_join_labels", similarity_join_labels, _ORACLE_SIM_LABELS,
               "similarity", "per-label neighbor stats above threshold"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _ORACLE_DEDUP_COSINE,
-              "similarity", "embedding-cosine near-dup pairs"),
+              "similarity",
+              "embedding-cosine near-dup pairs (LSH candidates + exact verify; "
+              "oracle mirrors the full LSH pipeline)"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None, "similarity",
               "random-hyperplane LSH bucketed ANN (rows-only; recall tested vs brute force)"),
 ]

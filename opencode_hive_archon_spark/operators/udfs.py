@@ -76,10 +76,17 @@ def udaf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = sum(cents)                      # exact
         sq = sum(c * c for c in cents)      # exact
         mean = float(s) / 100.0 / n
+        out = pdf[["o_orderkey", "o_orderpriority", "o_totalprice"]].copy()
+        if n == 1:
+            # sample variance undefined: SQL's (n-1)=0 denominator yields
+            # NULL, so mirror that instead of raising ZeroDivisionError.
+            out["z"] = [None]
+            out["group_mean"] = mean
+            out["group_std"] = None
+            return out
         # sample variance in dollars^2: (sumsq/1e4 - n*mean^2) / (n-1)
         var = (float(sq) / 10000.0 - n * (mean * mean)) / (n - 1)
         std = var ** 0.5
-        out = pdf[["o_orderkey", "o_orderpriority", "o_totalprice"]].copy()
         out["z"] = [((c / 100.0) - mean) / std for c in cents]
         out["group_mean"] = mean
         out["group_std"] = std

@@ -61,7 +61,6 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so
         # read the raw int64 and convert (see read_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -75,6 +74,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a shared intermediate, cluster-safe.
+
+    ``persist(MEMORY_AND_DISK)`` instead of ``localCheckpoint()``: it keeps
+    lineage (a lost executor recomputes its blocks instead of failing the
+    job — localCheckpoint pins blocks with no fallback) and spills oversized
+    partitions to disk instead of OOMing. The eager ``count()`` forces the
+    cache fill so every downstream branch reads the cached blocks rather
+    than re-evaluating the (expensive) producing expressions per branch.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

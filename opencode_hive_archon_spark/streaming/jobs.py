@@ -16,6 +16,7 @@ Determinism & oracles:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -38,14 +39,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # File stream sources need a directory: expose the single parquet file
-    # through a symlinked temp dir (kept for the session; tiny).
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # through a symlinked temp dir (kept for the session; tiny). Keyed by a
+    # stable content-independent digest of the absolute path — NOT Python's
+    # process-salted hash() — so every process maps one sf_dir to one dir;
+    # a stale link to a different target is replaced, never silently reused.
+    target = os.path.abspath(path)
+    digest = hashlib.sha1(target.encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(path), link)
+        os.symlink(target, link)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

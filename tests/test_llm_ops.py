@@ -78,6 +78,24 @@ def test_embedding_near_dup_symmetric_bound(spark, sf_dir):
         assert r["sim"] >= S.NEAR_DUP_COSINE
 
 
+def test_embedding_dedup_recall_vs_all_pairs(spark, sf_dir):
+    """The shipped LSH-pruned pair set must (a) be a strict subset of the
+    exhaustive all-pairs result — the verify step readmits nothing — and
+    (b) recover a meaningful share of it, heavily weighted toward the
+    highest-similarity (true near-dup) pairs LSH is built to catch."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in S._all_pairs_cosine(spark, sf_dir).collect()
+    }
+    lsh = {(r["vec_a"], r["vec_b"]) for r in S.dedup_embedding_cosine(spark, sf_dir).collect()}
+    assert exact and lsh
+    assert lsh <= set(exact), "LSH+verify must never emit a pair the exact join lacks"
+    assert len(lsh) / len(exact) >= 0.6, f"overall recall {len(lsh)/len(exact):.2f}"
+    top = sorted(exact, key=lambda k: -exact[k])[: max(10, len(exact) // 20)]
+    top_recall = len(lsh & set(top)) / len(top)
+    assert top_recall >= 0.7, f"top-similarity recall {top_recall:.2f}"
+
+
 def test_quality_scores_bounded(spark, sf_dir):
     rows = T.text_quality_score(spark, sf_dir).collect()
     assert rows

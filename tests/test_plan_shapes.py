@@ -87,3 +87,33 @@ def test_asof_single_shuffle(spark, sf_dir):
 def test_window_functions_codegen(spark, sf_dir):
     p = plan(R.window_rank_topk_per_group(spark, sf_dir))
     assert "Window" in p and "Filter" in p
+
+
+def test_dedup_verify_no_corpus_broadcast(spark, sf_dir):
+    """The doc->shingles verify join must never broadcast the corpus: no
+    forced F.broadcast survives in the module, and the physical verify join
+    is the SHUFFLE_HASH-hinted join keyed on doc_id. (Planner-chosen
+    broadcasts of genuinely small derived inputs are fine — those flip to
+    shuffles when real statistics say the input is big.)"""
+    import inspect
+
+    from opencode_hive_archon_spark.operators import dedup as D
+
+    assert "F.broadcast" not in inspect.getsource(D)
+    for fn in (D.dedup_near, D.dedup_minhash_lsh):
+        p = plan(fn(spark, sf_dir))
+        assert "ShuffledHashJoin" in p, fn.__name__
+        assert "BroadcastNestedLoop" not in p, fn.__name__
+
+
+def test_embedding_dedup_no_nested_loop(spark, sf_dir):
+    """dedup_embedding_cosine must be the LSH-pruned equi-join plan. The
+    only nested-loop joins allowed are the Cross joins against the 1-row
+    broadcast hyperplane aggregate — the old all-pairs anti-pattern was an
+    *Inner* nested loop whose sole condition was vec_a < vec_b."""
+    p = plan(S.dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "Inner" not in line, line
+    assert "ShuffledHashJoin" in p  # pinned verify joins on vec_id
