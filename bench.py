@@ -3,12 +3,18 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": N}. Queries are executed to completion with
 the noop sink (full pipeline runs, nothing materializes on the driver).
+
+Methodology: one untimed warm-up pass over the whole set (JVM/codegen/
+parquet-footer/Arrow initialization), then SPARK_GRAFT_BENCH_ITERS (default
+3) timed passes; the reported per-query number is the MEDIAN across passes,
+so one GC pause or compilation stall cannot skew a query's figure.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -17,11 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from opencode_hive_archon_spark import registry
 from opencode_hive_archon_spark.session import get_spark
 
-# Headline set: SURVEY §2B Families 1-3 (retrieval, relational, LLM ops).
+# Headline set: SURVEY §2B Families 1-5 — retrieval (incl. the external-
+# rerank route), relational (incl. Q5/Q14 star-join shapes, pivot, range
+# join, stitched windows), LLM ops (dedup ladder, similarity, text),
+# UDF surface, and a streaming representative.
 BENCH_QUERIES = [
     "recall_score_topk",
     "recall_summary_branch",
     "recall_envelope",
+    "recall_envelope_reranked",
     "scan_project_filter",
     "pricing_summary",
     "join_broadcast",
@@ -29,20 +39,28 @@ BENCH_QUERIES = [
     "join_semi_anti",
     "join_outer_coalesce",
     "join_asof_event_order",
+    "join_range_bucketed",
+    "local_supplier_volume",
+    "promo_revenue_share",
     "agg_distinct",
     "rollup_orders",
     "window_rank_topk_per_group",
     "window_running",
+    "window_moving_avg",
     "sort_multi_limit",
+    "pivot_lineitem_status",
     "json_extract_events",
     "similarity_topk",
     "similarity_join_labels",
     "dedup_exact",
     "dedup_near",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_token_stats",
     "text_quality_score",
+    "udaf_grouped_normalize",
     "multimodal_join",
+    "stream_tumbling_counts",
 ]
 
 
@@ -53,6 +71,7 @@ def run_query(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     spark = get_spark("bench")
 
     specs = registry.all_specs()
@@ -65,14 +84,22 @@ def main() -> None:
         read_table(spark, sf_dir, t).count()
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
-    timings: dict[str, float] = {}
+    # Untimed warm-up pass: the first execution of each query absorbs
+    # whole-stage-codegen compilation and shared-intermediate cache fills.
     for name in BENCH_QUERIES:
-        fn = specs[name].fn
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        if verbose:
-            print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        run_query(specs[name].fn(spark, sf_dir))
+
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(iters):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            run_query(specs[name].fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    if verbose:
+        for name, t in timings.items():
+            print(f"  {name}: {t:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -25,7 +25,6 @@ from opencode_hive_archon_spark.config import (
     default_provider_status,
 )
 from opencode_hive_archon_spark.operators import recall as recall_ops
-from opencode_hive_archon_spark.plans import branching
 from opencode_hive_archon_spark.plans.routing import route_retrieval
 
 
@@ -46,36 +45,83 @@ class RecallEngine:
         self.provider_status = provider_status or default_provider_status()
         self.defaults = defaults or RecallDefaults()
 
-    def recall(self, request: RetrievalRequest) -> DataFrame:
-        """Route -> scan -> score -> top-k -> classify -> envelope."""
-        # Blank-query short-circuit (memory.py:46-47) and none-provider exit
-        # (recall.py:62-76) both elide the whole scan.
-        if not request.query.strip():
-            return self._empty_envelope("none")
+    def recall(
+        self,
+        request: RetrievalRequest,
+        validation_mode: bool = False,
+        force_branch: str | None = None,
+    ) -> DataFrame:
+        """Route -> provider scan -> native top-k -> [external rerank stage]
+        -> classify -> envelope (reference RecallOrchestrator.run,
+        agents/recall.py:37-144).
+
+        The external rerank is a REAL plan stage, added or elided per the
+        routing policy + feature flags exactly as reference step 3
+        (recall.py:88-102): skip_external_rerank drops it (provider-native
+        metadata), external_rerank_enabled=False drops it (disabled
+        metadata), otherwise the VoyageRerankService rescoring stage is
+        appended to the plan. ``validation_mode`` + ``force_branch``
+        reproduce the forced-branch candidate rewriting (R16,
+        recall.py:164-229) and stamp validation_mode/forced_branch into the
+        routing metadata (recall.py:113-114).
+        """
+        flags_json = recall_ops._snapshot_json(self.feature_flags)
+        status_json = recall_ops._snapshot_json(self.provider_status)
         provider, opts = route_retrieval(request, self.provider_status, self.feature_flags)
         if provider == "none":
-            return self._empty_envelope("none")
-        return recall_ops.recall_envelope(
-            self.spark,
-            self.sf_dir,
-            query=request.query,
-            top_k=request.top_k,
-            threshold=request.threshold,
+            # Reference none-path (recall.py:62-76): metadata carries the
+            # ACTUAL request mode (the hardcoded-"conversation" quirk only
+            # applies to _build_routing_metadata on the normal path).
+            return recall_ops.build_envelope(
+                self._no_candidates(),
+                provider="none",
+                threshold=request.threshold,
+                rerank_bypassed=False,
+                mode=request.mode,
+                rerank_policy="none",
+                flags_json=flags_json,
+                status_json=status_json,
+            )
+        skip = opts["skip_external_rerank"]
+        enabled = self.feature_flags.get("external_rerank_enabled", True)
+        if not request.query.strip():
+            # Blank query: the provider returns nothing (memory.py:46-47) —
+            # routing metadata still reflects the routed provider + policy.
+            scored = self._no_candidates()
+        elif provider == "mem0":
+            # mem0's provider-native rerank IS the overlap rescoring.
+            scored = recall_ops.scored_candidates(self.spark, self.sf_dir, request.query)
+        else:
+            scored = recall_ops.supabase_native_candidates(
+                self.spark, self.sf_dir, request.query
+            )
+        topk = scored.orderBy(F.col("confidence").desc(), F.col("id").asc()).limit(
+            request.top_k
+        )
+        if skip:
+            policy = "provider-native"
+        elif not enabled:
+            policy = "disabled"
+        else:
+            policy = "external"
+            topk = recall_ops.external_rerank_stage(topk, request.query, request.top_k)
+        return recall_ops.build_envelope(
+            topk,
             provider=provider,
-            rerank_bypassed=opts["skip_external_rerank"],
+            threshold=request.threshold,
+            rerank_bypassed=skip,
+            rerank_policy=policy,
+            flags_json=flags_json,
+            status_json=status_json,
+            force_branch=force_branch if validation_mode else None,
+            validation_mode=validation_mode,
         )
 
-    def _empty_envelope(self, provider: str) -> DataFrame:
-        """Constant EMPTY_SET envelope (fallbacks.py:22-43)."""
-        branch = F.lit(branching.EMPTY_SET)
-        return self.spark.range(1).select(
-            F.lit(provider).alias("provider"),
-            F.lit(False).alias("rerank_applied"),
-            F.lit(0.0).alias("top_confidence"),
-            F.lit(0).cast("long").alias("candidate_count"),
-            F.lit(False).alias("threshold_met"),
-            branch.alias("branch"),
-            branching.action_col(branch).alias("action"),
-            branching.reason_col(branch, F.lit(0), F.lit(0.0), 0.6).alias("reason"),
-            F.lit("[]").alias("candidates_json"),
+    def _no_candidates(self) -> DataFrame:
+        """Zero-row candidate frame with the provider-scan schema."""
+        return self.spark.range(0).select(
+            F.col("id"),
+            F.lit("").alias("content"),
+            F.lit("").alias("source"),
+            F.lit(0.0).alias("confidence"),
         )

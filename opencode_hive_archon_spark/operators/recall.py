@@ -15,10 +15,13 @@ results are total-ordered and oracle hash-stable (SURVEY.md §7 risk register).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from opencode_hive_archon_spark.functions.text import overlap_score
+from opencode_hive_archon_spark.config import default_feature_flags, default_provider_status
+from opencode_hive_archon_spark.functions.text import overlap_count, overlap_score
 from opencode_hive_archon_spark.plans import branching
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -37,6 +40,21 @@ BASE_CONFIDENCE = 0.5
 # — so the expected branch on a confident result set is RERANK_BYPASSED.
 PROVIDER = "mem0"
 RERANK_BYPASSED_FLAG = True
+
+# Supabase's provider-native prior for the external-rerank path: a
+# deterministic per-doc score with an exact-binary step (1/16) so the
+# Spark-double and DuckDB-decimal literal paths agree bit-for-bit.
+SUPA_BASE = 0.5
+SUPA_STEP = 0.0625
+
+# Canonical routing-metadata snapshots (R17/R22): sorted-key compact JSON of
+# the default config — identical driver-side constant on both engines.
+def _snapshot_json(d: dict) -> str:
+    return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+
+FLAGS_JSON = _snapshot_json(default_feature_flags())
+STATUS_JSON = _snapshot_json(default_provider_status())
 
 
 def scored_candidates(
@@ -107,34 +125,73 @@ def recall_summary_branch(
     )
 
 
-def recall_envelope(
-    spark: SparkSession,
-    sf_dir: str,
-    query: str = DEFAULT_QUERY,
-    top_k: int = DEFAULT_TOP_K,
+def build_envelope(
+    topk: DataFrame,
+    *,
+    provider: str,
     threshold: float = DEFAULT_THRESHOLD,
-    provider: str = PROVIDER,
-    rerank_bypassed: bool = RERANK_BYPASSED_FLAG,
+    rerank_bypassed: bool = False,
+    mode: str = "conversation",
+    rerank_policy: str = "provider-native",
+    flags_json: str = FLAGS_JSON,
+    status_json: str = STATUS_JSON,
+    id_quoted: bool = False,
+    force_branch: str | None = None,
+    validation_mode: bool = False,
 ) -> DataFrame:
-    """R15+R20: the full ContextPacket envelope as one row
-    (context_packet.py:23-29). Candidates are serialized to a deterministic
-    JSON array string (confidence printf'd to 2 decimals) so the oracle can
-    reproduce it byte-for-byte; timestamp excluded by design (SURVEY §2B).
+    """Assemble the full RetrievalResponse row from a scored top-k DataFrame.
 
-    collect_list only runs AFTER the top-k truncation — at most k rows are
-    ever assembled, so this is safe at any scale.
+    Input columns: (id, content, source, confidence[, meta_json]) — at most
+    top_k rows, so the collect_list is bounded and scale-safe.
+
+    Serialization (R20, context_packet.py:6-12): candidates carry id,
+    content, source, confidence (%.2f) and the open metadata map, in
+    declaration order. The canonical JSON assumes sanitized text (the
+    synthetic corpus has no quotes/backslashes/control chars — verified);
+    a production corpus would add symmetric escaping on both engines.
+
+    Routing metadata (R17, reference agents/recall.py:146-162): mode is
+    HARDCODED "conversation" by `_build_routing_metadata` regardless of the
+    request — preserved quirk (callers pass the real mode only on the
+    none-provider path, which reference builds inline with request.mode).
+
+    ``rerank_policy`` mirrors reference step 3 (agents/recall.py:88-102):
+      provider-native -> rerank_type 'provider-native', reason
+                         'mem0-default-policy' (skip-external path)
+      external        -> rerank_type CASE(count>1 -> 'external', else 'none');
+                         bypass reason NULL — the voyage service's own
+                         bypass_reason (single_candidate/no_candidates) is
+                         DROPPED by _build_routing_metadata, which reads the
+                         'rerank_bypass_reason' key the service never sets
+                         (preserved quirk)
+      disabled        -> rerank_type 'none', reason 'external_rerank_disabled'
+                         only when candidates exist (recall.py:100-102)
+      none            -> rerank_type 'none', reason NULL (no-provider path)
+
+    ``force_branch`` (R16, agents/recall.py:164-229): validation-mode
+    override. LOW_CONFIDENCE rewrites every candidate confidence to 0.4 and
+    reports top_confidence 0.4 (the reference passes the constant even for
+    empty sets); RERANK_BYPASSED / SUCCESS synthesize a single candidate
+    when the real set is empty; EMPTY_SET empties the set.
     """
-    topk = recall_score_topk(spark, sf_dir, query, top_k)
+    meta = F.col("meta_json") if "meta_json" in topk.columns else F.lit("{}")
+    if force_branch == branching.EMPTY_SET:
+        topk = topk.limit(0)
+    elif force_branch == branching.LOW_CONFIDENCE:
+        topk = topk.withColumn("confidence", F.lit(0.4))
+    id_fmt = '"%s"' if id_quoted else "%d"
     cand_json = F.format_string(
-        '{"id":%d,"source":"%s","confidence":%.2f}',
+        '{"id":' + id_fmt + ',"content":"%s","source":"%s","confidence":%.2f,"metadata":%s}',
         F.col("id"),
+        F.col("content"),
         F.col("source"),
         F.col("confidence"),
+        meta,
     )
     # sort_array over (neg-rank keys, json) keeps the serialized order total.
     agg = topk.agg(
         F.coalesce(F.max("confidence"), F.lit(0.0)).alias("top_confidence"),
-        F.count(F.lit(1)).alias("candidate_count"),
+        F.count(F.lit(1)).alias("n_pre"),
         F.concat(
             F.lit("["),
             F.array_join(
@@ -149,29 +206,189 @@ def recall_envelope(
             F.lit("]"),
         ).alias("candidates_json"),
     )
-    branch = branching.branch_col(
-        F.col("candidate_count"), F.col("top_confidence"), threshold, rerank_bypassed, provider
+    # rerank metadata derives from the PRE-synthesis candidate set (reference
+    # computes it in step 3, before any forced-branch rewrite).
+    if rerank_policy == "provider-native":
+        rt = F.lit("provider-native")
+        bypass = F.lit("mem0-default-policy")
+    elif rerank_policy == "external":
+        rt = F.when(F.col("n_pre") > 1, F.lit("external")).otherwise(F.lit("none"))
+        bypass = F.lit(None).cast("string")
+    elif rerank_policy == "disabled":
+        rt = F.lit("none")
+        bypass = F.when(F.col("n_pre") > 0, F.lit("external_rerank_disabled"))
+    else:  # "none" — no provider / empty query
+        rt = F.lit("none")
+        bypass = F.lit(None).cast("string")
+    # Forced-branch candidate synthesis (post-agg CASE on the one-row agg).
+    top_c, count_c, json_c = F.col("top_confidence"), F.col("n_pre"), F.col("candidates_json")
+    if force_branch in (branching.RERANK_BYPASSED, branching.SUCCESS):
+        content = (
+            "Forced rerank bypass" if force_branch == branching.RERANK_BYPASSED else "Forced success"
+        )
+        conf = 0.85 if force_branch == branching.RERANK_BYPASSED else 0.9
+        synth = (
+            f'[{{"id":"forced","content":"{content}","source":"{provider}",'
+            f'"confidence":{conf:.2f},"metadata":{{}}}}]'
+        )
+        empty = F.col("n_pre") == 0
+        top_c = F.when(empty, F.lit(conf)).otherwise(top_c)
+        count_c = F.when(empty, F.lit(1).cast("long")).otherwise(count_c)
+        json_c = F.when(empty, F.lit(synth)).otherwise(json_c)
+    elif force_branch == branching.LOW_CONFIDENCE:
+        top_c = F.lit(0.4)  # reference passes the constant, even for count=0
+    staged = agg.select(
+        top_c.alias("top_confidence"),
+        count_c.alias("candidate_count"),
+        json_c.alias("candidates_json"),
+        rt.alias("rerank_type"),
+        bypass.alias("rerank_bypass_reason"),
     )
-    return agg.select(
+    forced = force_branch in branching.BRANCH_ACTION
+    branch = (
+        F.lit(force_branch)
+        if forced
+        else branching.branch_col(
+            F.col("candidate_count"), F.col("top_confidence"), threshold, rerank_bypassed, provider
+        )
+    )
+    out = staged.select(
         F.lit(provider).alias("provider"),
+        branching.rerank_applied_col(branch, rerank_bypassed).alias("rerank_applied"),
         "top_confidence",
         "candidate_count",
-        branch.alias("branch"),
-        "candidates_json",
-    ).select(
-        "provider",
-        branching.rerank_applied_col(F.col("branch"), rerank_bypassed).alias("rerank_applied"),
-        "top_confidence",
-        "candidate_count",
-        branching.threshold_met_col(F.col("branch"), F.col("top_confidence"), threshold).alias(
+        branching.threshold_met_col(branch, F.col("top_confidence"), threshold).alias(
             "threshold_met"
         ),
-        "branch",
-        branching.action_col(F.col("branch")).alias("action"),
+        branch.alias("branch"),
+        branching.action_col(branch).alias("action"),
         branching.reason_col(
-            F.col("branch"), F.col("candidate_count"), F.col("top_confidence"), threshold
+            branch, F.col("candidate_count"), F.col("top_confidence"), threshold
         ).alias("reason"),
+        branching.suggestion_col(branch).alias("suggestion"),
         "candidates_json",
+        F.lit(mode).alias("mode"),
+        F.lit(rerank_bypassed).alias("skip_external_rerank"),
+        "rerank_type",
+        "rerank_bypass_reason",
+        F.lit(flags_json).alias("feature_flags_json"),
+        F.lit(status_json).alias("provider_status_json"),
+    )
+    if validation_mode:
+        out = out.select(
+            "*",
+            F.lit(True).alias("validation_mode"),
+            F.lit(force_branch).cast("string").alias("forced_branch"),
+        )
+    return out
+
+
+def recall_envelope(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    top_k: int = DEFAULT_TOP_K,
+    threshold: float = DEFAULT_THRESHOLD,
+    provider: str = PROVIDER,
+    rerank_bypassed: bool = RERANK_BYPASSED_FLAG,
+) -> DataFrame:
+    """R15+R17+R20: the full RetrievalResponse as one row — ContextPacket
+    (candidates with content + metadata, summary), NextAction (action,
+    reason, suggestion) and the routing-metadata projection
+    (context_packet.py:23-37, agents/recall.py:146-162); timestamp excluded
+    by design (SURVEY §2B). Flagship provider-native (mem0) path.
+
+    collect_list only runs AFTER the top-k truncation — at most k rows are
+    ever assembled, so this is safe at any scale.
+    """
+    topk = recall_score_topk(spark, sf_dir, query, top_k)
+    return build_envelope(
+        topk,
+        provider=provider,
+        threshold=threshold,
+        rerank_bypassed=rerank_bypassed,
+        rerank_policy="provider-native",
+    )
+
+
+def supabase_native_candidates(
+    spark: SparkSession, sf_dir: str, query: str = DEFAULT_QUERY
+) -> DataFrame:
+    """Provider-native candidates for the supabase route: the provider
+    returns its own relevance score (modeled as a deterministic per-doc
+    prior with an exact-binary step) — the EXTERNAL rerank stage is what
+    injects query relevance on this path (reference memory.py returns
+    provider confidences untouched when rerank=True is mem0-only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    native = F.lit(SUPA_BASE) + (F.col("doc_id") % 5).cast("double") * F.lit(SUPA_STEP)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("content"),
+        F.col("source").alias("source"),
+        native.alias("confidence"),
+    )
+
+
+def external_rerank_stage(topk: DataFrame, query: str, top_k: int) -> DataFrame:
+    """The VoyageRerankService as a distinct, elidable plan stage
+    (voyage.py:54-88): adjusted = min(1.0, native + 0.05 * overlap), re-sort
+    desc, re-truncate to top_k, and stamp rerank_adjusted into each
+    candidate's metadata. The 0/1-candidate bypass (voyage.py:36-45) is a
+    data-dependent branch, so it is compiled into the plan as a CASE on the
+    candidate count (1-row broadcast join — never a driver round-trip).
+
+    Tie-break: the reference's stable sort preserves provider order on equal
+    adjusted scores; the engine total-orders by (confidence desc, id asc) —
+    deterministic on both engines, mirrored in the oracle."""
+    stats = topk.agg(F.count(F.lit(1)).alias("n_cand"))
+    adj = F.least(
+        F.lit(1.0),
+        F.col("confidence") + F.lit(0.05) * overlap_count(query, F.col("content")),
+    )
+    applies = F.col("n_cand") > 1
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "content",
+            "source",
+            F.when(applies, adj).otherwise(F.col("confidence")).alias("confidence"),
+            F.when(applies, F.lit('{"rerank_adjusted":true}'))
+            .otherwise(F.lit("{}"))
+            .alias("meta_json"),
+        )
+        .orderBy(F.col("confidence").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
+def recall_envelope_reranked(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    top_k: int = DEFAULT_TOP_K,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """The external-rerank route end to end (R8/R17 external path): supabase
+    provider-native top-k -> VoyageRerankService stage -> envelope. The
+    conversation route reaches this when mem0 is unavailable
+    (retrieval_router.py:33-38); branch is SUCCESS (non-mem0), rerank_type
+    'external', rerank_applied reports the bypass flag verbatim (false —
+    preserved reference quirk, fallbacks.py:198)."""
+    native_topk = (
+        supabase_native_candidates(spark, sf_dir, query)
+        .orderBy(F.col("confidence").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+    reranked = external_rerank_stage(native_topk, query, top_k)
+    return build_envelope(
+        reranked,
+        provider="supabase",
+        threshold=threshold,
+        rerank_bypassed=False,
+        rerank_policy="external",
     )
 
 
@@ -272,15 +489,50 @@ SELECT top_confidence, candidate_count,
 FROM classified
 """
 
+# Shared envelope projection fragments (used by both envelope oracles).
+_SUGGESTION_CASE = """
+CASE branch WHEN 'EMPTY_SET' THEN 'Ask user to rephrase query or provide more context'
+            WHEN 'LOW_CONFIDENCE' THEN 'Request clarification on query intent or narrow scope'
+            WHEN 'CHANNEL_MISMATCH' THEN 'Escalate to human or trigger intent reclassification'
+            ELSE NULL END
+"""
+_THRESHOLD_MET_CASE = """
+CASE WHEN branch IN ('EMPTY_SET','LOW_CONFIDENCE','CHANNEL_MISMATCH') THEN false
+     WHEN branch = 'RERANK_BYPASSED' THEN top_confidence >= 0.6
+     ELSE true END
+"""
+_ACTION_CASE = """
+CASE branch WHEN 'EMPTY_SET' THEN 'fallback'
+            WHEN 'LOW_CONFIDENCE' THEN 'clarify'
+            WHEN 'CHANNEL_MISMATCH' THEN 'escalate'
+            ELSE 'proceed' END
+"""
+
+
+def _reason_case(threshold: float) -> str:
+    return f"""
+CASE branch
+     WHEN 'EMPTY_SET' THEN 'No context candidates retrieved from any provider'
+     WHEN 'LOW_CONFIDENCE' THEN printf('Top confidence %.2f below threshold %.2f', top_confidence, {threshold})
+     WHEN 'RERANK_BYPASSED' THEN 'Provider-native rerank applied, external rerank bypassed per policy'
+     ELSE printf('Retrieved %d high-confidence candidates', candidate_count) END
+"""
+
+
+_CAND_JSON_SQL = (
+    """'[' || coalesce(string_agg(
+        printf('{"id":%d,"content":"%s","source":"%s","confidence":%.2f,"metadata":%s}',
+               id, content, source, confidence, meta),
+        ',' ORDER BY confidence DESC, id ASC), '') || ']'"""
+)
+
 _ORACLE_ENVELOPE = f"""
 WITH {_SCORED_CTE},
 agg AS (
   SELECT coalesce(max(confidence), 0.0) AS top_confidence,
          count(*) AS candidate_count,
-         '[' || coalesce(string_agg(
-             printf('{{"id":%d,"source":"%s","confidence":%.2f}}', id, source, confidence),
-             ',' ORDER BY confidence DESC, id ASC), '') || ']' AS candidates_json
-  FROM topk
+         {_CAND_JSON_SQL} AS candidates_json
+  FROM (SELECT *, '{{}}' AS meta FROM topk)
 ),
 classified AS (
   SELECT *, {_BRANCH_CASE} AS branch FROM agg
@@ -290,20 +542,81 @@ SELECT '{PROVIDER}' AS provider,
             WHEN branch = 'RERANK_BYPASSED' THEN true
             ELSE {str(RERANK_BYPASSED_FLAG).lower()} END AS rerank_applied,
        top_confidence, candidate_count,
-       CASE WHEN branch IN ('EMPTY_SET','LOW_CONFIDENCE','CHANNEL_MISMATCH') THEN false
-            WHEN branch = 'RERANK_BYPASSED' THEN top_confidence >= 0.6
-            ELSE true END AS threshold_met,
+       {_THRESHOLD_MET_CASE} AS threshold_met,
        branch,
-       CASE branch WHEN 'EMPTY_SET' THEN 'fallback'
-                   WHEN 'LOW_CONFIDENCE' THEN 'clarify'
-                   WHEN 'CHANNEL_MISMATCH' THEN 'escalate'
-                   ELSE 'proceed' END AS action,
-       CASE branch
-            WHEN 'EMPTY_SET' THEN 'No context candidates retrieved from any provider'
-            WHEN 'LOW_CONFIDENCE' THEN printf('Top confidence %.2f below threshold %.2f', top_confidence, {DEFAULT_THRESHOLD})
-            WHEN 'RERANK_BYPASSED' THEN 'Provider-native rerank applied, external rerank bypassed per policy'
-            ELSE printf('Retrieved %d high-confidence candidates', candidate_count) END AS reason,
-       candidates_json
+       {_ACTION_CASE} AS action,
+       {_reason_case(DEFAULT_THRESHOLD)} AS reason,
+       {_SUGGESTION_CASE} AS suggestion,
+       candidates_json,
+       'conversation' AS mode,
+       {str(RERANK_BYPASSED_FLAG).lower()} AS skip_external_rerank,
+       'provider-native' AS rerank_type,
+       'mem0-default-policy' AS rerank_bypass_reason,
+       '{FLAGS_JSON}' AS feature_flags_json,
+       '{STATUS_JSON}' AS provider_status_json
+FROM classified
+"""
+
+# The external-rerank route: supabase native prior (exact-binary step) ->
+# voyage rerank stage (explicit DOUBLE casts force the same IEEE op sequence
+# Spark executes) -> envelope. The branch cascade here never selects
+# RERANK_BYPASSED (provider != mem0, bypass flag false).
+_QTOK_SQL = (
+    f"list_distinct(string_split(regexp_replace(trim(lower('{DEFAULT_QUERY}')), '\\s+', ' ', 'g'), ' '))"
+)
+_ORACLE_ENVELOPE_RERANKED = f"""
+WITH native AS (
+  SELECT doc_id AS id, text AS content, source,
+         CAST({SUPA_BASE} AS DOUBLE) + CAST(doc_id % 5 AS DOUBLE) * CAST({SUPA_STEP} AS DOUBLE) AS confidence
+  FROM documents
+),
+ntopk AS (SELECT * FROM native ORDER BY confidence DESC, id ASC LIMIT {DEFAULT_TOP_K}),
+ncount AS (SELECT count(*) AS n_cand FROM ntopk),
+rer AS (
+  SELECT id, content, source,
+         CASE WHEN n_cand > 1
+              THEN least(CAST(1.0 AS DOUBLE),
+                         confidence + CAST(0.05 AS DOUBLE) * len(list_intersect(
+                             {_QTOK_SQL},
+                             list_distinct(string_split(regexp_replace(trim(lower(content)), '\\s+', ' ', 'g'), ' '))
+                         )))
+              ELSE confidence END AS confidence,
+         CASE WHEN n_cand > 1 THEN '{{"rerank_adjusted":true}}' ELSE '{{}}' END AS meta,
+         n_cand
+  FROM ntopk, ncount
+),
+rtopk AS (SELECT * FROM rer ORDER BY confidence DESC, id ASC LIMIT {DEFAULT_TOP_K}),
+agg AS (
+  SELECT coalesce(max(confidence), 0.0) AS top_confidence,
+         count(*) AS candidate_count,
+         coalesce(max(n_cand), 0) AS n_pre,
+         {_CAND_JSON_SQL} AS candidates_json
+  FROM rtopk
+),
+classified AS (
+  SELECT *,
+         CASE WHEN candidate_count = 0 THEN 'EMPTY_SET'
+              WHEN top_confidence < {DEFAULT_THRESHOLD} THEN 'LOW_CONFIDENCE'
+              ELSE 'SUCCESS' END AS branch
+  FROM agg
+)
+SELECT 'supabase' AS provider,
+       CASE WHEN branch IN ('EMPTY_SET','LOW_CONFIDENCE','CHANNEL_MISMATCH') THEN false
+            WHEN branch = 'RERANK_BYPASSED' THEN true
+            ELSE false END AS rerank_applied,
+       top_confidence, candidate_count,
+       {_THRESHOLD_MET_CASE} AS threshold_met,
+       branch,
+       {_ACTION_CASE} AS action,
+       {_reason_case(DEFAULT_THRESHOLD)} AS reason,
+       {_SUGGESTION_CASE} AS suggestion,
+       candidates_json,
+       'conversation' AS mode,
+       false AS skip_external_rerank,
+       CASE WHEN n_pre > 1 THEN 'external' ELSE 'none' END AS rerank_type,
+       CAST(NULL AS VARCHAR) AS rerank_bypass_reason,
+       '{FLAGS_JSON}' AS feature_flags_json,
+       '{STATUS_JSON}' AS provider_status_json
 FROM classified
 """
 
@@ -355,6 +668,15 @@ SPECS = [
         fn=recall_envelope,
         oracle=_ORACLE_ENVELOPE,
         family="retrieval",
-        description="full ContextPacket envelope, JSON-serialized candidates (R15,R20)",
+        description="full RetrievalResponse envelope: candidates with content+metadata, "
+        "NextAction incl. suggestion, routing-metadata projection (R15,R17,R20)",
+    ),
+    QuerySpec(
+        name="recall_envelope_reranked",
+        fn=recall_envelope_reranked,
+        oracle=_ORACLE_ENVELOPE_RERANKED,
+        family="retrieval",
+        description="external-rerank route: supabase native top-k -> voyage rerank stage "
+        "-> envelope with rerank_adjusted metadata (R8 external path)",
     ),
 ]

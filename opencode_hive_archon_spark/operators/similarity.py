@@ -120,16 +120,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Verify joins keyed on vec_id: SHUFFLE_HASH pins the shuffle join so a
-    # size-estimate can never broadcast the corpus-wide embedding map.
+    # size-estimate can never broadcast the corpus-wide embedding map. Norms
+    # are precomputed once per VECTOR (not per pair) — the candidate set is
+    # O(n²/2^bits) so per-pair work dominates; factoring the norm out of the
+    # cosine is bit-identical (same fold, same doubles) and cuts 2/3 of the
+    # per-pair flops, which is why the oracle's recomputed form still
+    # hash-matches.
+    from opencode_hive_archon_spark.functions.vector import l2_norm
+
     emb = _t(spark, sf_dir, "embeddings")
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("label").alias("label_a"),
+        F.col("label").alias("label_a"), l2_norm("embedding").alias("na"),
     )
     eb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("label").alias("label_b"),
+        F.col("label").alias("label_b"), l2_norm("embedding").alias("nb"),
     )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom != 0.0, dot_product(F.col("ea"), F.col("eb")) / denom)
     return (
         cand.join(ea.hint("shuffle_hash"), "vec_a")
         .join(eb.hint("shuffle_hash"), "vec_b")
@@ -137,7 +146,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             (F.col("label_a") == F.col("label_b")).alias("same_label"),
-            cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"),
+            sim.alias("sim"),
         )
         .filter(F.col("sim") >= NEAR_DUP_COSINE)
     )

@@ -94,10 +94,19 @@ def rerank_applied_col(branch: Column, rerank_bypassed) -> Column:
     )
 
 
-def reason_col(branch: Column, count: Column, top_confidence: Column, threshold) -> Column:
+def reason_col(
+    branch: Column,
+    count: Column,
+    top_confidence: Column,
+    threshold,
+    expected_channel: str = "test_channel",
+) -> Column:
     """Human-readable reason strings (the emitters' reason fields,
     fallbacks.py:38,67,95,124,154). LOW_CONFIDENCE interpolates scores
-    with %.2f formatting exactly as the reference f-string does."""
+    with %.2f formatting exactly as the reference f-string does.
+    CHANNEL_MISMATCH interpolates the expected channel — the reference only
+    reaches that emitter through the forced-branch path, which passes
+    "test_channel" (recall.py:191-194)."""
     threshold = _lit(threshold)
     return (
         F.when(branch == EMPTY_SET, F.lit("No context candidates retrieved from any provider"))
@@ -108,8 +117,32 @@ def reason_col(branch: Column, count: Column, top_confidence: Column, threshold)
             ),
         )
         .when(
+            branch == CHANNEL_MISMATCH,
+            F.lit(f"Retrieved context doesn't match expected channel: {expected_channel}"),
+        )
+        .when(
             branch == RERANK_BYPASSED,
             F.lit("Provider-native rerank applied, external rerank bypassed per policy"),
         )
         .otherwise(F.format_string("Retrieved %d high-confidence candidates", count))
+    )
+
+
+def suggestion_col(branch: Column) -> Column:
+    """NextAction.suggestion per emitter (fallbacks.py:41,71,100,128,158):
+    non-null for the three fallback branches, NULL for proceed branches."""
+    return (
+        F.when(
+            branch == EMPTY_SET,
+            F.lit("Ask user to rephrase query or provide more context"),
+        )
+        .when(
+            branch == LOW_CONFIDENCE,
+            F.lit("Request clarification on query intent or narrow scope"),
+        )
+        .when(
+            branch == CHANNEL_MISMATCH,
+            F.lit("Escalate to human or trigger intent reclassification"),
+        )
+        .otherwise(F.lit(None).cast("string"))
     )

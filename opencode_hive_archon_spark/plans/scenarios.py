@@ -226,9 +226,183 @@ FROM expected
 """
 
 
+# --- R16: forced-branch candidate rewriting (validation mode) --------------
+# Reference _force_branch_output (agents/recall.py:164-229): every branch
+# code forced over both a populated and an empty candidate set, provider
+# mem0 / skip_external_rerank=True / threshold 0.6. Expected rows in the
+# oracle are hand-derived from the reference emitters (fallbacks.py).
+
+_HI_Q = "test high confidence query"
+_EMPTY_Q = "empty set query"
+VALIDATION_SCENARIOS = [
+    ("V01", _HI_Q, "EMPTY_SET"),
+    ("V02", _HI_Q, "LOW_CONFIDENCE"),
+    ("V03", _EMPTY_Q, "LOW_CONFIDENCE"),
+    ("V04", _HI_Q, "CHANNEL_MISMATCH"),
+    ("V05", _EMPTY_Q, "CHANNEL_MISMATCH"),
+    ("V06", _HI_Q, "RERANK_BYPASSED"),
+    ("V07", _EMPTY_Q, "RERANK_BYPASSED"),
+    ("V08", _HI_Q, "SUCCESS"),
+    ("V09", _EMPTY_Q, "SUCCESS"),
+]
+_CAND_T = "array<struct<cid:string,content:string,confidence:double,meta:string>>"
+
+
+def scenario_forced_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: validation-mode forced-branch replay, set-wise. The candidate
+    rewriting happens IN the plan: LOW_CONFIDENCE rewrites confidences to
+    0.4 (and reports the 0.4 constant even for empty sets — reference
+    recall.py:177-190), RERANK_BYPASSED/SUCCESS synthesize the 'forced'
+    candidate when the set is empty (recall.py:195-221), EMPTY_SET empties
+    it (recall.py:175-176). Candidate metadata from the deterministic
+    fallback source ({"mock":true}) rides through untouched."""
+    base = spark.createDataFrame(
+        VALIDATION_SCENARIOS, "id string, query string, force_branch string"
+    )
+    q = F.lower(F.col("query"))
+    mk = lambda cid, content, conf, meta: F.struct(
+        F.lit(cid).alias("cid"),
+        content.alias("content"),
+        F.lit(conf).cast("double").alias("confidence"),
+        F.lit(meta).alias("meta"),
+    )
+    cands = F.when(
+        q.contains("empty") | q.contains("no candidate"), F.expr(f"CAST(array() AS {_CAND_T})")
+    ).otherwise(
+        F.array(
+            mk("mock-1", F.concat(F.lit("High confidence result for: "), F.col("query")),
+               0.85, '{"mock":true}'),
+            mk("mock-2", F.concat(F.lit("Secondary result for: "), F.col("query")),
+               0.72, '{"mock":true}'),
+        )
+    )
+    fb = F.col("force_branch")
+    rewrite = (
+        F.when(fb == branching.EMPTY_SET, F.expr(f"CAST(array() AS {_CAND_T})"))
+        .when(
+            fb == branching.LOW_CONFIDENCE,
+            F.transform(
+                F.col("cands"),
+                lambda c: F.struct(
+                    c["cid"].alias("cid"), c["content"].alias("content"),
+                    F.lit(0.4).alias("confidence"), c["meta"].alias("meta"),
+                ),
+            ),
+        )
+        .when(
+            (fb == branching.RERANK_BYPASSED) & (F.size("cands") == 0),
+            F.array(mk("forced", F.lit("Forced rerank bypass"), 0.85, "{}")),
+        )
+        .when(
+            (fb == branching.SUCCESS) & (F.size("cands") == 0),
+            F.array(mk("forced", F.lit("Forced success"), 0.9, "{}")),
+        )
+        .otherwise(F.col("cands"))
+    )
+    staged = base.withColumn("cands", cands).withColumn("out", rewrite)
+    top = F.when(fb == branching.LOW_CONFIDENCE, F.lit(0.4)).otherwise(
+        F.coalesce(F.try_element_at("out", F.lit(1))["confidence"], F.lit(0.0))
+    )
+    cand_json = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(
+                F.col("out"),
+                lambda c: F.format_string(
+                    '{"id":"%s","content":"%s","source":"mem0","confidence":%.2f,"metadata":%s}',
+                    c["cid"], c["content"], c["confidence"], c["meta"],
+                ),
+            ),
+            ",",
+        ),
+        F.lit("]"),
+    )
+    branch = fb
+    return staged.select(
+        "id",
+        branch.alias("branch"),
+        branching.action_col(branch).alias("action"),
+        branching.reason_col(branch, F.size("out").cast("long"), top, 0.6).alias("reason"),
+        branching.suggestion_col(branch).alias("suggestion"),
+        top.alias("top_confidence"),
+        F.size("out").cast("long").alias("candidate_count"),
+        branching.threshold_met_col(branch, top, 0.6).alias("threshold_met"),
+        branching.rerank_applied_col(branch, True).alias("rerank_applied"),
+        cand_json.alias("candidates_json"),
+    ).orderBy("id")
+
+
+def _forced_oracle() -> str:
+    hi1 = f"High confidence result for: {_HI_Q}"
+    hi2 = f"Secondary result for: {_HI_Q}"
+    mk = lambda cid, content, conf, meta: (
+        f'{{"id":"{cid}","content":"{content}","source":"mem0","confidence":{conf:.2f},"metadata":{meta}}}'
+    )
+    hi_85 = "[" + mk("mock-1", hi1, 0.85, '{"mock":true}') + "," + mk("mock-2", hi2, 0.72, '{"mock":true}') + "]"
+    hi_40 = "[" + mk("mock-1", hi1, 0.4, '{"mock":true}') + "," + mk("mock-2", hi2, 0.4, '{"mock":true}') + "]"
+    rows = [
+        ("V01", "EMPTY_SET", "fallback",
+         "No context candidates retrieved from any provider",
+         "Ask user to rephrase query or provide more context",
+         0.0, 0, False, False, "[]"),
+        ("V02", "LOW_CONFIDENCE", "clarify",
+         "Top confidence 0.40 below threshold 0.60",
+         "Request clarification on query intent or narrow scope",
+         0.4, 2, False, False, hi_40),
+        ("V03", "LOW_CONFIDENCE", "clarify",
+         "Top confidence 0.40 below threshold 0.60",
+         "Request clarification on query intent or narrow scope",
+         0.4, 0, False, False, "[]"),
+        ("V04", "CHANNEL_MISMATCH", "escalate",
+         "Retrieved context doesn''t match expected channel: test_channel",
+         "Escalate to human or trigger intent reclassification",
+         0.85, 2, False, False, hi_85),
+        ("V05", "CHANNEL_MISMATCH", "escalate",
+         "Retrieved context doesn''t match expected channel: test_channel",
+         "Escalate to human or trigger intent reclassification",
+         0.0, 0, False, False, "[]"),
+        ("V06", "RERANK_BYPASSED", "proceed",
+         "Provider-native rerank applied, external rerank bypassed per policy",
+         None, 0.85, 2, True, True, hi_85),
+        ("V07", "RERANK_BYPASSED", "proceed",
+         "Provider-native rerank applied, external rerank bypassed per policy",
+         None, 0.85, 1, True, True,
+         "[" + mk("forced", "Forced rerank bypass", 0.85, "{}") + "]"),
+        ("V08", "SUCCESS", "proceed",
+         "Retrieved 2 high-confidence candidates", None,
+         0.85, 2, True, True, hi_85),
+        ("V09", "SUCCESS", "proceed",
+         "Retrieved 1 high-confidence candidates", None,
+         0.9, 1, True, True,
+         "[" + mk("forced", "Forced success", 0.9, "{}") + "]"),
+    ]
+    vals = ", ".join(
+        "('{}', '{}', '{}', '{}', {}, {}, {}, {}, {}, '{}')".format(
+            r[0], r[1], r[2], r[3],
+            "NULL" if r[4] is None else f"'{r[4]}'",
+            r[5], r[6], str(r[7]).lower(), str(r[8]).lower(), r[9],
+        )
+        for r in rows
+    )
+    return f"""
+WITH forced(id, branch, action, reason, suggestion, top_confidence,
+            candidate_count, threshold_met, rerank_applied, candidates_json)
+  AS (VALUES {vals})
+SELECT id, branch, action, reason, CAST(suggestion AS VARCHAR) AS suggestion,
+       CAST(top_confidence AS DOUBLE) AS top_confidence,
+       CAST(candidate_count AS BIGINT) AS candidate_count,
+       threshold_met, rerank_applied, candidates_json
+FROM forced ORDER BY id
+"""
+
+
 SPECS = [
     QuerySpec("scenario_tag_filter", scenario_tag_filter, _tag_filter_oracle(),
               "retrieval", "tag-filtered scenario corpus counts (R21)"),
     QuerySpec("scenario_replay", scenario_replay, _replay_oracle(),
               "retrieval", "full scenario replay vs reference truth table (R19)"),
+    QuerySpec("scenario_forced_branches", scenario_forced_branches, _forced_oracle(),
+              "retrieval",
+              "validation-mode forced-branch candidate rewriting (R16): all 5 branch "
+              "codes x populated/empty candidate sets vs reference emitter semantics"),
 ]

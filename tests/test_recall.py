@@ -136,3 +136,102 @@ class TestRecallPipeline:
             tuple(r) for _ in range(3) for r in recall_score_topk(spark, sf_dir).collect()
         ]
         assert results == results[:5] * 3
+
+
+class TestRecallEngine:
+    """Engine-level flow parity with the reference integration tests
+    (reference tests/test_recall_flow_integration.py:13-158)."""
+
+    def _engine(self, spark, sf_dir, flags=None, status=None):
+        from opencode_hive_archon_spark.engine import RecallEngine
+
+        return RecallEngine(spark, sf_dir, feature_flags=flags, provider_status=status)
+
+    def test_success_branch_mem0(self, spark, sf_dir):
+        row = self._engine(spark, sf_dir).recall(
+            RetrievalRequest(query="fast hash join", mode="conversation")
+        ).first()
+        assert row["branch"] == "RERANK_BYPASSED"
+        assert row["action"] == "proceed"
+        assert row["provider"] == "mem0"
+        assert row["rerank_type"] == "provider-native"
+        assert row["rerank_bypass_reason"] == "mem0-default-policy"
+        assert row["skip_external_rerank"] is True
+        assert row["mode"] == "conversation"
+        assert row["suggestion"] is None
+
+    def test_external_rerank_stage_runs_for_supabase(self, spark, sf_dir):
+        row = self._engine(
+            spark, sf_dir, status={"mem0": "unavailable", "supabase": "available"}
+        ).recall(RetrievalRequest(query="fast hash join", mode="conversation")).first()
+        assert row["provider"] == "supabase"
+        assert row["skip_external_rerank"] is False
+        assert row["rerank_type"] == "external"
+        assert row["rerank_bypass_reason"] is None
+        # every reranked candidate carries the rerank_adjusted metadata stamp
+        assert row["candidates_json"].count('"rerank_adjusted":true') == row["candidate_count"]
+        # SUCCESS reports the bypass flag verbatim (reference quirk)
+        assert row["branch"] == "SUCCESS" and row["rerank_applied"] is False
+
+    def test_external_rerank_disabled_flag(self, spark, sf_dir):
+        flags = {
+            "mem0_enabled": True, "supabase_enabled": True,
+            "graphiti_enabled": False, "external_rerank_enabled": False,
+        }
+        row = self._engine(
+            spark, sf_dir, flags=flags,
+            status={"mem0": "unavailable", "supabase": "available"},
+        ).recall(RetrievalRequest(query="fast hash join", mode="conversation")).first()
+        assert row["rerank_type"] == "none"
+        assert row["rerank_bypass_reason"] == "external_rerank_disabled"
+        assert '"rerank_adjusted"' not in row["candidates_json"]
+
+    def test_none_provider_uses_request_mode(self, spark, sf_dir):
+        row = self._engine(
+            spark, sf_dir,
+            flags={"mem0_enabled": False, "supabase_enabled": False},
+        ).recall(RetrievalRequest(query="q", mode="fast")).first()
+        assert row["provider"] == "none"
+        assert row["branch"] == "EMPTY_SET" and row["action"] == "fallback"
+        assert row["mode"] == "fast"  # none-path carries the REAL mode
+        assert row["rerank_type"] == "none"
+
+    def test_blank_query_empty_set_keeps_routed_provider(self, spark, sf_dir):
+        row = self._engine(spark, sf_dir).recall(
+            RetrievalRequest(query="   ", mode="conversation")
+        ).first()
+        assert row["provider"] == "mem0"
+        assert row["branch"] == "EMPTY_SET"
+        assert row["rerank_type"] == "provider-native"
+
+    def test_routing_metadata_complete(self, spark, sf_dir):
+        # reference test_recall_flow_integration.py:133-158
+        cols = set(
+            self._engine(spark, sf_dir)
+            .recall(RetrievalRequest(query="metadata test", mode="conversation"))
+            .columns
+        )
+        for field in (
+            "provider", "mode", "skip_external_rerank", "rerank_type",
+            "rerank_bypass_reason", "feature_flags_json", "provider_status_json",
+            "suggestion",
+        ):
+            assert field in cols, f"missing {field}"
+
+    def test_validation_mode_forces_branch(self, spark, sf_dir):
+        eng = self._engine(spark, sf_dir)
+        req = RetrievalRequest(query="fast hash join", mode="conversation")
+        row = eng.recall(req, validation_mode=True, force_branch="CHANNEL_MISMATCH").first()
+        assert row["branch"] == "CHANNEL_MISMATCH" and row["action"] == "escalate"
+        assert row["validation_mode"] is True
+        assert row["forced_branch"] == "CHANNEL_MISMATCH"
+        low = eng.recall(req, validation_mode=True, force_branch="LOW_CONFIDENCE").first()
+        assert low["branch"] == "LOW_CONFIDENCE"
+        assert low["top_confidence"] == 0.4  # rewritten constant (R16)
+        assert low["candidates_json"].count('"confidence":0.40') == low["candidate_count"]
+
+    def test_validation_mode_off_by_default(self, spark, sf_dir):
+        df = self._engine(spark, sf_dir).recall(
+            RetrievalRequest(query="fast hash join", mode="conversation")
+        )
+        assert "validation_mode" not in df.columns
