@@ -8,6 +8,14 @@ Methodology: one untimed warm-up pass over the whole set (JVM/codegen/
 parquet-footer/Arrow initialization), then SPARK_GRAFT_BENCH_ITERS (default
 3) timed passes; the reported per-query number is the MEDIAN across passes,
 so one GC pause or compilation stall cannot skew a query's figure.
+
+Two tiers, one report: the tier-1 headline set gets the median-of-N
+treatment; the tier-2 coverage set (one representative per remaining
+family/shape: scenarios, ANN, simhash, UDTF, streaming variants, source
+round-trip, ...) gets warm-up + a single timed pass — full per-family
+timing visibility at roughly half the added wall-clock of a full
+median-of-3. Both land in the same "queries" map; "tier2" lists which names
+used the single-pass protocol.
 """
 
 from __future__ import annotations
@@ -63,6 +71,36 @@ BENCH_QUERIES = [
     "stream_tumbling_counts",
 ]
 
+# Tier 2: every remaining family/shape gets a timed representative
+# (single pass after warm-up). The companion *_recall gates are correctness
+# machinery (they run exact + approximate back to back) and stay unbenched.
+BENCH_TIER2 = [
+    "recall_multi_provider_merge",
+    "recall_compat",
+    "scenario_replay",
+    "scenario_forced_branches",
+    "plan_diff_metrics",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_simhash",
+    "text_langid",
+    "text_rolling_fingerprint",
+    "udf_scalar_clamp",
+    "udtf_explode_tokens",
+    "multimodal_meta_profile",
+    "multimodal_decode_stub",
+    "agg_skew_salted",
+    "sql_pricing_summary",
+    "unpivot_lineitem_status",
+    "grouping_sets_orders",
+    "source_roundtrip_formats",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    "stream_dedup",
+    "stream_late_data",
+    "stream_stateful_user_stats",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -97,9 +135,22 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+
+    # Tier 2: warm-up + one timed pass per query.
+    for name in BENCH_TIER2:
+        run_query(specs[name].fn(spark, sf_dir))
+    for name in BENCH_TIER2:
+        t0 = time.perf_counter()
+        run_query(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
     if verbose:
         for name, t in timings.items():
             print(f"  {name}: {t:.2f}s", file=sys.stderr, flush=True)
+
+    from opencode_hive_archon_spark.session import unpersist_all
+
+    unpersist_all()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +161,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "tier2": BENCH_TIER2,
             }
         )
     )

@@ -310,22 +310,39 @@ HAMMING_MAX = 3
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """64-bit SimHash: bit j of the fingerprint is the majority vote of bit j
-    across xxhash64(token) of every (distinct) token."""
+    across xxhash64(token) of every (distinct) token.
+
+    Agg-state diet: instead of 64 per-bit SUM buffers, the 64 bit-counters
+    are packed 4-per-long as 16-bit lanes (counter j rides in long j//4,
+    lane j%4), so the per-group aggregation state is 16 longs + 1 count —
+    4x smaller — and everything stays inside whole-stage codegen. 16-bit
+    lanes overflow only past 65,535 distinct tokens in one document (the
+    corpus max is 31; a degenerate giant doc would need 32-bit lanes /
+    8-per-two-longs instead)."""
     ex = docs.select("doc_id", F.explode(F.array_distinct(_toks())).alias("tok"))
     hashed = ex.select("doc_id", F.xxhash64("tok").alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
+    packed = [
+        sum(
+            F.shiftrightunsigned(F.col("h"), 4 * m + s).bitwiseAND(F.lit(1))
+            * F.lit(1 << (16 * s)).cast("long")
+            for s in range(4)
+        ).alias(f"p{m}")
+        for m in range(16)
+    ]
+    votes = hashed.select("doc_id", *packed).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-            for j in range(64)
-        ],
+        *[F.sum(f"p{m}").alias(f"p{m}") for m in range(16)],
     )
+    def _cnt(j: int):
+        return F.shiftrightunsigned(F.col(f"p{j // 4}"), 16 * (j % 4)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
     fp = None
     for j in range(64):
-        bit = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+        bit = F.when(_cnt(j) * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ) * F.lit(2 ** j).cast("long") if j < 63 else F.when(
-            F.col(f"b{j}") * 2 > F.col("n"), F.lit(-(2 ** 63))
+            _cnt(j) * 2 > F.col("n"), F.lit(-(2 ** 63))
         ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return votes.select("doc_id", fp.alias("fp"))

@@ -1,0 +1,154 @@
+"""Companion recall gates for the approximate operators.
+
+The four approximate operators (MinHash-LSH, SimHash, LSH-ANN, IVF-ANN)
+depend on engine hash functions or are approximate by construction, so their
+row sets have no DuckDB oracle (rows-only driver check). These companions
+convert their QUALITY into an exactly-checkable fact: each joins the
+approximate result against its exact baseline and emits one row
+
+    (n_exact BIGINT, recall_floor_pct INT, recall_ok BOOLEAN)
+
+where the oracle recomputes n_exact from the exact side in SQL and asserts
+``recall_ok = TRUE``. If a future change drops recall below the floor the
+Spark side emits FALSE and the driver's value-hash turns red — the
+probabilistic property becomes a hard driver gate.
+
+Floors (measured at sf0.01, set with margin):
+  minhash vs exact-Jaccard pairs ...... 90  (measured 100)
+  simhash vs identical-token-set pairs 100  (mathematical guarantee: equal
+                                            distinct-token sets => equal
+                                            fingerprints => hamming 0)
+  ann_lsh vs brute-force top-10 ....... 60  (measured 70)
+  ann_ivf vs brute-force top-10 ....... 60  (measured 90)
+
+Scale: each companion is two bounded aggregates over plans that are
+themselves scale-safe (see dedup.py / similarity.py); the final crossJoin
+multiplies two 1-row frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.operators import dedup as _dedup
+from opencode_hive_archon_spark.operators import similarity as _sim
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+MINHASH_FLOOR_PCT = 90
+SIMHASH_FLOOR_PCT = 100
+ANN_LSH_FLOOR_PCT = 60
+ANN_IVF_FLOOR_PCT = 60
+
+
+def _recall_report(exact: DataFrame, approx: DataFrame, keys: list[str], floor_pct: int) -> DataFrame:
+    """One-row (n_exact, recall_floor_pct, recall_ok) report.
+
+    recall_ok uses integer arithmetic (n_hit*100 >= n_exact*floor_pct) so the
+    comparison is exact on both engines; n_exact=0 degenerates to TRUE.
+    """
+    hits = exact.select(*keys).join(approx.select(*keys), keys, "leftsemi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return n_exact.crossJoin(n_hit).select(
+        F.col("n_exact"),
+        F.lit(floor_pct).cast("int").alias("recall_floor_pct"),
+        (F.col("n_hit") * 100 >= F.col("n_exact") * floor_pct).alias("recall_ok"),
+    )
+
+
+def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH must recover >= 90% of the exact-Jaccard near-dup pairs
+    (dedup_near, the exact prefix-filtered SSJoin baseline)."""
+    exact = _dedup.dedup_near(spark, sf_dir)
+    approx = _dedup.dedup_minhash_lsh(spark, sf_dir)
+    return _recall_report(exact, approx, ["doc_a", "doc_b"], MINHASH_FLOOR_PCT)
+
+
+def _identical_tokenset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of docs whose normalized DISTINCT-token sets are identical.
+
+    Key = sha2 of the sorted distinct-token string (the join shuffles 256-bit
+    digests, never token arrays — same scale posture as dedup_exact)."""
+    key = F.sha2(
+        F.concat_ws(" ", F.sort_array(F.array_distinct(_dedup._toks()))), 256
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", key.alias("k"))
+    a = docs.select(F.col("doc_id").alias("doc_a"), "k")
+    b = docs.select(F.col("doc_id").alias("doc_b"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash must recover 100% of identical-distinct-token-set pairs:
+    equal token sets give equal per-token hash sets, equal majority votes,
+    equal fingerprints — hamming 0, always within the <=3 band join."""
+    exact = _identical_tokenset_pairs(spark, sf_dir)
+    approx = _dedup.dedup_simhash(spark, sf_dir)
+    return _recall_report(exact, approx, ["doc_a", "doc_b"], SIMHASH_FLOOR_PCT)
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10 must overlap >= 60% with brute force."""
+    exact = _sim.similarity_topk(spark, sf_dir)
+    approx = _sim.ann_lsh_topk(spark, sf_dir)
+    return _recall_report(exact, approx, ["vec_id"], ANN_LSH_FLOOR_PCT)
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=2 of 8 cells) top-10 must overlap >= 60% with brute force."""
+    exact = _sim.similarity_topk(spark, sf_dir)
+    approx = _sim.ann_ivf_topk(spark, sf_dir)
+    return _recall_report(exact, approx, ["vec_id"], ANN_IVF_FLOOR_PCT)
+
+
+# --- Oracles: recompute the exact side, assert recall_ok TRUE --------------
+
+_ORACLE_MINHASH_RECALL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       {MINHASH_FLOOR_PCT} AS recall_floor_pct,
+       TRUE AS recall_ok
+FROM ({_dedup._ORACLE_DEDUP_NEAR})
+"""
+
+_ORACLE_SIMHASH_RECALL = f"""
+WITH tok AS (SELECT doc_id, {_dedup._TOKS_SQL} AS t FROM documents),
+keys AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k FROM tok),
+grp AS (SELECT k, count(*) AS c FROM keys GROUP BY k)
+SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact,
+       {SIMHASH_FLOOR_PCT} AS recall_floor_pct,
+       TRUE AS recall_ok
+FROM grp
+"""
+
+_ORACLE_ANN_LSH_RECALL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       {ANN_LSH_FLOOR_PCT} AS recall_floor_pct,
+       TRUE AS recall_ok
+FROM ({_sim._ORACLE_SIM_TOPK})
+"""
+
+_ORACLE_ANN_IVF_RECALL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       {ANN_IVF_FLOOR_PCT} AS recall_floor_pct,
+       TRUE AS recall_ok
+FROM ({_sim._ORACLE_SIM_TOPK})
+"""
+
+SPECS = [
+    QuerySpec("dedup_minhash_lsh_recall", dedup_minhash_lsh_recall,
+              _ORACLE_MINHASH_RECALL, "quality",
+              "driver gate: MinHash-LSH recall >= 90% of exact-Jaccard pairs"),
+    QuerySpec("dedup_simhash_recall", dedup_simhash_recall,
+              _ORACLE_SIMHASH_RECALL, "quality",
+              "driver gate: SimHash recovers 100% of identical-token-set pairs"),
+    QuerySpec("ann_lsh_recall", ann_lsh_recall, _ORACLE_ANN_LSH_RECALL, "quality",
+              "driver gate: LSH-ANN top-10 overlap >= 60% of brute force"),
+    QuerySpec("ann_ivf_recall", ann_ivf_recall, _ORACLE_ANN_IVF_RECALL, "quality",
+              "driver gate: IVF-ANN top-10 overlap >= 60% of brute force"),
+]

@@ -172,12 +172,11 @@ def build_envelope(
     override. LOW_CONFIDENCE rewrites every candidate confidence to 0.4 and
     reports top_confidence 0.4 (the reference passes the constant even for
     empty sets); RERANK_BYPASSED / SUCCESS synthesize a single candidate
-    when the real set is empty; EMPTY_SET empties the set.
+    when the real set is empty; EMPTY_SET empties the set (post-aggregation,
+    so rerank metadata still reflects the real pre-force candidates).
     """
     meta = F.col("meta_json") if "meta_json" in topk.columns else F.lit("{}")
-    if force_branch == branching.EMPTY_SET:
-        topk = topk.limit(0)
-    elif force_branch == branching.LOW_CONFIDENCE:
+    if force_branch == branching.LOW_CONFIDENCE:
         topk = topk.withColumn("confidence", F.lit(0.4))
     id_fmt = '"%s"' if id_quoted else "%d"
     cand_json = F.format_string(
@@ -206,8 +205,10 @@ def build_envelope(
             F.lit("]"),
         ).alias("candidates_json"),
     )
-    # rerank metadata derives from the PRE-synthesis candidate set (reference
-    # computes it in step 3, before any forced-branch rewrite).
+    # rerank metadata derives from the PRE-force candidate set: the reference
+    # computes it in step 3 from the real candidates, before any forced-branch
+    # rewrite (including EMPTY_SET truncation), so n_pre here is always the
+    # real count — the EMPTY_SET emptying happens post-agg below.
     if rerank_policy == "provider-native":
         rt = F.lit("provider-native")
         bypass = F.lit("mem0-default-policy")
@@ -237,6 +238,10 @@ def build_envelope(
         json_c = F.when(empty, F.lit(synth)).otherwise(json_c)
     elif force_branch == branching.LOW_CONFIDENCE:
         top_c = F.lit(0.4)  # reference passes the constant, even for count=0
+    elif force_branch == branching.EMPTY_SET:
+        # Post-agg emptying keeps n_pre (and the step-3 rerank metadata
+        # derived from it) computed over the real candidate set.
+        top_c, count_c, json_c = F.lit(0.0), F.lit(0).cast("long"), F.lit("[]")
     staged = agg.select(
         top_c.alias("top_confidence"),
         count_c.alias("candidate_count"),
@@ -308,6 +313,60 @@ def recall_envelope(
         threshold=threshold,
         rerank_bypassed=rerank_bypassed,
         rerank_policy="provider-native",
+    )
+
+
+def recall_compat(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    top_k: int = DEFAULT_TOP_K,
+    threshold: float = DEFAULT_THRESHOLD,
+    provider: str = PROVIDER,
+    rerank_bypassed: bool = RERANK_BYPASSED_FLAG,
+) -> DataFrame:
+    """R20 legacy-compat projection (reference schemas.py:25-57): the
+    canonical nested envelope — context_packet {candidates, summary,
+    provider, rerank_applied} and next_action {action, reason, branch_code,
+    suggestion} as JSON — PLUS the flat top-level duplicates
+    (candidates / branch / confidence) the MCPCompatibilityResponse emits
+    additively for legacy callers, and the routing_metadata dict.
+    Timestamp excluded by design (SURVEY §2B)."""
+    env = recall_envelope(
+        spark, sf_dir, query, top_k, threshold, provider, rerank_bypassed
+    )
+    cp = F.format_string(
+        '{"candidates":%s,"summary":{"top_confidence":%.2f,"candidate_count":%d,'
+        '"threshold_met":%s,"branch":"%s"},"provider":"%s","rerank_applied":%s}',
+        F.col("candidates_json"), F.col("top_confidence"), F.col("candidate_count"),
+        F.col("threshold_met"), F.col("branch"), F.col("provider"),
+        F.col("rerank_applied"),
+    )
+    sugg = F.when(F.col("suggestion").isNull(), F.lit("null")).otherwise(
+        F.format_string('"%s"', F.col("suggestion"))
+    )
+    na = F.format_string(
+        '{"action":"%s","reason":"%s","branch_code":"%s","suggestion":%s}',
+        F.col("action"), F.col("reason"), F.col("branch"), sugg,
+    )
+    bypass = F.when(F.col("rerank_bypass_reason").isNull(), F.lit("null")).otherwise(
+        F.format_string('"%s"', F.col("rerank_bypass_reason"))
+    )
+    rm = F.format_string(
+        '{"selected_provider":"%s","mode":"%s","skip_external_rerank":%s,'
+        '"rerank_type":"%s","rerank_bypass_reason":%s,'
+        '"feature_flags_snapshot":%s,"provider_status_snapshot":%s}',
+        F.col("provider"), F.col("mode"), F.col("skip_external_rerank"),
+        F.col("rerank_type"), bypass,
+        F.col("feature_flags_json"), F.col("provider_status_json"),
+    )
+    return env.select(
+        cp.alias("context_packet_json"),
+        na.alias("next_action_json"),
+        F.col("candidates_json").alias("candidates"),
+        F.col("branch"),
+        F.col("top_confidence").alias("confidence"),
+        rm.alias("routing_metadata_json"),
     )
 
 
@@ -620,6 +679,27 @@ SELECT 'supabase' AS provider,
 FROM classified
 """
 
+_ORACLE_COMPAT = f"""
+SELECT printf('{{"candidates":%s,"summary":{{"top_confidence":%.2f,"candidate_count":%d,"threshold_met":%s,"branch":"%s"}},"provider":"%s","rerank_applied":%s}}',
+              candidates_json, top_confidence, candidate_count,
+              CASE WHEN threshold_met THEN 'true' ELSE 'false' END,
+              branch, provider,
+              CASE WHEN rerank_applied THEN 'true' ELSE 'false' END) AS context_packet_json,
+       printf('{{"action":"%s","reason":"%s","branch_code":"%s","suggestion":%s}}',
+              action, reason, branch,
+              CASE WHEN suggestion IS NULL THEN 'null' ELSE '"' || suggestion || '"' END) AS next_action_json,
+       candidates_json AS candidates,
+       branch,
+       top_confidence AS confidence,
+       printf('{{"selected_provider":"%s","mode":"%s","skip_external_rerank":%s,"rerank_type":"%s","rerank_bypass_reason":%s,"feature_flags_snapshot":%s,"provider_status_snapshot":%s}}',
+              provider, mode,
+              CASE WHEN skip_external_rerank THEN 'true' ELSE 'false' END,
+              rerank_type,
+              CASE WHEN rerank_bypass_reason IS NULL THEN 'null' ELSE '"' || rerank_bypass_reason || '"' END,
+              feature_flags_json, provider_status_json) AS routing_metadata_json
+FROM ({_ORACLE_ENVELOPE}) env
+"""
+
 _ORACLE_MULTI_MERGE = f"""
 WITH {_SCORED_CTE},
 mem0 AS (
@@ -670,6 +750,14 @@ SPECS = [
         family="retrieval",
         description="full RetrievalResponse envelope: candidates with content+metadata, "
         "NextAction incl. suggestion, routing-metadata projection (R15,R17,R20)",
+    ),
+    QuerySpec(
+        name="recall_compat",
+        fn=recall_compat,
+        oracle=_ORACLE_COMPAT,
+        family="retrieval",
+        description="R20 MCP legacy-compat projection: nested context_packet + "
+        "next_action JSON plus flat candidates/branch/confidence duplicates",
     ),
     QuerySpec(
         name="recall_envelope_reranked",

@@ -533,12 +533,16 @@ FROM daily
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row moving average over daily event values, year-partitioned with
     halo rows: the last 6 rows of each year are duplicated into the next
-    year's partition so every ROWS BETWEEN 6 PRECEDING frame is complete
-    inside its partition — no single-partition WindowExec. Halo rows are
-    dropped after the window (part == yr keeps originals only). Sums stay
-    DECIMAL, so the stitched frames are bit-identical to the global-order
-    oracle. (Assumes every year holds > 6 daily rows — true for any dense
-    event stream; a sparser calendar would need a deeper halo.)"""
+    DATA year's partition so every ROWS BETWEEN 6 PRECEDING frame is
+    complete inside its partition — no single-partition WindowExec. The
+    halo target is the next year PRESENT in the data (triangle join over
+    the distinct-year rows, like window_running's offset stitch), so a
+    calendar gap between data years cannot strand the halo in an empty
+    partition. Halo rows are dropped after the window (part == yr keeps
+    originals only). Sums stay DECIMAL, so the stitched frames are
+    bit-identical to the global-order oracle. (Assumes every data year
+    holds > 6 daily rows — true for any dense event stream; a sparser
+    calendar would need a deeper halo.)"""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -548,14 +552,26 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("yr", F.year("day"))
     )
+    years = daily.select("yr").distinct()
+    next_yr = (
+        years.alias("a")
+        .join(years.alias("b"), F.col("b.yr") > F.col("a.yr"), "left")
+        .groupBy(F.col("a.yr").alias("yr"))
+        .agg(F.min(F.col("b.yr")).alias("next_yr"))
+    )
     rn_desc = F.row_number().over(Window.partitionBy("yr").orderBy(F.col("day").desc()))
-    parts = daily.withColumn("rn_desc", rn_desc).withColumn(
-        "part",
-        F.explode(
-            F.when(
-                F.col("rn_desc") <= 6, F.array(F.col("yr"), F.col("yr") + 1)
-            ).otherwise(F.array(F.col("yr")))
-        ),
+    parts = (
+        daily.withColumn("rn_desc", rn_desc)
+        .join(F.broadcast(next_yr), "yr")
+        .withColumn(
+            "part",
+            F.explode(
+                F.when(
+                    (F.col("rn_desc") <= 6) & F.col("next_yr").isNotNull(),
+                    F.array(F.col("yr"), F.col("next_yr")),
+                ).otherwise(F.array(F.col("yr")))
+            ),
+        )
     )
     w = Window.partitionBy("part").orderBy("day").rowsBetween(-6, 0)
     return (

@@ -281,9 +281,10 @@ FROM sims WHERE sim >= {SIM_THRESHOLD}
 GROUP BY label
 """
 
-# Exact mirror of the LSH pipeline: hyperplanes are embedding rows 1..24
-# sorted by vec_id; bit i of table t's signature is sign(dot(v, plane
-# t*4+i)) with the same sequential-fold dot as Spark (list_reduce parity),
+# Exact mirror of the LSH pipeline: hyperplanes are embedding rows
+# 1..N_HYPERPLANES sorted by vec_id; bit i of table t's signature is
+# sign(dot(v, plane t*LSH_BITS+i)) with the same sequential-fold dot as
+# Spark (list_reduce parity),
 # so candidate buckets — and therefore the final pair set — match
 # bit-for-bit. string_agg ORDER BY pid reproduces Spark's slice order
 # ((pid-1)//4 = table, pid ascending within a table).

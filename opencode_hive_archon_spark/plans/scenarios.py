@@ -14,6 +14,8 @@ asserts "the engine reproduces the reference's branch/action truth table".
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +81,56 @@ SCENARIOS = [
 FILTER_TAG = "smoke"
 
 
+@dataclass(frozen=True)
+class BranchScenario:
+    """Typed view over a SCENARIOS row (reference BranchScenario model,
+    manual_branch_scenarios.py:9-21)."""
+
+    id: str
+    description: str
+    query: str
+    mode: str
+    provider_status: dict
+    feature_flags: dict
+    expected_branch: str
+    expected_action: str
+    expected_rerank_type: str
+    tags: tuple
+
+
+def get_all_scenarios() -> list[BranchScenario]:
+    return [BranchScenario(*s[:9], tuple(s[9])) for s in SCENARIOS]
+
+
+def get_scenario_by_id(scenario_id: str) -> BranchScenario | None:
+    """Reference manual_branch_scenarios.py:250-255."""
+    for s in get_all_scenarios():
+        if s.id == scenario_id:
+            return s
+    return None
+
+
+def get_scenarios_by_tag(tag: str) -> list[BranchScenario]:
+    """Reference manual_branch_scenarios.py:258-260."""
+    return [s for s in get_all_scenarios() if tag in s.tags]
+
+
+def get_smoke_scenarios() -> list[BranchScenario]:
+    return get_scenarios_by_tag("smoke")
+
+
+def get_policy_scenarios() -> list[BranchScenario]:
+    return get_scenarios_by_tag("policy")
+
+
+def get_edge_scenarios() -> list[BranchScenario]:
+    return get_scenarios_by_tag("edge")
+
+
+def get_degraded_scenarios() -> list[BranchScenario]:
+    return get_scenarios_by_tag("degraded")
+
+
 def scenario_df(spark: SparkSession) -> DataFrame:
     rows = [
         (s[0], s[1], s[2], s[3], s[6], s[7], s[8], s[9]) for s in SCENARIOS
@@ -91,20 +143,24 @@ def scenario_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def scenario_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R21: tag-filtered scenario counts per expected branch."""
+def scenario_tag_filter(
+    spark: SparkSession, sf_dir: str, tag: str = FILTER_TAG
+) -> DataFrame:
+    """R21: tag-filtered scenario counts per expected branch. ``tag`` selects
+    any of the reference's shortcut sets (smoke/policy/edge/degraded,
+    manual_branch_scenarios.py:263-280); the declared spec pins "smoke"."""
     return (
         scenario_df(spark)
-        .filter(F.array_contains("tags", FILTER_TAG))
+        .filter(F.array_contains("tags", tag))
         .groupBy("expected_branch", "expected_action")
         .agg(F.count(F.lit(1)).alias("n_scenarios"))
         .orderBy("expected_branch")
     )
 
 
-def _tag_filter_oracle() -> str:
+def _tag_filter_oracle(tag: str = FILTER_TAG) -> str:
     rows = ", ".join(
-        f"('{s[0]}', '{s[6]}', '{s[7]}', {str(FILTER_TAG in s[9]).upper()})"
+        f"('{s[0]}', '{s[6]}', '{s[7]}', {str(tag in s[9]).upper()})"
         for s in SCENARIOS
     )
     return f"""
@@ -114,9 +170,10 @@ FROM scenarios WHERE has_tag GROUP BY 1, 2
 """
 
 
-def scenario_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R19: replay every scenario through the engine pipeline set-wise;
-    emit expected-vs-actual branch/action with match booleans."""
+def _replay_frame(spark: SparkSession) -> DataFrame:
+    """The set-wise replay core: one row per scenario with routing facts,
+    confidence aggregate and the actual branch/action. Shared by the
+    ``scenario_replay`` query and the MCP ``validate_branch`` adapter."""
     routed = []
     for (sid, _desc, query, mode, status, flags, eb, ea, _ert, tags) in SCENARIOS:
         provider, opts = route_retrieval(RetrievalRequest(query=query, mode=mode),
@@ -185,7 +242,7 @@ def scenario_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("c.confidence"))
     agg = (
         ex.groupBy(
-            "id", "provider", "skip_rerank", "force_branch",
+            "id", "provider", "skip_rerank", "external_enabled", "force_branch",
             "expected_branch", "expected_action",
         )
         .agg(
@@ -198,13 +255,18 @@ def scenario_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.6, F.col("skip_rerank"), F.col("provider"),
     )
     actual_branch = F.coalesce(F.col("force_branch"), natural)
+    return agg.select(
+        "*",
+        actual_branch.alias("actual_branch"),
+        branching.action_col(actual_branch).alias("actual_action"),
+    )
+
+
+def scenario_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: replay every scenario through the engine pipeline set-wise;
+    emit expected-vs-actual branch/action with match booleans."""
     return (
-        agg.select(
-            "id", "expected_branch",
-            actual_branch.alias("actual_branch"),
-            "expected_action",
-            branching.action_col(actual_branch).alias("actual_action"),
-        )
+        _replay_frame(spark)
         .select(
             "id", "expected_branch", "actual_branch",
             (F.col("expected_branch") == F.col("actual_branch")).alias("branch_match"),

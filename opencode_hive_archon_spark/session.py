@@ -76,6 +76,15 @@ def get_spark(
     return spark
 
 
+# Handles of every materialize()d intermediate, so long-lived sessions
+# (bench loops, notebooks) can release them between workloads instead of
+# accumulating disk-store blocks + CacheManager bookkeeping for the session
+# lifetime. Spark's CacheManager dedupes identical canonicalized plans, so
+# repeat invocations of the SAME query reuse one entry — the leak risk is
+# across DIFFERENT plans (parameter sweeps, per-query temp dirs).
+_PERSISTED: list[DataFrame] = []
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly materialize a shared intermediate, cluster-safe.
 
@@ -85,12 +94,30 @@ def materialize(df: DataFrame) -> DataFrame:
     partitions to disk instead of OOMing. The eager ``count()`` forces the
     cache fill so every downstream branch reads the cached blocks rather
     than re-evaluating the (expensive) producing expressions per branch.
+
+    Callers that are done with a query's results should call
+    ``unpersist_all()`` to release the tracked handles.
     """
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _PERSISTED.append(df)
     return df
+
+
+def unpersist_all() -> int:
+    """Release every tracked materialize() handle (non-blocking); returns
+    how many were released. Safe to call at any point between jobs."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    return n
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -5,6 +5,15 @@ schemas on read (no runtime inference in an engine path — schema drift must
 fail loudly, and inference costs an extra pass at scale). Writes default to
 snappy parquet; partitioned writes use ``partitionBy`` so downstream scans
 get partition pruning.
+
+Table formats (Delta Lake / Apache Iceberg): both plug into the SAME
+``write_any``/``read_any`` path — they are DataSourceV2 format names
+(``fmt="delta"`` / a configured Iceberg catalog), so no dedicated code is
+needed here. This image ships neither the delta-spark nor the
+iceberg-spark-runtime jars and has no network access to fetch them, so the
+round-trip query exercises the four built-in formats; a deployment with the
+jars on the classpath extends FORMATS and configures spark.sql.extensions /
+spark.sql.catalog.* at session build (session.get_spark extra_conf).
 """
 
 from __future__ import annotations
@@ -42,25 +51,6 @@ def read_any(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
     if fmt == "csv":
         reader = reader.option("header", "true")
     return reader.format(fmt).load(path)
-
-
-def delta_writer(*_args, **_kwargs):
-    """Delta Lake sink — requires delta-spark jars (not in this image)."""
-    try:
-        import delta  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Delta Lake support requires the delta-spark package/jars; "
-            "install them and configure spark.sql.extensions."
-        ) from e
-
-
-def iceberg_writer(*_args, **_kwargs):
-    """Apache Iceberg sink — requires iceberg-spark-runtime jars."""
-    raise NotImplementedError(
-        "Iceberg support requires iceberg-spark-runtime on the classpath "
-        "and a configured catalog (spark.sql.catalog.*)."
-    )
 
 
 def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:

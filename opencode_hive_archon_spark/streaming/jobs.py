@@ -232,10 +232,48 @@ FROM events
 """
 
 
-def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ts_cut_from_metadata(sf_dir: str):
+    """Midpoint of the events time span, read from the parquet FOOTER
+    statistics — a driver-side metadata peek, not a Spark scan. At cluster
+    scale this is exactly where such a split point should come from (or be
+    passed in by the caller); it replaces the round-1 mid-pipeline
+    ``agg(min,max).first()`` full-scan action."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    paths = (
+        [path]
+        if os.path.isfile(path)
+        else [
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        ]
+    )
+    lo = hi = None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == "ts" and c.statistics is not None:
+                    mn, mx = c.statistics.min, c.statistics.max
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+    if lo is None:
+        raise ValueError(f"no ts statistics in {path}")
+    return lo + (hi - lo) / 2
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str, cut=None) -> DataFrame:
     """Watermark semantics demo: events arrive in time-ordered micro-batches
     except a held-back slice replayed at the end — by then the watermark has
     passed them, so append-mode aggregation drops them from the counts.
+
+    ``cut`` (the batch-split timestamp) is a harness parameter: callers pass
+    it, or it defaults to the span midpoint read from parquet footer
+    statistics — never a mid-pipeline aggregate action.
 
     Multi-batch arrival (maxFilesPerTrigger=1) is inherently harness-
     dependent => rows-only; tests assert held-back rows were dropped.
@@ -247,9 +285,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo).total_seconds()
-    cut = lo + __import__("datetime").timedelta(seconds=span / 2)
+    if cut is None:
+        cut = _ts_cut_from_metadata(sf_dir)
 
     held_back = F.col("event_id") % 199 == 0
     slices = [

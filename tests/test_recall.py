@@ -230,6 +230,24 @@ class TestRecallEngine:
         assert low["top_confidence"] == 0.4  # rewritten constant (R16)
         assert low["candidates_json"].count('"confidence":0.40') == low["candidate_count"]
 
+    def test_forced_empty_set_keeps_prefforce_rerank_metadata(self, spark, sf_dir):
+        # Reference computes rerank metadata in step 3 from the REAL candidate
+        # set; the forced EMPTY_SET rewrite (step 4) empties candidates but
+        # must not retroactively flip rerank_type to 'none' on the external
+        # route (agents/recall.py:88-102 vs :164-229).
+        row = self._engine(
+            spark, sf_dir, status={"mem0": "unavailable", "supabase": "available"}
+        ).recall(
+            RetrievalRequest(query="fast hash join", mode="conversation"),
+            validation_mode=True,
+            force_branch="EMPTY_SET",
+        ).first()
+        assert row["branch"] == "EMPTY_SET"
+        assert row["candidate_count"] == 0
+        assert row["candidates_json"] == "[]"
+        assert row["top_confidence"] == 0.0
+        assert row["rerank_type"] == "external"  # >1 real pre-force candidates
+
     def test_validation_mode_off_by_default(self, spark, sf_dir):
         df = self._engine(spark, sf_dir).recall(
             RetrievalRequest(query="fast hash join", mode="conversation")
