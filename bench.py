@@ -94,6 +94,11 @@ BENCH_TIER2 = [
     "unpivot_lineitem_status",
     "grouping_sets_orders",
     "source_roundtrip_formats",
+    "source_partitioned_pruning",
+    "q18_large_orders",
+    "ann_batch_topk",
+    "stream_static_join",
+    "stream_stream_join",
     "stream_sliding_avg",
     "stream_session_windows",
     "stream_dedup",

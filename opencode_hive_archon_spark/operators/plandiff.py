@@ -3,8 +3,13 @@
 Re-expression of scripts/analyze-plan-diff.js:130-165: given a PLANNED and
 an ACTUAL file list, compute overlap (∩), scope creep (actual ∖ planned),
 missing (planned ∖ actual) and the adherence percentage rounded to 0.1.
-Set algebra via intersect/exceptAll — the same operators any two-snapshot
-diff job uses at scale (e.g. manifest reconciliation).
+
+ONE declarative plan: full-outer join on the file name with presence flags,
+then a single conditional aggregate — no driver-side count actions (the
+first cut ran three separate count jobs; at manifest scale that is three
+full shuffles instead of one). File lists are sets (distinct by
+construction), which is what makes the join formulation equal to
+intersect/exceptAll.
 """
 
 from __future__ import annotations
@@ -33,17 +38,26 @@ ACTUAL_FILES = [
 
 
 def plan_diff_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planned = spark.createDataFrame([(f,) for f in PLANNED_FILES], "file string")
-    actual = spark.createDataFrame([(f,) for f in ACTUAL_FILES], "file string")
-    overlap = planned.intersect(actual).count()
-    creep = actual.exceptAll(planned).count()
-    missing = planned.exceptAll(actual).count()
-    n_planned = len(PLANNED_FILES)
-    adherence = round(100.0 * overlap / n_planned, 1)
-    return spark.createDataFrame(
-        [(n_planned, len(ACTUAL_FILES), overlap, creep, missing, adherence)],
-        "n_planned long, n_actual long, overlap long, scope_creep long, "
-        "missing long, adherence_pct double",
+    planned = spark.createDataFrame(
+        [(f,) for f in PLANNED_FILES], "file string"
+    ).withColumn("p", F.lit(1))
+    actual = spark.createDataFrame(
+        [(f,) for f in ACTUAL_FILES], "file string"
+    ).withColumn("a", F.lit(1))
+    joined = planned.join(actual, "file", "full_outer")
+    both = F.col("p").isNotNull() & F.col("a").isNotNull()
+    agg = joined.agg(
+        F.count("p").alias("n_planned"),
+        F.count("a").alias("n_actual"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("overlap"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias("scope_creep"),
+        F.sum(F.when(F.col("a").isNull(), 1).otherwise(0)).alias("missing"),
+    )
+    return agg.select(
+        "n_planned", "n_actual", "overlap", "scope_creep", "missing",
+        F.round(F.lit(100.0) * F.col("overlap") / F.col("n_planned"), 1).alias(
+            "adherence_pct"
+        ),
     )
 
 

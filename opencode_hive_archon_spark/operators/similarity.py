@@ -17,7 +17,7 @@ DECIMAL, which round-trips float32 differently).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opencode_hive_archon_spark.functions.vector import cosine_similarity, dot_product
@@ -152,6 +152,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_QUERIES = 5  # query vectors = vec_id 0..4
+BATCH_TOP_K = 10
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact ANN: top-10 neighbors for EACH of 5 query vectors in one
+    plan — the shape a training-data pipeline runs (thousands of queries per
+    pass), not one-query-at-a-time.
+
+    The query set broadcasts (tiny); the corpus scans ONCE and scores all
+    queries per row (corpus-scan cost is amortized across the batch); the
+    per-query top-k is a window rank partitioned by query_id — at scale the
+    rank shuffle is hash-partitioned across queries, so parallelism grows
+    with the batch, and the LSH/IVF variants reuse this exact shape with a
+    bucket-pruned scan. Self-matches are excluded; candidates may include
+    other query vectors (symmetric semantics)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "label",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select("query_id", "rank", "vec_id", "label", "sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 # --- LSH scale path (approximate => rows-only driver check) ---------------
 # L hash tables of B bits each: a neighbor is a candidate if it collides in
 # ANY table — recall is tunable via (L, B) without touching the join shape.
@@ -269,6 +306,25 @@ sims AS (
 SELECT vec_id, label, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
+_ORACLE_BATCH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {BATCH_QUERIES}
+),
+sims AS (
+  SELECT query_id, vec_id, label, {_cos_sql('embedding', 'qv')} AS sim
+  FROM embeddings, q WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, label, sim
+FROM ranked WHERE rank <= {BATCH_TOP_K}
+ORDER BY query_id, rank
+"""
+
 _ORACLE_SIM_LABELS = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 sims AS (
@@ -331,8 +387,6 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "label", "embedding", "cid", dist2.alias("d2")
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -413,4 +467,6 @@ SPECS = [
               "oracle mirrors the full LSH pipeline)"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None, "similarity",
               "random-hyperplane LSH bucketed ANN (rows-only; recall tested vs brute force)"),
+    QuerySpec("ann_batch_topk", ann_batch_topk, _ORACLE_BATCH_TOPK, "similarity",
+              "batch exact ANN: per-query top-10 for 5 query vectors in one plan"),
 ]

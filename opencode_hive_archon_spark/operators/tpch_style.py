@@ -105,9 +105,63 @@ GROUP BY 1
 """
 
 
+Q18_QTY_THRESHOLD = 250
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume orders): orders whose total lineitem quantity
+    exceeds a threshold, joined back to customer, top-100 by total price.
+
+    The HAVING subquery is a partial+final aggregation over lineitem whose
+    qualifying set is tiny (~1% of orders) — AQE sees the post-filter size
+    and broadcasts it into the orders join, so the only big shuffle is the
+    lineitem aggregation itself. Quantities sum in DECIMAL (exact, order
+    insensitive); the global top-100 compiles to TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+_ORACLE_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 SPECS = [
     QuerySpec("local_supplier_volume", local_supplier_volume, _ORACLE_Q5,
               "relational", "Q5-shape six-table join, local-supplier revenue by nation"),
     QuerySpec("promo_revenue_share", promo_revenue_share, _ORACLE_Q14,
               "relational", "Q14-shape promo revenue share per month"),
+    QuerySpec("q18_large_orders", q18_large_orders, _ORACLE_Q18,
+              "relational", "Q18-shape large-volume orders: HAVING subquery + "
+              "customer join + global top-100"),
 ]

@@ -18,6 +18,7 @@ spark.sql.catalog.* at session build (session.get_spark extra_conf).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -77,6 +78,52 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_YEAR = 1997
+
+
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + partition-pruned read-back: orders written
+    ``partitionBy(o_year)``, then scanned with an o_year filter. The filter
+    is a PARTITION filter — Catalyst prunes the non-matching directories at
+    planning time (``PartitionFilters`` in the scan node, pinned by
+    tests/test_plan_shapes.py), so the read does I/O only on the selected
+    year's files. At 100 TB this layout/query pair is the difference
+    between scanning one partition and scanning the lake.
+
+    The partitioned copy is written once per (process, sf_dir) into a
+    digest-keyed temp dir and kept for the session (same pattern as the
+    streaming source dir) so the returned plan stays readable and repeat
+    calls skip the write."""
+    orders = read_table(spark, sf_dir, "orders")
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    outdir = os.path.join(tempfile.gettempdir(), f"orders_by_year_{digest}")
+    marker = os.path.join(outdir, "_SUCCESS")
+    if not os.path.exists(marker):
+        orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+            "overwrite"
+        ).partitionBy("o_year").parquet(outdir)
+    back = spark.read.parquet(outdir).filter(F.col("o_year") == PRUNE_YEAR)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_PRUNING = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders WHERE year(o_orderdate) = {PRUNE_YEAR}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def _oracle() -> str:
     per_fmt = " UNION ALL ".join(
         f"SELECT '{fmt}' AS format, count(*) AS n_rows, "
@@ -90,4 +137,6 @@ def _oracle() -> str:
 SPECS = [
     QuerySpec("source_roundtrip_formats", source_roundtrip_formats, _oracle(),
               "sources", "parquet/orc/csv/json write+read-back checksums"),
+    QuerySpec("source_partitioned_pruning", source_partitioned_pruning, _ORACLE_PRUNING,
+              "sources", "partitionBy write + partition-pruned read-back"),
 ]

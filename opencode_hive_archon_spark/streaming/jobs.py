@@ -114,6 +114,112 @@ FROM agg, bounds WHERE window_end <= wm
 """
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension (the canonical enrichment join): streaming
+    events join the static ``customer`` table on user_id, then hourly
+    windowed counts per market segment.
+
+    A static inner side is STATELESS in Structured Streaming — each
+    micro-batch joins against the (broadcastable) batch relation; no join
+    state, no extra watermark requirement. The watermark on ts (set on the
+    stream before the join) still drives append-mode window closure for the
+    downstream aggregation, so the batch oracle replicates the same closure
+    condition."""
+    from opencode_hive_archon_spark.session import read_table
+
+    ev = _stream_events(spark, sf_dir)
+    segments = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .join(segments, "user_id")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_table(spark, agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "c_mktsegment",
+        "n_events",
+        "total_value",
+    )
+
+
+_ORACLE_STREAM_STATIC_JOIN = """
+WITH bounds AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         c_mktsegment, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, c_mktsegment, n_events, total_value
+FROM agg, bounds WHERE window_end <= wm
+"""
+
+
+STREAM_JOIN_WINDOW_S = 300  # follow events within 5 minutes of the lead
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: for every event, the same user's follow-up
+    events within the next 5 minutes (the funnel/sessionization primitive).
+
+    Both sides carry watermarks and the join condition is time-bounded, so
+    Spark's state store evicts rows once the watermark passes lead_ts +
+    5 minutes — bounded state at any scale, the defining property of a
+    production stream-stream join. Inner joins emit eagerly on match (no
+    closure wait), so the single-batch availableNow run is batch-exact and
+    the oracle is the plain interval self-join.
+
+    Time comparisons run on integer MICROSECONDS on both engines (the
+    parquet ns timestamps floor to µs on read), keeping the boundary
+    predicate bit-exact.
+    """
+    lead = _stream_events(spark, sf_dir).withWatermark("ts", WATERMARK_DELAY).select(
+        F.col("event_id").alias("lead_id"),
+        F.col("user_id"),
+        F.col("event_type").alias("lead_type"),
+        F.col("ts").alias("lead_ts"),
+    )
+    follow = _stream_events(spark, sf_dir).withWatermark("ts", WATERMARK_DELAY).select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("follow_user"),
+        F.col("event_type").alias("follow_type"),
+        F.col("ts").alias("follow_ts"),
+    )
+    lead_us = F.unix_micros(F.col("lead_ts"))
+    follow_us = F.unix_micros(F.col("follow_ts"))
+    joined = lead.join(
+        follow,
+        (F.col("user_id") == F.col("follow_user"))
+        & (follow_us > lead_us)
+        & (follow_us <= lead_us + STREAM_JOIN_WINDOW_S * 1_000_000),
+    ).select(
+        "lead_id", "follow_id", "user_id", "lead_type", "follow_type",
+        ((follow_us - lead_us) / F.lit(1_000_000)).cast("long").alias("gap_s"),
+    )
+    return _run_to_table(spark, joined, "append")
+
+
+_ORACLE_STREAM_STREAM_JOIN = f"""
+SELECT a.event_id AS lead_id, b.event_id AS follow_id, a.user_id,
+       a.event_type AS lead_type, b.event_type AS follow_type,
+       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {STREAM_JOIN_WINDOW_S} * 1000000
+"""
+
+
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5: average value per window."""
     ev = _stream_events(spark, sf_dir)
@@ -396,4 +502,8 @@ SPECS = [
               "streaming", "streaming dedup within watermark (key set)"),
     QuerySpec("stream_late_data", stream_late_data, None,
               "streaming", "late-data drop via watermark (rows-only)"),
+    QuerySpec("stream_static_join", stream_static_join, _ORACLE_STREAM_STATIC_JOIN,
+              "streaming", "stream x static dimension enrichment join + windowed agg"),
+    QuerySpec("stream_stream_join", stream_stream_join, _ORACLE_STREAM_STREAM_JOIN,
+              "streaming", "watermarked stream-stream interval self-join (funnel pairs)"),
 ]

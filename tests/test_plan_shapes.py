@@ -106,6 +106,37 @@ def test_dedup_verify_no_corpus_broadcast(spark, sf_dir):
         assert "BroadcastNestedLoop" not in p, fn.__name__
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """source_partitioned_pruning's read-back filter must be a PARTITION
+    filter: the scan lists only the selected o_year directory instead of
+    reading every partition and filtering rows."""
+    from opencode_hive_archon_spark.sources.io import PRUNE_YEAR, source_partitioned_pruning
+
+    p = plan(source_partitioned_pruning(spark, sf_dir))
+    pf = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert f"o_year = {PRUNE_YEAR}" in pf or f"o_year#" in pf, pf
+
+
+def test_batch_ann_broadcasts_queries(spark, sf_dir):
+    """ann_batch_topk: the query set broadcasts; the corpus never shuffles
+    before scoring; per-query rank keeps a single window exchange."""
+    p = plan(S.ann_batch_topk(spark, sf_dir))
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+
+
+def test_plandiff_single_aggregate(spark, sf_dir):
+    """plan_diff_metrics is ONE declarative plan (full-outer join + one
+    aggregate) — the module must not run driver-side .count() actions."""
+    import inspect
+
+    from opencode_hive_archon_spark.operators import plandiff as PD
+
+    assert ".count()" not in inspect.getsource(PD)
+    p = plan(PD.plan_diff_metrics(spark, sf_dir))
+    assert "FullOuter" in p
+
+
 def test_embedding_dedup_no_nested_loop(spark, sf_dir):
     """dedup_embedding_cosine must be the LSH-pruned equi-join plan. The
     only nested-loop joins allowed are the Cross joins against the 1-row
