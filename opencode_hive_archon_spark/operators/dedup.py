@@ -270,20 +270,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled_docs(spark, sf_dir)  # shared by signature + verify
     sigs = minhash_signatures(docs)
     r = N_HASHES // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.element_at("sig", bi * r + j + 1) for j in range(r)]).alias("bh"),
-                    )
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    # Materialized: the candidate generator self-joins the band frame, and
+    # without a persist both join sides recompute the full explode+min-hash
+    # signature aggregation. The persisted frame is (doc_id, band, bh).
+    bands = _materialize(
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.hash(*[F.element_at("sig", bi * r + j + 1) for j in range(r)]).alias("bh"),
+                        )
+                        for bi in range(N_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band", "b.bh")
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bh"])

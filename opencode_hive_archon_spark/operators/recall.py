@@ -465,18 +465,31 @@ def recall_multi_provider_merge(
     store (hash-partitioned by doc_id parity, standing in for mem0 /
     supabase), each scored with its own base prior; merged by id keeping
     the best-scoring hit (dedupe across stores), then the external rerank
-    adjustment and global top-k. One union + one groupBy shuffle.
+    adjustment and global top-k. ONE scan: the per-provider memberships are
+    emitted as an exploded conditional array, so the (expensive) overlap
+    rescoring evaluates once per document instead of once per provider
+    view; one groupBy shuffle merges.
     """
     scored = scored_candidates(spark, sf_dir, query)
-    mem0 = scored.filter(F.col("id") % 2 == 0).withColumn("provider", F.lit("mem0"))
-    supa = (
-        scored.filter(F.col("id") % 3 == 0)
-        .withColumn("provider", F.lit("supabase"))
-        # provider-specific prior: supabase hits score slightly lower
-        .withColumn("confidence", F.greatest(F.lit(0.0), F.col("confidence") - F.lit(0.05)))
+    hit_t = "struct<provider:string,confidence:double>"
+    provs = F.array(
+        F.when(
+            F.col("id") % 2 == 0,
+            F.struct(F.lit("mem0").alias("provider"), F.col("confidence").alias("confidence")),
+        ).cast(hit_t),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.struct(
+                F.lit("supabase").alias("provider"),
+                # provider-specific prior: supabase hits score slightly lower
+                F.greatest(F.lit(0.0), F.col("confidence") - F.lit(0.05)).alias("confidence"),
+            ),
+        ).cast(hit_t),
     )
     merged = (
-        mem0.unionByName(supa)
+        scored.select("id", F.explode(provs).alias("hit"))
+        .filter(F.col("hit").isNotNull())
+        .select("id", F.col("hit.provider").alias("provider"), F.col("hit.confidence").alias("confidence"))
         .groupBy("id")
         .agg(
             F.max(F.struct("confidence", "provider")).alias("best"),

@@ -111,7 +111,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exhaustive baseline lives in `_all_pairs_cosine` (tests assert
     recall of this plan against it).
     """
-    sigs = lsh_bucketed(spark, sf_dir).select("vec_id", "table", "sig")
+    # Materialize the signatures once: the candidate generator self-joins the
+    # bucketed frame, and without a persist BOTH join sides recompute the
+    # full 40-hyperplane signature pipeline (2x the dominant cost). The
+    # persisted frame is (vec_id, table, sig) — tiny relative to the
+    # embeddings themselves.
+    sigs = _materialize(lsh_bucketed(spark, sf_dir).select("vec_id", "table", "sig"))
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["table", "sig"])
