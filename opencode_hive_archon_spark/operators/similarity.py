@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from opencode_hive_archon_spark.functions.vector import cosine_similarity, dot_product
+from opencode_hive_archon_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 from opencode_hive_archon_spark.session import materialize as _materialize
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
@@ -202,6 +206,14 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P[bit]≈0.66, P[table]≈0.19) — with 10 tables P[candidate]≈0.88 there and
 # ≈0.74 at the 0.3 threshold, while candidates stay a fraction of n².
 # Recall tunes via (L, B) without touching the join shape.
+#
+# SCALE RULE: expected candidates per table ≈ n²/2^B (uniform buckets), so B
+# is NOT a constant at scale — size it as B ≈ log2(n / target_bucket_rows)
+# (e.g. n=1e9, 10k-row buckets → B≈17) and recover the per-pair collision
+# probability p^B by raising L (recall over L tables = 1-(1-p^B)^L). Both are
+# plumbing-free knobs: `lsh_bucketed(..., tables=L, bits=B)` below changes
+# only the bucket-key width, never the join shape. The defaults are the
+# sf-testdata tuning and are load-bearing for the DuckDB oracle constants.
 LSH_TABLES = 10
 LSH_BITS = 4
 N_HYPERPLANES = LSH_TABLES * LSH_BITS
@@ -220,14 +232,25 @@ def _signature(vec_col, hyperplanes_col):
     )
 
 
-def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+) -> DataFrame:
     """(vec_id, label, embedding, table, sig): one row per vector per hash
-    table. Hyperplanes are table-derived (vec_id 1..N) => deterministic."""
+    table. Hyperplanes are table-derived (vec_id 1..N) => deterministic.
+
+    (tables, bits) widen the bucket key for larger corpora (see SCALE RULE
+    above); defaults are the oracle-pinned testdata tuning.
+    """
+    n_planes = tables * bits
     emb = _t(spark, sf_dir, "embeddings")
     # sort_array(collect_list(struct)) — NOT orderBy + collect_list, whose
     # order Spark does not guarantee across partial/final aggregation.
     planes = (
-        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_HYPERPLANES))
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_planes))
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))),
@@ -236,20 +259,20 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     signed = emb.crossJoin(F.broadcast(planes))
-    tables = F.array(
+    tables_arr = F.array(
         *[
             F.struct(
                 F.lit(t).alias("table"),
                 _signature(
                     F.col("embedding"),
-                    F.slice(F.col("planes"), t * LSH_BITS + 1, LSH_BITS),
+                    F.slice(F.col("planes"), t * bits + 1, bits),
                 ).alias("sig"),
             )
-            for t in range(LSH_TABLES)
+            for t in range(tables)
         ]
     )
     return signed.select(
-        "vec_id", "label", "embedding", F.explode(tables).alias("b")
+        "vec_id", "label", "embedding", F.explode(tables_arr).alias("b")
     ).select("vec_id", "label", "embedding", "b.table", "b.sig")
 
 
@@ -459,6 +482,124 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQ8 scalar-quantization path (exact-oracle approximate scoring) -------
+
+SQ_POOL = 50  # approximate-score pool that gets the exact rescore
+
+
+def _sq8(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127, q[i] =
+    round(x[i]/scale). Stores (q, scale, nrm) — the 1-byte/dim index shape a
+    memory-bound ANN serves from (4x smaller scan+shuffle than float32);
+    norm and scale ride along as two doubles per vector."""
+    absmax = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    base = emb.select(
+        "vec_id", "label", "embedding",
+        absmax.alias("absmax"), l2_norm("embedding").alias("nrm"),
+    )
+    q = F.when(
+        F.col("absmax") == 0.0,
+        F.transform("embedding", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / (F.col("absmax") / F.lit(127.0)))
+            .cast("long"),
+        )
+    )
+    return base.select(
+        "vec_id", "label", "embedding", "nrm",
+        (F.col("absmax") / F.lit(127.0)).alias("scale"), q.alias("q"),
+    )
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN: int8-quantized approximate scoring + exact rescore of the
+    top-``SQ_POOL`` pool.
+
+    The scale story: the scored scan touches the 1-byte/dim quantized index
+    (built once, 4x smaller than the float corpus), the dot product is
+    integer arithmetic, and only ``SQ_POOL`` rows ever read the full-precision
+    embedding again. Quantization (round half-up) and both score expressions
+    are deterministic, so the WHOLE pipeline — pool cut included — has an
+    exact DuckDB oracle; this is the rare ANN whose approximation error is
+    itself hash-verified, not just recall-floored."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = _sq8(emb)
+    qq = qz.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qq"), F.col("scale").alias("qscale"),
+        F.col("nrm").alias("qnrm"), F.col("embedding").alias("qv"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    denom = F.col("nrm") * F.col("qnrm")
+    approx = F.when(
+        denom != 0.0,
+        ((F.col("scale") * F.col("qscale")) * idot.cast("double")) / denom,
+    )
+    pool = (
+        qz.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", "label", "embedding", "qv", approx.alias("approx_sim"))
+        .orderBy(F.col("approx_sim").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(SQ_POOL)
+    )
+    return (
+        pool.select(
+            "vec_id", "label", "approx_sim",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_ABSMAX_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform({v}, x -> abs(CAST(x AS DOUBLE)))), "
+    "(acc, x) -> greatest(acc, x))"
+)
+_IDOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip({a}, {b}), "
+    "t -> t[1] * t[2])), (acc, x) -> acc + x)"
+)
+
+# Exact mirror of the SQ8 pipeline: same round-half-away quantization, same
+# integer dot, same ((scale*scale)*idot)/(nrm*nrm) association, same
+# (approx DESC, vec_id) pool cut — so the hashes match bit-for-bit.
+_ORACLE_QUANTIZED = f"""
+WITH qz AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_SQ_NORM.format(v='embedding')}) AS nrm,
+         {_ABSMAX_SQL.format(v='embedding')} / 127.0 AS scale,
+         CASE WHEN {_ABSMAX_SQL.format(v='embedding')} = 0.0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(round(
+                     CAST(x AS DOUBLE) / ({_ABSMAX_SQL.format(v='embedding')} / 127.0)
+                   ) AS BIGINT)) END AS q
+  FROM embeddings
+),
+qq AS (SELECT * FROM qz WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT c.vec_id, c.label, c.embedding, q.embedding AS qv,
+         CASE WHEN c.nrm * q.nrm <> 0.0
+              THEN ((c.scale * q.scale) * CAST({_IDOT_SQL.format(a='c.q', b='q.q')} AS DOUBLE))
+                   / (c.nrm * q.nrm) END AS approx_sim
+  FROM qz c CROSS JOIN qq q WHERE c.vec_id <> {QUERY_VEC_ID}
+),
+pool AS (
+  SELECT * FROM scored ORDER BY approx_sim DESC NULLS LAST, vec_id ASC LIMIT {SQ_POOL}
+)
+SELECT vec_id, label, approx_sim, {_cos_sql('embedding', 'qv')} AS sim
+FROM pool
+ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec("similarity_topk", similarity_topk, _ORACLE_SIM_TOPK, "similarity",
               "brute-force cosine top-10 (exact ANN baseline)"),
@@ -474,4 +615,6 @@ SPECS = [
               "random-hyperplane LSH bucketed ANN (rows-only; recall tested vs brute force)"),
     QuerySpec("ann_batch_topk", ann_batch_topk, _ORACLE_BATCH_TOPK, "similarity",
               "batch exact ANN: per-query top-10 for 5 query vectors in one plan"),
+    QuerySpec("ann_quantized_topk", ann_quantized_topk, _ORACLE_QUANTIZED, "similarity",
+              "SQ8 int8-quantized ANN with exact rescore pool (exact oracle)"),
 ]

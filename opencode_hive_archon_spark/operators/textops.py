@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from opencode_hive_archon_spark.functions.vector import cosine_similarity
 from opencode_hive_archon_spark.session import read_table as _t
@@ -319,6 +320,108 @@ FROM sh
 """
 
 
+CURATION_MIN_QUALITY = 0.6
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan: quality features
+    → quality floor → langid gate (pred ≠ 'und') → exact dedup → per-lang
+    training-corpus report.
+
+    The composition point a pipeline user cares about: every filter stage is
+    a projection over the same scan, so Catalyst fuses features + both gates
+    into one codegen stage with zero intermediate writes; the only shuffles
+    are the dedup hash partition — keyed on the sha256 digest, the text
+    itself never rides a shuffle as a key — and the final per-lang
+    aggregate. That is the 100 TB shape: filters free, dedup bounded by
+    digest bytes, report tiny.
+
+    Float parity: quality reuses text_quality_score's exact expression
+    shape; per-lang quality sums go through DECIMAL(18,12) (see
+    relational.py rationale)."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    stop_ratio = stop_hits.cast("double") / n_toks
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    quality = (
+        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(10.0)) * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+    )
+    langs = list(_LANG_MARKERS)
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        n_toks.cast("long").alias("n_tokens"),
+        quality.alias("q"),
+        *[_marker_hits(lg).alias(f"hits_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    kept = scored.select(
+        "doc_id", "lang", "source", "text", "n_tokens", "q", pred.alias("pred")
+    ).filter((F.col("q") >= F.lit(CURATION_MIN_QUALITY)) & (F.col("pred") != "und"))
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.col("doc_id").asc())
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sum_q = F.sum(F.col("q").cast("decimal(18,12)"))
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
+            sum_q.cast("double").alias("sum_quality"),
+            (sum_q.cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _curation_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_intersect(list_distinct(toks), [{markers}]))"
+
+
+_ORACLE_CURATION = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text, n_chars, {_TOKS_SQL} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, source, text,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, t -> t IN ({_STOPS_SQL}))) AS stopword_hits,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) AS text_len,
+         {", ".join(f"{_curation_hits_sql(lg)} AS hits_{lg}" for lg in _langs)}
+  FROM base
+),
+q AS (
+  SELECT *,
+         least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+           + least(1.0, (CAST(stopword_hits AS DOUBLE) / n_tokens) * 10.0) * 0.3
+           + (1.0 - CAST(n_punct AS DOUBLE) / text_len) * 0.2 AS q,
+         {_pred_sql} AS pred
+  FROM feat
+),
+kept AS (SELECT * FROM q WHERE q >= {CURATION_MIN_QUALITY} AND pred <> 'und'),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE) AS sum_quality,
+       CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_quality
+FROM dd WHERE rn = 1 GROUP BY lang
+"""
+
+
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings (doc_id = vec_id): text + vector modalities in
     one relation, with vector stats and query-vector similarity."""
@@ -375,4 +478,6 @@ SPECS = [
               "text", "Karp-Rabin rolling-hash fingerprint (portable, oracle-exact)"),
     QuerySpec("multimodal_join", multimodal_join, _ORACLE_MULTIMODAL, "text",
               "text ⋈ vector multimodal relation"),
+    QuerySpec("corpus_curation", corpus_curation, _ORACLE_CURATION, "text",
+              "quality floor + langid gate + exact dedup → per-lang corpus report"),
 ]

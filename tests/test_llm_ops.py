@@ -128,3 +128,54 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
     overlap = len(set(brute) & {r["vec_id"] for r in ivf})
     assert overlap >= 2, f"IVF recall too low: {overlap}/10"
+
+
+def test_lsh_width_is_a_scale_knob(spark, sf_dir):
+    """The 100TB sizing rule (similarity.py SCALE RULE): widening the bucket
+    key (more bits) must monotonically shrink the candidate set without
+    changing the pipeline shape, and raising L must recover candidates —
+    these two knobs are what a real deployment turns as n grows."""
+
+    def n_candidates(tables: int, bits: int) -> int:
+        sigs = S.lsh_bucketed(spark, sf_dir, tables=tables, bits=bits).select(
+            "vec_id", "table", "sig"
+        )
+        return (
+            sigs.alias("x")
+            .join(sigs.alias("y"), ["table", "sig"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select("x.vec_id", "y.vec_id")
+            .distinct()
+            .count()
+        )
+
+    narrow = n_candidates(4, 3)
+    wide = n_candidates(4, 6)
+    assert wide < narrow, f"wider buckets must prune harder ({wide} !< {narrow})"
+    more_tables = n_candidates(8, 6)
+    assert more_tables >= wide, "extra tables can only add candidates"
+    # Shape invariant: signature width == bits for any (L, B).
+    row = S.lsh_bucketed(spark, sf_dir, tables=2, bits=7).select("sig").first()
+    assert len(row["sig"]) == 7
+
+
+def test_ann_quantized_recall(spark, sf_dir):
+    """SQ8 quantization error must not cost more than 2 of the true top-10
+    (the exact-rescore pool absorbs ranking noise in the approximate score)."""
+    brute = [r["vec_id"] for r in S.similarity_topk(spark, sf_dir).collect()]
+    sq8 = [r["vec_id"] for r in S.ann_quantized_topk(spark, sf_dir).collect()]
+    overlap = len(set(brute) & set(sq8))
+    assert overlap >= 8, f"SQ8 recall too low: {overlap}/10 (brute={brute}, sq8={sq8})"
+
+
+def test_corpus_curation_invariants(spark, sf_dir):
+    """The curation report must be consistent with its own gates: every kept
+    group has docs, per-lang counts never exceed the raw corpus, and average
+    quality clears the floor (kept docs all scored >= CURATION_MIN_QUALITY)."""
+    rep = {r["lang"]: r for r in T.corpus_curation(spark, sf_dir).collect()}
+    raw = {r["lang"]: r["n_docs"] for r in T.text_lang_profile(spark, sf_dir).collect()}
+    assert rep, "curation must keep something"
+    for lang, r in rep.items():
+        assert 0 < r["n_docs"] <= raw[lang]
+        assert r["avg_quality"] >= T.CURATION_MIN_QUALITY
+        assert r["total_ws_tokens"] > 0
