@@ -148,3 +148,34 @@ def test_embedding_dedup_no_nested_loop(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line and "Inner" not in line, line
     assert "ShuffledHashJoin" in p  # pinned verify joins on vec_id
+
+
+def test_quantized_ann_pool_shape(spark, sf_dir):
+    """SQ8 ANN: the 1-row quantized query must broadcast (never shuffle the
+    corpus-side scan), the pool cut must be TakeOrderedAndProject (no global
+    sort), and nothing may degenerate into a cartesian product."""
+    p = plan(S.ann_quantized_topk(spark, sf_dir))
+    assert "Broadcast" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_curation_fused_filters(spark, sf_dir):
+    """Curation composite: both gates must reach the scan side (early row
+    elimination before any shuffle), dedup must be a map-side-limited window
+    over the sha256 digest, and the dedup shuffle must carry the projected
+    features — never the raw text column."""
+    p = plan(T.corpus_curation(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # gates fused below every exchange: the scan-stage Filter carries the
+    # quality expression (least(1.0, ...)), so rows die before shuffling
+    assert "PushedFilters: [IsNotNull(text)]" in p
+    assert p.split("Exchange RoundRobinPartitioning")[1].count("least(1.0") > 0
+    # dedup window: digest-partitioned with a map-side partial group limit
+    assert "sha2" in p and "WindowGroupLimit" in p and p.count("WindowGroupLimit") >= 2
+    # the digest is computed map-side (below its exchange), so the shuffle
+    # key is the 32-byte hash, not the document text
+    assert "sha2" in p.split("Exchange hashpartitioning(_w0")[1]
+    # exchanges: _docs re-split, digest dedup, (lang,source) distinct,
+    # lang agg, final range sort — nothing else
+    assert p.count("Exchange") <= 5, p
