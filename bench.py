@@ -96,7 +96,10 @@ BENCH_TIER2 = [
     "source_roundtrip_formats",
     "source_partitioned_pruning",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "ann_batch_topk",
+    "ann_quantized_topk",
+    "corpus_curation",
     "stream_static_join",
     "stream_stream_join",
     "stream_sliding_avg",

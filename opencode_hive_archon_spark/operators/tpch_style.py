@@ -156,6 +156,71 @@ LIMIT 100
 """
 
 
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting), adapted to this schema:
+    "late" is l_shipdate > o_orderdate + 60 days (no commit/receipt dates in
+    the testdata). The interesting part is the correlated EXISTS ("another
+    supplier shared the order") and NOT EXISTS ("no other supplier was also
+    late") — written declaratively and left to Catalyst to decorrelate into
+    left-semi / left-anti joins on l_orderkey; at scale all three lineitem
+    legs shuffle on the same key, so the exchanges line up and AQE reuses
+    them. Reference: SURVEY.md §2B relational family (multi-join shapes)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    return spark.sql(
+        f"""
+        SELECT s_name, count(*) AS numwait
+        FROM q21_supplier s
+        JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+          AND EXISTS (
+                SELECT 1 FROM q21_lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1
+                FROM q21_lineitem l3
+                JOIN q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o3.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+        """
+    )
+
+
+_ORACLE_Q21 = f"""
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1
+        FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 SPECS = [
     QuerySpec("local_supplier_volume", local_supplier_volume, _ORACLE_Q5,
               "relational", "Q5-shape six-table join, local-supplier revenue by nation"),
@@ -164,4 +229,7 @@ SPECS = [
     QuerySpec("q18_large_orders", q18_large_orders, _ORACLE_Q18,
               "relational", "Q18-shape large-volume orders: HAVING subquery + "
               "customer join + global top-100"),
+    QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, _ORACLE_Q21,
+              "relational", "Q21-shape correlated EXISTS/NOT EXISTS "
+              "(decorrelated to semi/anti joins)"),
 ]

@@ -75,6 +75,11 @@ def udaf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(cents)
         s = sum(cents)                      # exact
         sq = sum(c * c for c in cents)      # exact
+        # sq exceeds 2^53 at sf>=0.01, and engines disagree (by 1 ulp) on
+        # how a wider-than-53-bit integer rounds to double. Split into
+        # hi*1e6 + lo — both parts exact in double — so the conversion is
+        # two deterministic IEEE ops mirrored verbatim in the oracle.
+        sq_dbl = float(sq // 10**6) * 1e6 + float(sq % 10**6)
         mean = float(s) / 100.0 / n
         out = pdf[["o_orderkey", "o_orderpriority", "o_totalprice"]].copy()
         if n == 1:
@@ -85,7 +90,7 @@ def udaf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["group_std"] = None
             return out
         # sample variance in dollars^2: (sumsq/1e4 - n*mean^2) / (n-1)
-        var = (float(sq) / 10000.0 - n * (mean * mean)) / (n - 1)
+        var = (sq_dbl / 10000.0 - n * (mean * mean)) / (n - 1)
         std = var ** 0.5
         out["z"] = [((c / 100.0) - mean) / std for c in cents]
         out["group_mean"] = mean
@@ -101,15 +106,23 @@ def udaf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_NORMALIZE = """
-WITH stats AS (
+WITH sums AS (
   SELECT o_orderpriority,
          count(*) AS n,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS mean,
-         sqrt((CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 10000.0
-               - count(*) * (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
-                             * (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*))))
-              / (count(*) - 1)) AS std
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sq
   FROM orders GROUP BY o_orderpriority
+),
+stats AS (
+  -- sq > 2^53: split hi*1e6 + lo before the double conversion (each part
+  -- exact) so the rounding sequence matches the Python side bit-for-bit
+  SELECT o_orderpriority, n,
+         CAST(s AS DOUBLE) / 100.0 / n AS mean,
+         sqrt(((CAST(sq // 1000000 AS DOUBLE) * 1000000.0 + CAST(sq % 1000000 AS DOUBLE)) / 10000.0
+               - n * ((CAST(s AS DOUBLE) / 100.0 / n) * (CAST(s AS DOUBLE) / 100.0 / n)))
+              / (n - 1)) AS std
+  FROM sums
 )
 SELECT o_orderkey, o.o_orderpriority, o_totalprice,
        ((CAST(round(o_totalprice * 100) AS BIGINT) / 100.0) - mean) / std AS z,
