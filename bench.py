@@ -97,6 +97,8 @@ BENCH_TIER2 = [
     "source_partitioned_pruning",
     "q18_large_orders",
     "q21_waiting_suppliers",
+    "events_sessionize",
+    "corpus_domain_cap",
     "ann_batch_topk",
     "ann_quantized_topk",
     "corpus_curation",

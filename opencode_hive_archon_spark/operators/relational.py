@@ -350,6 +350,74 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 
 # ---------------------------------------------------------------------------
+# events_sessionize
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    >30-minute inactivity gaps (lag + running sum of new-session flags — the
+    classic gaps-and-islands shape), then aggregate one row per session.
+
+    Scale: both windows and the final aggregate share the user_id hash
+    partition, so the whole plan is ONE shuffle on user_id followed by a
+    partial+final agg; no global ordering anywhere. Timestamps flow as
+    unix_micros on both engines (parquet nanos truncate identically)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("us").over(w)
+    is_new = (prev.isNull() | ((F.col("us") - prev) > SESSION_GAP_US)).cast("long")
+    sess = base.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_ORACLE_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT event_type) AS n_event_types
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_distinct / agg_approx_distinct
 # ---------------------------------------------------------------------------
 
@@ -802,6 +870,9 @@ SPECS = [
               "CUBE over type × day"),
     QuerySpec("window_rank_topk_per_group", window_rank_topk_per_group, _ORACLE_WINDOW_TOPK,
               "relational", "top-3 per group via row_number"),
+    QuerySpec("events_sessionize", events_sessionize, _ORACLE_SESSIONIZE, "relational",
+              "gaps-and-islands sessionization: lag + running flag sum, "
+              "one user_id shuffle"),
     QuerySpec("window_running", window_running, _ORACLE_WINDOW_RUNNING, "relational",
               "running total + lag delta"),
     QuerySpec("window_moving_avg", window_moving_avg, _ORACLE_WINDOW_MA, "relational",

@@ -383,6 +383,71 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_TOKEN_CAP = 20_000  # per-source token budget
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget packing: each source (domain) keeps its
+    highest-quality documents until a 20k-token budget is exhausted — the
+    standard domain-cap step of a pre-training data mix (prevents one domain
+    from dominating the corpus).
+
+    Greedy cutoff = running token sum over (quality DESC, doc_id) within the
+    source partition; a doc is kept while the budget including it is unspent.
+    One hash shuffle on source; no global ordering. Quality reuses
+    text_quality_score's exact expression shape (float parity)."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    quality = (
+        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), (stop_hits.cast("double") / n_toks) * F.lit(10.0)) * F.lit(0.3)
+        + (F.lit(1.0) - n_punct.cast("double") / F.length("text")) * F.lit(0.2)
+    )
+    scored = docs.select(
+        "doc_id", "source",
+        n_toks.cast("long").alias("n_tokens"), quality.alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("cum_tokens") <= SOURCE_TOKEN_CAP)
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "q")
+        .orderBy("source", F.col("q").desc(), "doc_id")
+    )
+
+
+_ORACLE_DOMAIN_CAP = f"""
+WITH feat AS (
+  SELECT doc_id, source, text, n_chars, {_TOKS_SQL} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+           + least(1.0, (CAST(len(list_filter(toks, t -> t IN ({_STOPS_SQL}))) AS DOUBLE)
+                         / len(toks)) * 10.0) * 0.3
+           + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                         AS DOUBLE) / length(text)) * 0.2 AS q
+  FROM feat
+),
+packed AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, cum_tokens, q
+FROM packed WHERE cum_tokens <= {SOURCE_TOKEN_CAP}
+"""
+
+
 def _curation_hits_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
     return f"len(list_intersect(list_distinct(toks), [{markers}]))"
@@ -480,4 +545,6 @@ SPECS = [
               "text ⋈ vector multimodal relation"),
     QuerySpec("corpus_curation", corpus_curation, _ORACLE_CURATION, "text",
               "quality floor + langid gate + exact dedup → per-lang corpus report"),
+    QuerySpec("corpus_domain_cap", corpus_domain_cap, _ORACLE_DOMAIN_CAP, "text",
+              "per-source token-budget packing (domain caps for a data mix)"),
 ]

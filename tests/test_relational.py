@@ -118,3 +118,51 @@ def test_asof_strategies_agree(spark, sf_dir):
     a = {tuple(r) for r in R.join_asof_event_order(spark, sf_dir).collect()}
     b = {tuple(r) for r in R.join_asof_pandas(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_sessionize_gap_property(spark, sf_dir):
+    """Sessions of one user must be separated by >30min and each session's
+    internal span can't contain a gap that large; event count must conserve."""
+    rows = R.events_sessionize(spark, sf_dir).collect()
+    ev_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == ev_total
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_seq"])
+        for a, b in zip(sess, sess[1:]):
+            assert b["start_us"] - a["end_us"] > R.SESSION_GAP_US
+        for r in sess:
+            assert 0 <= r["duration_us"] == r["end_us"] - r["start_us"]
+
+
+def test_domain_cap_budget_and_priority(spark, sf_dir):
+    """Every source stays within budget and keeps a quality-prefix: no kept
+    doc may rank below a dropped doc of the same source."""
+    from opencode_hive_archon_spark.operators import textops as T
+
+    kept = T.corpus_domain_cap(spark, sf_dir).collect()
+    per_src = {}
+    for r in kept:
+        per_src[r["source"]] = max(per_src.get(r["source"], 0), r["cum_tokens"])
+    assert per_src and all(v <= T.SOURCE_TOKEN_CAP for v in per_src.values())
+    # kept set is a prefix: the lowest-ranked kept doc of a source must rank
+    # above every non-kept doc of that source (ranking recomputed from the
+    # quality query, which shares the expression shape)
+    import collections
+    order = collections.defaultdict(list)
+    qual = {r["doc_id"]: r["quality_score"] for r in
+            T.text_quality_score(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source").collect()
+    for d in docs:
+        order[d["source"]].append((-qual[d["doc_id"]], d["doc_id"]))
+    kept_ids = {r["doc_id"] for r in kept}
+    for src, lst in order.items():
+        lst.sort()
+        seen_drop = False
+        for negq, did in lst:
+            if did in kept_ids:
+                assert not seen_drop, f"non-prefix keep in {src}: doc {did}"
+            else:
+                seen_drop = True
