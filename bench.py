@@ -97,6 +97,7 @@ BENCH_TIER2 = [
     "source_partitioned_pruning",
     "q18_large_orders",
     "q21_waiting_suppliers",
+    "q3_shipping_priority",
     "events_sessionize",
     "corpus_domain_cap",
     "ann_batch_topk",

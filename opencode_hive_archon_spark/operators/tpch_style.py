@@ -156,6 +156,48 @@ LIMIT 100
 """
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape (shipping priority): revenue still unshipped at the cutoff
+    for one market segment — customer/orders filters push to their scans,
+    both dimension legs broadcast against lineitem, and the top-10 over the
+    aggregated revenue compiles to TakeOrderedAndProject (no global sort).
+    Revenue sums in DECIMAL (exact, order-insensitive)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 Q21_LATE_DAYS = 60
 
 
@@ -232,4 +274,7 @@ SPECS = [
     QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, _ORACLE_Q21,
               "relational", "Q21-shape correlated EXISTS/NOT EXISTS "
               "(decorrelated to semi/anti joins)"),
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, _ORACLE_Q3,
+              "relational", "Q3-shape segment revenue top-10 (pushdown + "
+              "broadcast dims + TakeOrdered)"),
 ]
