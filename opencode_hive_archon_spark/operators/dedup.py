@@ -391,6 +391,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERS = 20  # safety cap; convergence needs O(component diameter) rounds
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise matches into dedup decisions (pairs → clusters → keep the
+    min-id doc per cluster).
+
+    Min-label propagation as iterated DataFrame joins: every node starts
+    labeled with its own id; each round takes the min label over neighbors;
+    fixpoint when no label changes (driver checks a 1-row count per round —
+    the only driver action, bounded by the component diameter). The testdata
+    graph has tiny diameters; a production run at 100 TB swaps this loop for
+    the alternating large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) which converge in O(log n) with the
+    same per-round join shape. Each round materializes its labels so the
+    lineage doesn't grow into a re-execution tree.
+
+    Exact oracle: DuckDB recursive CTE computes min reachable id per node —
+    the same fixpoint this loop converges to."""
+    pairs = _materialize(dedup_near(spark, sf_dir).select("doc_a", "doc_b"))
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = _materialize(
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+        )
+        # carry the previous label through the materialization so the
+        # convergence check is a filter-count on the PERSISTED frame (one
+        # extra cheap action, not a fresh join)
+        stepped = _materialize(
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                F.col("label").alias("prev"),
+            )
+        )
+        changed = stepped.filter(F.col("label") != F.col("prev")).count()
+        labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected components did not converge in {MAX_CC_ITERS} rounds")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+_ORACLE_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / NULLIF(len(list_distinct(a.sh || b.sh)), 0) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc
+),
+lab AS (SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc)
+SELECT l.doc_id, l.cluster_id, s.cluster_size, l.doc_id = l.cluster_id AS keep
+FROM lab l
+JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM lab GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, _ORACLE_DEDUP_EXACT, "dedup",
               "exact dedup via sha2 hash-groupBy"),
@@ -400,4 +489,7 @@ SPECS = [
               "MinHash+LSH banded near-dup (rows-only; recall tested vs exact)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "dedup",
               "SimHash hamming<=3 near-dup (rows-only)"),
+    QuerySpec("dedup_clusters", dedup_clusters, _ORACLE_CLUSTERS, "dedup",
+              "connected components over near-dup pairs (iterative min-label "
+              "propagation; recursive-CTE oracle)"),
 ]

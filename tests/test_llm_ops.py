@@ -179,3 +179,24 @@ def test_corpus_curation_invariants(spark, sf_dir):
         assert 0 < r["n_docs"] <= raw[lang]
         assert r["avg_quality"] >= T.CURATION_MIN_QUALITY
         assert r["total_ws_tokens"] > 0
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Cluster labels must be consistent with the pair graph: both docs of
+    every near-dup pair share a cluster, each cluster id is its min member,
+    and exactly one doc per cluster carries keep=True."""
+    pairs = [(r["doc_a"], r["doc_b"]) for r in D.dedup_near(spark, sf_dir).collect()]
+    rows = D.dedup_clusters(spark, sf_dir).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for a, b in pairs:
+        assert label[a] == label[b], f"pair ({a},{b}) split across clusters"
+    import collections
+    members = collections.defaultdict(list)
+    for did, cid in label.items():
+        members[cid].append(did)
+    for cid, docs in members.items():
+        assert cid == min(docs)
+    keeps = [r for r in rows if r["keep"]]
+    assert len(keeps) == len(members)
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in rows}
+    assert all(sizes[cid] == len(docs) for cid, docs in members.items())
