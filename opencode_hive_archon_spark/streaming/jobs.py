@@ -489,6 +489,65 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → parquet: the exactly-once FILE sink pattern the other
+    jobs' memory sink stands in for. Each micro-batch overwrites its own
+    ``batch=<id>`` directory — an idempotent write, so a replayed batch
+    (restart between commit and checkpoint) lands in the same path instead
+    of duplicating rows. After completion the sink directory is read back
+    and aggregated to per-day/type totals; the final state is independent of
+    how the input was batched, so the query is exact-oracle-checkable.
+
+    At scale the identical function body writes to object storage and the
+    read-back is the downstream consumer; nothing here is harness-specific
+    except the temp directory."""
+    ev = _stream_events(spark, sf_dir)
+    proj = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        proj.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    )
+    agg = (
+        back.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+    out = agg.localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+_ORACLE_FOREACHBATCH = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, _ORACLE_STATEFUL,
               "streaming", "applyInPandasWithState per-user running profile"),
@@ -506,4 +565,6 @@ SPECS = [
               "streaming", "stream x static dimension enrichment join + windowed agg"),
     QuerySpec("stream_stream_join", stream_stream_join, _ORACLE_STREAM_STREAM_JOIN,
               "streaming", "watermarked stream-stream interval self-join (funnel pairs)"),
+    QuerySpec("stream_foreachbatch_sink", stream_foreachbatch_sink, _ORACLE_FOREACHBATCH,
+              "streaming", "foreachBatch idempotent parquet sink + read-back aggregate"),
 ]
