@@ -58,6 +58,34 @@ def _recall_report(exact: DataFrame, approx: DataFrame, keys: list[str], floor_p
     )
 
 
+HLL_ERROR_BOUND_PCT = 10  # approx_count_distinct rsd=0.02 => generous margin
+
+
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL gate: both approx_count_distinct sketches (agg_approx_distinct)
+    must land within 10% of the exact distinct counts. Integer-arithmetic
+    comparison (|approx-exact|*100 <= exact*bound) keeps the check exact on
+    both engines; the oracle recomputes the exact counts and asserts TRUE."""
+    from opencode_hive_archon_spark.operators.relational import agg_approx_distinct
+
+    approx = agg_approx_distinct(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )
+    within = lambda a, e: (
+        F.abs(F.col(a) - F.col(e)) * 100 <= F.col(e) * HLL_ERROR_BOUND_PCT
+    )
+    return approx.crossJoin(exact).select(
+        F.col("exact_parts"),
+        F.col("exact_suppliers"),
+        F.lit(HLL_ERROR_BOUND_PCT).cast("int").alias("error_bound_pct"),
+        (within("approx_parts", "exact_parts")
+         & within("approx_suppliers", "exact_suppliers")).alias("error_ok"),
+    )
+
+
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH must recover >= 90% of the exact-Jaccard near-dup pairs
     (dedup_near, the exact prefix-filtered SSJoin baseline)."""
@@ -140,7 +168,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact,
 FROM ({_sim._ORACLE_SIM_TOPK})
 """
 
+_ORACLE_HLL_ERROR = f"""
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       {HLL_ERROR_BOUND_PCT} AS error_bound_pct,
+       TRUE AS error_ok
+FROM lineitem
+"""
+
 SPECS = [
+    QuerySpec("agg_approx_distinct_error", agg_approx_distinct_error,
+              _ORACLE_HLL_ERROR, "quality",
+              "driver gate: HLL distinct counts within 10% of exact"),
     QuerySpec("dedup_minhash_lsh_recall", dedup_minhash_lsh_recall,
               _ORACLE_MINHASH_RECALL, "quality",
               "driver gate: MinHash-LSH recall >= 90% of exact-Jaccard pairs"),
