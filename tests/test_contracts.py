@@ -109,3 +109,21 @@ class TestBranchProperties:
         assert (provider, opts) == route_retrieval(
             RetrievalRequest(query="q", mode=mode), statuses, flags
         )
+
+
+def test_priority_window_contents():
+    """The driver records the first 50 registered queries; pin the flagship
+    entries inside the window so a registry edit can't silently push them
+    out (and the window stays exactly 50 deep)."""
+    from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
+
+    assert len(_PRIORITY) == 50
+    window = list(all_specs())[:50]
+    assert window == _PRIORITY
+    for name in [
+        "recall_envelope", "scenario_replay", "stream_foreachbatch_sink",
+        "q21_waiting_suppliers", "events_sessionize", "dedup_clusters",
+        "corpus_curation", "ann_quantized_topk", "agg_approx_distinct_error",
+        "dedup_minhash_lsh_recall", "udtf_explode_tokens",
+    ]:
+        assert name in window, name

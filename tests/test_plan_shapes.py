@@ -179,3 +179,12 @@ def test_corpus_curation_fused_filters(spark, sf_dir):
     # exchanges: _docs re-split, digest dedup, (lang,source) distinct,
     # lang agg, final range sort — nothing else
     assert p.count("Exchange") <= 5, p
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """events_sessionize claims ONE user_id hash shuffle end to end: both
+    windows and the session aggregate must reuse that partitioning; only the
+    final presentation sort adds a range exchange."""
+    p = plan(R.events_sessionize(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 2  # user_id + (user,seq) agg
+    assert "CartesianProduct" not in p
