@@ -25,6 +25,7 @@ from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from opencode_hive_archon_spark.config import RetrievalRequest
 from opencode_hive_archon_spark.engine import RecallEngine
@@ -114,7 +115,11 @@ class MCPServer:
         scenario = get_scenario_by_id(scenario_id)
         if scenario is None:
             return {"success": False, "error": f"Scenario {scenario_id} not found"}
-        row = _replay_frame(self.spark).filter(f"id = '{scenario_id}'").first()
+        row = (
+            _replay_frame(self.spark)
+            .filter(F.col("id") == F.lit(scenario_id))
+            .first()
+        )
         # step-3 rerank metadata from the replay facts (agents/recall.py:88-102;
         # voyage.py:30-52: rerank only runs with >0 candidates and reports
         # 'external' only when >1 were actually reranked).

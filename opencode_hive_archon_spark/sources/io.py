@@ -81,6 +81,21 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRUNE_YEAR = 1997
 
 
+def _source_identity(path: str) -> str:
+    """Stable identity string for a parquet file-or-directory: absolute path
+    plus (name, size, mtime_ns) of every data file. Two datasets written to
+    the same path at different times hash differently."""
+    parts = [os.path.abspath(path)]
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, entry))
+            parts.append(f"{entry}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write + partition-pruned read-back: orders written
     ``partitionBy(o_year)``, then scanned with an o_year filter. The filter
@@ -90,12 +105,17 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     year's files. At 100 TB this layout/query pair is the difference
     between scanning one partition and scanning the lake.
 
-    The partitioned copy is written once per (process, sf_dir) into a
+    The partitioned copy is written once per source dataset into a
     digest-keyed temp dir and kept for the session (same pattern as the
     streaming source dir) so the returned plan stays readable and repeat
-    calls skip the write."""
+    calls skip the write. The digest covers data identity — the source
+    parquet file sizes and mtimes, not just the path — so regenerating
+    testdata at the same path (new sf/seed) invalidates the cached copy
+    instead of silently disagreeing with the oracle."""
     orders = read_table(spark, sf_dir, "orders")
-    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    digest = hashlib.sha1(
+        _source_identity(os.path.join(sf_dir, "orders.parquet")).encode()
+    ).hexdigest()[:12]
     outdir = os.path.join(tempfile.gettempdir(), f"orders_by_year_{digest}")
     marker = os.path.join(outdir, "_SUCCESS")
     if not os.path.exists(marker):
