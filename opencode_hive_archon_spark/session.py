@@ -120,13 +120,34 @@ def unpersist_all() -> int:
     return n
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Testdata regenerations have flipped ``events.ts`` between parquet
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and plain
+    ``timestamp[us]`` without timezone (read as TIMESTAMP_NTZ since Spark
+    3.4). The engine's event-time surface (watermarks, ``unix_micros``,
+    epoch casts) requires TIMESTAMP; with the session timezone pinned to
+    UTC (get_spark) the cast is value-identical and the DuckDB oracle
+    agrees. Applied uniformly to all tables so the next driver-side schema
+    drift lands here, not in nine scattered AnalysisExceptions.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with type normalization.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as raw int64
-    (legacy nanosAsLong conf) and we convert to a microsecond timestamp by
-    truncation — the same conversion DuckDB applies, so oracle comparisons
-    agree.
+    ``events.ts`` has appeared as parquet TIMESTAMP(NANOS) — Spark reads it
+    as raw int64 (legacy nanosAsLong conf) and we convert to a microsecond
+    timestamp by truncation, the same conversion DuckDB applies — and as
+    timezone-less ``timestamp[us]`` (TIMESTAMP_NTZ), normalized by
+    :func:`normalize_timestamps`. Either way downstream code sees TIMESTAMP.
     """
     if name == "events":
         # Runtime-settable; needed even when the caller built the session
@@ -140,7 +161,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

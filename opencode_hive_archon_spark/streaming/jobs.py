@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opencode_hive_archon_spark.session import normalize_timestamps
 from opencode_hive_archon_spark.spec import QuerySpec
 
 WATERMARK_DELAY = "10 minutes"
@@ -55,7 +56,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_timestamps(stream)
 
 
 def _run_to_table(spark: SparkSession, agg: DataFrame, mode: str) -> DataFrame:
@@ -391,6 +392,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str, cut=None) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_timestamps(ev)
     if cut is None:
         cut = _ts_cut_from_metadata(sf_dir)
 
@@ -417,6 +419,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str, cut=None) -> DataFrame:
         ).option("maxFilesPerTrigger", 1).parquet(indir)
         if dict(stream.dtypes).get("ts") == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = normalize_timestamps(stream)
         agg = (
             stream.withWatermark("ts", WATERMARK_DELAY)
             .groupBy(F.window("ts", "1 hour"), "event_type")
