@@ -1,21 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": N}. Queries are executed to completion with
-the noop sink (full pipeline runs, nothing materializes on the driver).
+Prints ONE SHORT JSON line on stdout:
+    {"metric": ..., "value": total_sec, "unit": "sec", "sf": N,
+     "queries": {tier1 name: sec}, "n_queries": N, "n_fail": N}
+The driver keeps only the tail of stdout, so the stdout line is kept
+under ~1,500 chars: it carries per-query timings for the tier-1 headline
+set only. The FULL per-query map (tier 1 + tier 2, plus any failures)
+is written to BENCH_DETAIL.json next to this script and echoed to stderr.
+
+A query that raises is recorded as a failure (name -> exception class) and
+never aborts the run or flips the exit code — one broken operator must not
+erase the timings of the healthy ones.
 
 Methodology: one untimed warm-up pass over the whole set (JVM/codegen/
 parquet-footer/Arrow initialization), then SPARK_GRAFT_BENCH_ITERS (default
 3) timed passes; the reported per-query number is the MEDIAN across passes,
 so one GC pause or compilation stall cannot skew a query's figure.
 
-Two tiers, one report: the tier-1 headline set gets the median-of-N
+Two tiers, one detail file: the tier-1 headline set gets the median-of-N
 treatment; the tier-2 coverage set (one representative per remaining
 family/shape: scenarios, ANN, simhash, UDTF, streaming variants, source
 round-trip, ...) gets warm-up + a single timed pass — full per-family
 timing visibility at roughly half the added wall-clock of a full
-median-of-3. Both land in the same "queries" map; "tier2" lists which names
-used the single-pass protocol.
+median-of-3.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ import os
 import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -117,6 +125,23 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def try_run(specs, name, spark, sf_dir, failures) -> float | None:
+    """Run one query to completion; return elapsed seconds or None on error.
+
+    Failures are recorded once per query name (exception class + first line)
+    and never propagate: a single broken operator must not abort the bench.
+    """
+    t0 = time.perf_counter()
+    try:
+        run_query(specs[name].fn(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 - harness isolation boundary
+        if name not in failures:
+            failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
+            traceback.print_exc(file=sys.stderr)
+        return None
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -124,6 +149,7 @@ def main() -> None:
     spark = get_spark("bench")
 
     specs = registry.all_specs()
+    failures: dict[str, str] = {}
     # Warm the JVM (codegen, parquet footers, Arrow) so per-query timings
     # reflect steady state rather than first-touch initialization.
     spark.range(1000).count()
@@ -132,50 +158,76 @@ def main() -> None:
     for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).count()
 
-    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
     # Untimed warm-up pass: the first execution of each query absorbs
     # whole-stage-codegen compilation and shared-intermediate cache fills.
     for name in BENCH_QUERIES:
-        run_query(specs[name].fn(spark, sf_dir))
+        try_run(specs, name, spark, sf_dir, failures)
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(iters):
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            run_query(specs[name].fn(spark, sf_dir))
-            samples[name].append(time.perf_counter() - t0)
+            elapsed = try_run(specs, name, spark, sf_dir, failures)
+            if elapsed is not None:
+                samples[name].append(elapsed)
 
-    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in samples.items()
+        if ts
+    }
 
     # Tier 2: warm-up + one timed pass per query.
     for name in BENCH_TIER2:
-        run_query(specs[name].fn(spark, sf_dir))
+        try_run(specs, name, spark, sf_dir, failures)
+    tier2_timings: dict[str, float] = {}
     for name in BENCH_TIER2:
-        t0 = time.perf_counter()
-        run_query(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    if verbose:
-        for name, t in timings.items():
-            print(f"  {name}: {t:.2f}s", file=sys.stderr, flush=True)
+        elapsed = try_run(specs, name, spark, sf_dir, failures)
+        if elapsed is not None:
+            tier2_timings[name] = round(elapsed, 3)
 
     from opencode_hive_archon_spark.session import unpersist_all
 
     unpersist_all()
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "tier2": BENCH_TIER2,
-            }
-        )
+    all_timings = {**timings, **tier2_timings}
+    total = round(sum(all_timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "iters": iters,
+        "queries": all_timings,
+        "tier2": sorted(tier2_timings),
+        "failures": failures,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"could not write {detail_path}: {exc}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+
+    # Final stdout line: must stay well under the driver's 2,000-char stdout
+    # tail. Tier-1 timings only; the full map lives in BENCH_DETAIL.json.
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "n_queries": len(all_timings),
+        "n_fail": len(failures),
+    }
+    line = json.dumps(summary)
+    if len(line) > 1500:
+        # Belt and braces: drop per-query detail rather than overflow.
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
