@@ -52,9 +52,11 @@ _PRIORITY = [
     "recall_envelope", "recall_compat", "recall_envelope_reranked",
     "scenario_tag_filter", "scenario_replay", "scenario_forced_branches",
     "plan_diff_metrics",
-    # structured streaming
+    # structured streaming (stream_late_data is rows-only by design — its
+    # late-arrival assertions live in pytest — so the oracle-exact
+    # stream_static_join takes the window slot instead)
     "stream_stateful_user_stats", "stream_tumbling_counts", "stream_sliding_avg",
-    "stream_session_windows", "stream_dedup", "stream_late_data",
+    "stream_session_windows", "stream_dedup", "stream_static_join",
     # sources + reference query shapes
     "source_roundtrip_formats", "local_supplier_volume", "promo_revenue_share",
     # (sql_pricing_summary shares pricing_summary's physical plan — the SQL
