@@ -83,16 +83,30 @@ PRUNE_YEAR = 1997
 
 def _source_identity(path: str) -> str:
     """Stable identity string for a parquet file-or-directory: absolute path
-    plus (name, size, mtime_ns) of every data file. Two datasets written to
-    the same path at different times hash differently."""
+    plus (relpath, size, mtime_ns) of every data file, walking nested
+    directories (a Hive-partitioned layout keeps its data files in
+    subdirectories, where a top-level listing would miss an in-place
+    rewrite). Two datasets written to the same path at different times hash
+    differently. Files that vanish mid-walk (concurrent regeneration) get a
+    sentinel instead of crashing the query — the digest still changes."""
     parts = [os.path.abspath(path)]
     if os.path.isdir(path):
-        for entry in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, entry))
-            parts.append(f"{entry}:{st.st_size}:{st.st_mtime_ns}")
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for entry in sorted(files):
+                full = os.path.join(root, entry)
+                rel = os.path.relpath(full, path)
+                try:
+                    st = os.stat(full)
+                    parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+                except OSError:
+                    parts.append(f"{rel}:gone")
     elif os.path.exists(path):
-        st = os.stat(path)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+        try:
+            st = os.stat(path)
+            parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append("gone")
     return "|".join(parts)
 
 
