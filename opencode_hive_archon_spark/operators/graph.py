@@ -1,0 +1,125 @@
+"""Graph-linked (k-hop) retrieval over the near-dup similarity graph.
+
+The reference DECLARES graph-linked context expansion but never ships it —
+graphiti is flagged off (/root/reference/backend/src/second_brain/deps.py:11,
+status "unavailable" deps.py:24) while mvp.md:9 still promises "graph-linked
+context". This operator closes that declared-but-unbuilt capability the way
+a Spark retrieval engine would: the edge set is the deterministic
+embedding-cosine near-dup pair table (the LSH-candidates + exact-verify
+pipeline of ``dedup_embedding_cosine``), and retrieval expands a seed set of
+vectors ``K_HOPS`` breadth-first levels along it, returning every reached
+node with its minimum hop distance.
+
+Execution shape (scale notes):
+- BFS as iterated equi-joins, one per hop, with the frontier MATERIALIZED
+  each round so lineage stays flat — the same level-synchronous pattern as
+  ``dedup_clusters``'s min-label propagation. Each hop is one hash-shuffle
+  join edge.src = frontier.vec_id; at 100 TB the edge table is written out
+  bucketed by ``src`` once and every hop becomes a shuffle-free bucket join.
+- The frontier is typically tiny relative to the edge table, so AQE picks a
+  broadcast join for it at runtime; nothing in the plan forces either side.
+- The visited set (seen vec_ids) is carried as a DataFrame and applied as a
+  LEFT ANTI join — no driver-side collect of node ids at any point.
+
+Exact oracle: DuckDB recursive CTE over the same (mirrored bit-for-bit)
+edge set, depth-bounded by hop < K_HOPS, min(hop) per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.operators.similarity import (
+    LSH_CAND_CTES,
+    NEAR_DUP_COSINE,
+    _cos_sql,
+    dedup_embedding_cosine,
+)
+from opencode_hive_archon_spark.session import materialize as _materialize
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+K_HOPS = 2
+GRAPH_SEEDS = (0, 1, 2)
+
+
+def recall_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand ``GRAPH_SEEDS`` ``K_HOPS`` levels over the near-dup edge graph.
+
+    Returns (vec_id, hop, label): every node reachable within K_HOPS of any
+    seed, hop = shortest distance (0 for the seeds themselves). Level-
+    synchronous BFS guarantees min-hop without a per-node aggregate: a node
+    joins the visited set the first level it appears and the anti-join keeps
+    later levels from re-adding it.
+    """
+    pairs = _materialize(
+        dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).union(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+
+    seeds = spark.createDataFrame([(int(s),) for s in GRAPH_SEEDS], "vec_id bigint")
+    visited = seeds.withColumn("hop", F.lit(0).cast("long"))
+    frontier = seeds
+    for hop in range(1, K_HOPS + 1):
+        frontier = _materialize(
+            edges.join(frontier.withColumnRenamed("vec_id", "src"), "src")
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+        )
+        visited = visited.union(
+            frontier.withColumn("hop", F.lit(hop).cast("long"))
+        )
+
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        visited.join(labels, "vec_id")
+        .select("vec_id", "hop", "label")
+        .orderBy("hop", "vec_id")
+    )
+
+
+_SEED_VALUES = ", ".join(
+    f"(CAST({s} AS BIGINT), CAST(0 AS BIGINT))" for s in GRAPH_SEEDS
+)
+
+_ORACLE_GRAPH_KHOP = f"""
+WITH RECURSIVE {LSH_CAND_CTES},
+pairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_a
+  JOIN embeddings b ON b.vec_id = c.vec_b
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+walk(vec_id, hop) AS (
+  SELECT * FROM (VALUES {_SEED_VALUES}) seeds(vec_id, hop)
+  UNION ALL
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.vec_id
+  WHERE w.hop < {K_HOPS}
+),
+best AS (SELECT vec_id, min(hop) AS hop FROM walk GROUP BY vec_id)
+SELECT b.vec_id, b.hop, e.label
+FROM best b JOIN embeddings e USING (vec_id)
+ORDER BY hop, vec_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "recall_graph_khop",
+        recall_graph_khop,
+        _ORACLE_GRAPH_KHOP,
+        "recall",
+        "k-hop graph-linked retrieval: BFS expansion of seed vectors over "
+        "the embedding near-dup edge graph (recursive-CTE oracle)",
+    ),
+]

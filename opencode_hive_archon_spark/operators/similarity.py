@@ -372,8 +372,10 @@ GROUP BY label
 # so candidate buckets — and therefore the final pair set — match
 # bit-for-bit. string_agg ORDER BY pid reproduces Spark's slice order
 # ((pid-1)//4 = table, pid ascending within a table).
-_ORACLE_DEDUP_COSINE = f"""
-WITH planes AS (
+# Shared CTE block (planes -> sigs -> cand) so other oracles — e.g. the
+# k-hop graph walk over the near-dup edge set — reuse the identical
+# candidate pipeline.
+LSH_CAND_CTES = f"""planes AS (
   SELECT vec_id AS pid, embedding AS p FROM embeddings
   WHERE vec_id BETWEEN 1 AND {N_HYPERPLANES}
 ),
@@ -388,7 +390,10 @@ cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM sigs x JOIN sigs y
     ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
-)
+)"""
+
+_ORACLE_DEDUP_COSINE = f"""
+WITH {LSH_CAND_CTES}
 SELECT c.vec_a, c.vec_b,
        a.label = b.label AS same_label,
        {_cos_sql('a.embedding', 'b.embedding')} AS sim

@@ -28,6 +28,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.textops",
     "opencode_hive_archon_spark.operators.udfs",
     "opencode_hive_archon_spark.operators.multimodal",
+    "opencode_hive_archon_spark.operators.graph",
     "opencode_hive_archon_spark.operators.plandiff",
     "opencode_hive_archon_spark.operators.skew",
     "opencode_hive_archon_spark.operators.reshape",

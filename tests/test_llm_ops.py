@@ -200,3 +200,31 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     assert len(keeps) == len(members)
     sizes = {r["cluster_id"]: r["cluster_size"] for r in rows}
     assert all(sizes[cid] == len(docs) for cid, docs in members.items())
+
+
+def test_graph_khop_invariants(spark, sf_dir):
+    """BFS contract: seeds are exactly the hop-0 rows, every hop-k node
+    (k>=1) has a hop-(k-1) neighbor in the near-dup edge graph, and no node
+    appears at a hop higher than its shortest distance (level-synchronous
+    anti-join guarantees first-seen = min hop)."""
+    from opencode_hive_archon_spark.operators import graph as G
+
+    rows = G.recall_graph_khop(spark, sf_dir).collect()
+    hop = {r["vec_id"]: r["hop"] for r in rows}
+    assert len(rows) == len(hop), "a node may appear at exactly one hop"
+    assert {v for v, h in hop.items() if h == 0} == set(G.GRAPH_SEEDS)
+    assert max(hop.values()) <= G.K_HOPS
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in S.dedup_embedding_cosine(spark, sf_dir).collect()
+    ]
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v, h in hop.items():
+        if h == 0:
+            continue
+        assert any(hop.get(n) == h - 1 for n in nbrs.get(v, ())), (
+            f"node {v} at hop {h} has no hop-{h-1} neighbor"
+        )
