@@ -188,3 +188,15 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     p = plan(R.events_sessionize(spark, sf_dir))
     assert p.count("Exchange hashpartitioning") <= 2  # user_id + (user,seq) agg
     assert "CartesianProduct" not in p
+
+
+def test_catalog_roundtrip_partition_pruned(spark, sf_dir):
+    """catalog_roundtrip: the read-back is a CATALOG table scan (resolved by
+    name, not path) whose lang filter lands in PartitionFilters — only the
+    lang=en directory of the managed table is listed/read."""
+    from opencode_hive_archon_spark.sources import catalog as C
+
+    p = plan(C.catalog_roundtrip(spark, sf_dir))
+    pf = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in pf, pf
+    assert C.CURATED_TABLE in p
