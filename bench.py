@@ -118,6 +118,8 @@ BENCH_TIER2 = [
     "stream_dedup",
     "stream_late_data",
     "stream_stateful_user_stats",
+    "recall_graph_khop",
+    "catalog_roundtrip",
 ]
 
 
