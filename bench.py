@@ -120,6 +120,7 @@ BENCH_TIER2 = [
     "stream_stateful_user_stats",
     "recall_graph_khop",
     "catalog_roundtrip",
+    "corpus_train_val_split",
 ]
 
 

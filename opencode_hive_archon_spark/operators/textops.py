@@ -526,7 +526,66 @@ FROM documents JOIN embeddings ON doc_id = vec_id, q
 """
 
 
+# --- deterministic train/validation split ---------------------------------
+
+# Knuth multiplicative constant; reduced mod a prime FIRST so the product
+# stays < 2^63 for any id domain (a raw id*salt overflows bigint once ids
+# pass ~3.5e9 — a real corpus exceeds that).
+SPLIT_SALT = 2654435761
+SPLIT_MOD = 1_000_003  # prime
+SPLIT_BUCKETS = 100
+VAL_BUCKETS = 10  # 10% validation
+
+
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/validation split by multiplicative id hash.
+
+    The split a training pipeline needs at 100 TB: assignment is a pure
+    per-row expression on the stable doc_id — no sampling state, no shuffle,
+    no RNG — so it is identical across runs, clusters, and engines (the
+    oracle reproduces it bit-for-bit), documents keep their split when the
+    corpus is re-partitioned or appended to, and filtering either split
+    pushes down to the scan. bucket = ((doc_id mod P) * SALT) mod 100;
+    val iff bucket < 10. Reports per-(split, lang) counts/chars as the
+    balance check run after every split definition change."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(SPLIT_MOD)) * F.lit(SPLIT_SALT),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_ORACLE_TRAIN_VAL = f"""
+SELECT CASE WHEN ((doc_id % {SPLIT_MOD}) * {SPLIT_SALT}) % {SPLIT_BUCKETS}
+            < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 SPECS = [
+    QuerySpec("corpus_train_val_split", corpus_train_val_split, _ORACLE_TRAIN_VAL,
+              "text",
+              "deterministic multiplicative-hash train/val split with "
+              "per-(split, lang) balance report"),
     QuerySpec("text_token_stats", text_token_stats, _ORACLE_TOKEN_STATS, "text",
               "global top-20 term frequencies"),
     QuerySpec("text_lang_profile", text_lang_profile, _ORACLE_LANG_PROFILE, "text",
