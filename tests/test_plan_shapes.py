@@ -200,3 +200,13 @@ def test_catalog_roundtrip_partition_pruned(spark, sf_dir):
     pf = p.split("PartitionFilters:")[1].splitlines()[0]
     assert "lang" in pf, pf
     assert C.CURATED_TABLE in p
+
+
+def test_train_val_split_prunes_text_column(spark, sf_dir):
+    """corpus_train_val_split: the split is arithmetic on doc_id — the wide
+    text column must not reach the parquet scan (ReadSchema pruned), and the
+    aggregate must be map-side partial."""
+    p = plan(T.corpus_train_val_split(spark, sf_dir))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+    assert "partial_" in p and p.count("HashAggregate") >= 2
