@@ -121,6 +121,7 @@ BENCH_TIER2 = [
     "recall_graph_khop",
     "catalog_roundtrip",
     "corpus_train_val_split",
+    "agg_approx_quantile_error",
 ]
 
 

@@ -86,6 +86,36 @@ def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_ERROR_BOUND_PCT = 5  # percentile_approx accuracy=10000 => ~0.01% rank error
+
+
+def agg_approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch gate: percentile_approx (Greenwald-Khanna sketch, the
+    mergeable structure a 1000-executor aggregation needs — exact percentile
+    requires a full sort) must land within 5% of the exact interpolated
+    percentile for p50/p95 of l_extendedprice. Same contract as the HLL
+    gate: integer-free float comparison stays Spark-side; the oracle
+    recomputes the exact side (quantile_cont parity, proven by
+    text_lang_profile) and asserts TRUE."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("ap"),
+        F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.95))).alias("ex"),
+    )
+    within = lambda i: (
+        F.abs(F.col("ap")[i] - F.col("ex")[i]) * 100
+        <= F.col("ex")[i] * QUANTILE_ERROR_BOUND_PCT
+    )
+    return row.select(
+        F.col("ex")[0].alias("exact_p50"),
+        F.col("ex")[1].alias("exact_p95"),
+        F.lit(QUANTILE_ERROR_BOUND_PCT).cast("int").alias("error_bound_pct"),
+        (within(0) & within(1)).alias("error_ok"),
+    )
+
+
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH must recover >= 90% of the exact-Jaccard near-dup pairs
     (dedup_near, the exact prefix-filtered SSJoin baseline)."""
@@ -176,10 +206,21 @@ SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
 FROM lineitem
 """
 
+_ORACLE_QUANTILE_ERROR = f"""
+SELECT quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+       {QUANTILE_ERROR_BOUND_PCT} AS error_bound_pct,
+       TRUE AS error_ok
+FROM lineitem
+"""
+
 SPECS = [
     QuerySpec("agg_approx_distinct_error", agg_approx_distinct_error,
               _ORACLE_HLL_ERROR, "quality",
               "driver gate: HLL distinct counts within 10% of exact"),
+    QuerySpec("agg_approx_quantile_error", agg_approx_quantile_error,
+              _ORACLE_QUANTILE_ERROR, "quality",
+              "driver gate: GK quantile sketch p50/p95 within 5% of exact"),
     QuerySpec("dedup_minhash_lsh_recall", dedup_minhash_lsh_recall,
               _ORACLE_MINHASH_RECALL, "quality",
               "driver gate: MinHash-LSH recall >= 90% of exact-Jaccard pairs"),
