@@ -210,3 +210,13 @@ def test_train_val_split_prunes_text_column(spark, sf_dir):
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema, read_schema
     assert "partial_" in p and p.count("HashAggregate") >= 2
+
+
+def test_graph_khop_no_cartesian(spark, sf_dir):
+    """recall_graph_khop: every BFS hop is an equi-join (frontier vs edges)
+    — no nested-loop/cartesian shape may appear anywhere in the plan."""
+    from opencode_hive_archon_spark.operators import graph as G
+
+    p = plan(G.recall_graph_khop(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
