@@ -126,6 +126,7 @@ BENCH_TIER2 = [
     "catalog_roundtrip",
     "corpus_train_val_split",
     "agg_approx_quantile_error",
+    "text_repetition_stats",
 ]
 
 

@@ -526,6 +526,76 @@ FROM documents JOIN embeddings ON doc_id = vec_id, q
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per lang: how much of each document
+    is its single most frequent token, and how diverse its vocabulary is.
+
+    Per doc (exact integer counts): n_tokens, n_distinct, top_count =
+    occurrences of the most frequent token (min-token tie-break irrelevant
+    to the count). Per lang: doc count, docs dominated by one token (top
+    fraction > 20%), and DECIMAL-cast sums of the per-doc ratios (per-doc
+    ratios are deterministic int/int doubles; cross-row sums go through
+    DECIMAL per CONVENTIONS.md). Two-level aggregate over an explode — the
+    same map-side-partial shape as text_token_stats, no UDFs."""
+    docs = _docs(spark, sf_dir)
+    per_tok = (
+        docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_count"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_fraction = F.col("top_count").cast("double") / F.col("n_tokens")
+    return (
+        per_doc.select(
+            "lang",
+            distinct_ratio.alias("dr"),
+            top_fraction.alias("tf"),
+            (F.col("top_count") * 5 > F.col("n_tokens")).alias("dominated"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dominated").cast("long")).alias("n_dominated"),
+            F.sum(F.col("dr").cast("decimal(18,12)")).cast("double").alias("sum_distinct_ratio"),
+            F.sum(F.col("tf").cast("decimal(18,12)")).cast("double").alias("sum_top_fraction"),
+            F.min("dr").alias("min_distinct_ratio"),
+            F.max("tf").alias("max_top_fraction"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_REPETITION = f"""
+WITH per_tok AS (
+  SELECT doc_id, lang, t.token, count(*) AS cnt
+  FROM (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents) t
+  GROUP BY doc_id, lang, t.token
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS top_count
+  FROM per_tok GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN top_count * 5 > n_tokens THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dominated,
+       CAST(sum(CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DECIMAL(18,12))) AS DOUBLE) AS sum_distinct_ratio,
+       CAST(sum(CAST(CAST(top_count AS DOUBLE) / n_tokens AS DECIMAL(18,12))) AS DOUBLE) AS sum_top_fraction,
+       min(CAST(n_distinct AS DOUBLE) / n_tokens) AS min_distinct_ratio,
+       max(CAST(top_count AS DOUBLE) / n_tokens) AS max_top_fraction
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- deterministic train/validation split ---------------------------------
 
 # Knuth multiplicative constant; reduced mod a prime FIRST so the product
@@ -582,6 +652,10 @@ ORDER BY split, lang
 
 
 SPECS = [
+    QuerySpec("text_repetition_stats", text_repetition_stats, _ORACLE_REPETITION,
+              "text",
+              "Gopher-style repetition signals: distinct-token ratio + "
+              "top-token dominance per lang"),
     QuerySpec("corpus_train_val_split", corpus_train_val_split, _ORACLE_TRAIN_VAL,
               "text",
               "deterministic multiplicative-hash train/val split with "
