@@ -37,6 +37,7 @@ from opencode_hive_archon_spark.operators.similarity import (
     dedup_embedding_cosine,
 )
 from opencode_hive_archon_spark.session import materialize as _materialize
+from opencode_hive_archon_spark.session import materialize_keyed as _materialize_keyed
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -53,8 +54,14 @@ def recall_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the visited set the first level it appears and the anti-join keeps
     later levels from re-adding it.
     """
-    pairs = _materialize(
-        dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    # The near-dup edge table is shared session-wide (the dedup recall gates
+    # and repeated khop calls reuse one computation per sf_dir): at scale
+    # this is the in-session analogue of "write the edge table out bucketed
+    # by src once" (module docstring).
+    pairs = _materialize_keyed(
+        spark,
+        ("near_dup_pairs", sf_dir),
+        lambda: dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b"),
     )
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")

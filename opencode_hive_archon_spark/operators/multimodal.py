@@ -1,88 +1,159 @@
 """Family 3d — multimodal (binary) column plumbing.
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata; decode / feature-extraction runs as Arrow-batched Python over
-``mapInPandas``. The Spark-side plumbing — schema, batch iteration,
-partition-parallel execution, metadata projection — is real and tested;
-the actual codec is STUBBED (no image/audio libraries in this container):
-``_decode_stub`` derives deterministic fake dimensions from the payload
-bytes and records ``decoder = "stub"``. Swapping in a real decoder changes
-only that function.
+metadata. The synthetic payload carries a REAL, documented 16-byte header::
 
-The binary payloads are synthesized from ``documents.text`` (UTF-8 bytes),
-standing in for raw media blobs. Approximate nothing — but the decode stub
-is engine-internal, so the driver check is rows-only; pytest pins the
-metadata invariants.
+    bytes 0-3   magic  "SYN0" (ASCII)
+    bytes 4-7   width   uint32 big-endian
+    bytes 8-11  height  uint32 big-endian
+    bytes 12-15 n_frames uint32 big-endian
+    bytes 16-   body (the raw media bytes; here the UTF-8 document text)
+
+and the decode step PARSES that header back out of the binary column — no
+fake dimensions, no stub codec. Two implementations, same oracle:
+
+- ``multimodal_decode``: pure JVM expressions (``substring``/``hex``/
+  ``conv`` on the BINARY column) — stays inside whole-stage codegen, the
+  100 TB default for structured containers (RIFF/BMP/ISO-BMFF style headers
+  are exactly this shape).
+- ``multimodal_decode_arrow``: the SAME parse via ``struct.unpack`` inside
+  ``mapInPandas`` — Arrow batches stream through Python partition-parallel,
+  and only metadata rows return to the JVM. This is the plumbing a real
+  codec (PIL / pyav / torchaudio, not installed in this container) drops
+  into: swap the ``struct.unpack`` call for the library decode and the
+  schema, batching, and partitioning are already right.
+
+The DuckDB oracle recomputes the header fields from the SOURCE columns (the
+header is a deterministic function of doc_id/n_chars/text), so both decode
+paths are oracle-EXACT: a parse that drifted by one byte would hash-mismatch.
+
+Reference parity: the reference has no media pipeline (backend holds ≤5 text
+rows in process); this family is part of the mandate's LLM-pipeline surface.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
+MAGIC = "SYN0"
+HEADER_BYTES = 16
+WIDTH_BASE, WIDTH_MOD = 16, 240
+HEIGHT_BASE, HEIGHT_MOD, HEIGHT_MULT = 16, 240, 7
+FRAMES_MOD = 64
+
 DECODE_SCHEMA = (
-    "doc_id long, modality string, n_bytes int, width int, height int, "
-    "n_frames int, decoder string"
+    "doc_id long, modality string, codec string, n_bytes int, body_bytes int, "
+    "width int, height int, n_frames int"
 )
 
 
-def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + synthesized binary payload column + modality tag."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("modality"),
+def _modality() -> Column:
+    return F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
     )
 
 
-def _decode_stub(payload: bytes, modality: str) -> tuple[int, int, int]:
-    """STUB decoder: deterministic fake (width, height, n_frames) from the
-    payload. A real build would call PIL / torchaudio / pyav here —
-    NotImplementedError semantics documented, shape kept real."""
-    n = len(payload)
-    w = 16 + (payload[0] if n else 0) % 240
-    h = 16 + (payload[-1] if n else 0) % 240
-    frames = 1 if modality == "image" else 1 + n % 64
-    return w, h, frames
+def _be32(val: Column) -> Column:
+    """uint32 -> 4-byte big-endian binary (hex-encode then unhex)."""
+    return F.unhex(F.lpad(F.hex(val.cast("long")), 8, "0"))
 
 
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract over binary payloads via mapInPandas.
+def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized binary payload (16-byte header + UTF-8 body)
+    + modality tag. The header fields are deterministic functions of the row
+    (width from n_chars, height from doc_id, n_frames from modality+body
+    length), so decoders can be verified bit-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    width = F.lit(WIDTH_BASE) + F.pmod(F.col("n_chars"), F.lit(WIDTH_MOD))
+    height = F.lit(HEIGHT_BASE) + F.pmod(
+        F.col("doc_id") * F.lit(HEIGHT_MULT), F.lit(HEIGHT_MOD)
+    )
+    modality = _modality()
+    frames = F.when(modality == "image", F.lit(1)).otherwise(
+        F.lit(1) + F.pmod(F.length(body), F.lit(FRAMES_MOD))
+    )
+    payload = F.concat(
+        F.encode(F.lit(MAGIC), "UTF-8"),
+        _be32(width),
+        _be32(height),
+        _be32(frames),
+        body,
+    )
+    return docs.select(
+        "doc_id", payload.alias("payload"), modality.alias("modality")
+    )
 
-    Arrow batches stream through Python partition-parallel; output rows are
-    metadata only (the payload never round-trips back to the JVM) — at
-    100 TB this is the pattern that keeps Python I/O bounded.
-    """
+
+def _parse_u32(payload: Column, pos: int) -> Column:
+    """Parse a big-endian uint32 at 1-based byte offset ``pos``."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("int")
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the binary header JVM-side: ``substring`` slices the BINARY
+    column, ``hex``/``conv`` turn the big-endian words into ints, and the
+    magic comes back as the codec tag. Whole plan stays in codegen — zero
+    Python, zero shuffle before the presentation sort."""
+    payloads = with_binary_payload(spark, sf_dir)
+    p = F.col("payload")
+    return payloads.select(
+        "doc_id",
+        "modality",
+        F.decode(F.substring(p, 1, 4), "UTF-8").alias("codec"),
+        F.length(p).cast("int").alias("n_bytes"),
+        (F.length(p) - HEADER_BYTES).cast("int").alias("body_bytes"),
+        _parse_u32(p, 5).alias("width"),
+        _parse_u32(p, 9).alias("height"),
+        _parse_u32(p, 13).alias("n_frames"),
+    ).orderBy("doc_id")
+
+
+def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same header parse through the Arrow/Python path: ``mapInPandas``
+    batches stream partition-parallel through ``struct.unpack``; only the
+    (narrow) metadata rows cross back to the JVM — the payload never
+    round-trips. Swapping ``struct.unpack`` for a real media library is the
+    ONLY change a production codec needs; schema, batch shape, and
+    partitioning are already what it requires."""
     payloads = with_binary_payload(spark, sf_dir)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [
-                _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
-            ]
+            metas = []
+            for raw in pdf["payload"]:
+                buf = bytes(raw)
+                magic = buf[:4].decode("ascii")
+                width, height, frames = struct.unpack(">III", buf[4:HEADER_BYTES])
+                metas.append(
+                    (magic, len(buf), len(buf) - HEADER_BYTES, width, height, frames)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [m[0] for m in meta],
-                    "height": [m[1] for m in meta],
-                    "n_frames": [m[2] for m in meta],
-                    "decoder": "stub",
+                    "codec": [m[0] for m in metas],
+                    "n_bytes": [m[1] for m in metas],
+                    "body_bytes": [m[2] for m in metas],
+                    "width": [m[3] for m in metas],
+                    "height": [m[4] for m in metas],
+                    "n_frames": [m[5] for m in metas],
                 }
             )
 
-    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+    return (
+        payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+        .orderBy("doc_id")
+    )
 
 
 def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,10 +163,7 @@ def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tagged = docs.select(
         "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("modality"),
+        _modality().alias("modality"),
         F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
     )
     return (
@@ -109,6 +177,28 @@ def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("modality")
     )
 
+
+# Oracle recomputes the header fields from the source columns — the decoded
+# output must equal what the encoder was told to write.
+_ORACLE_DECODE = f"""
+WITH src AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         octet_length(encode(text)) AS body_len,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, modality,
+       '{MAGIC}' AS codec,
+       CAST(body_len + {HEADER_BYTES} AS INT) AS n_bytes,
+       CAST(body_len AS INT) AS body_bytes,
+       CAST({WIDTH_BASE} + n_chars % {WIDTH_MOD} AS INT) AS width,
+       CAST({HEIGHT_BASE} + (doc_id * {HEIGHT_MULT}) % {HEIGHT_MOD} AS INT) AS height,
+       CAST(CASE WHEN modality = 'image' THEN 1
+                 ELSE 1 + body_len % {FRAMES_MOD} END AS INT) AS n_frames
+FROM src
+ORDER BY doc_id
+"""
 
 _ORACLE_META_PROFILE = """
 WITH tagged AS (
@@ -125,8 +215,12 @@ FROM tagged GROUP BY modality
 
 
 SPECS = [
-    QuerySpec("multimodal_decode_stub", multimodal_decode_stub, None, "multimodal",
-              "binary payload decode via mapInPandas (stubbed codec; rows-only)"),
+    QuerySpec("multimodal_decode", multimodal_decode, _ORACLE_DECODE, "multimodal",
+              "binary header decode, pure JVM (substring/hex/conv); oracle-exact"),
+    QuerySpec("multimodal_decode_arrow", multimodal_decode_arrow, _ORACLE_DECODE,
+              "multimodal",
+              "same header decode via Arrow-batched mapInPandas (the real-codec "
+              "plumbing); oracle-exact"),
     QuerySpec("multimodal_meta_profile", multimodal_meta_profile, _ORACLE_META_PROFILE,
               "multimodal", "per-modality byte/metadata profile"),
 ]

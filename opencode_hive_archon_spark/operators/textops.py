@@ -323,22 +323,18 @@ FROM sh
 CURATION_MIN_QUALITY = 0.6
 
 
-def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation in ONE declarative plan: quality features
-    → quality floor → langid gate (pred ≠ 'und') → exact dedup → per-lang
-    training-corpus report.
+def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared curation stage: quality features → quality floor → langid gate
+    (pred ≠ 'und') → exact dedup (first doc_id per sha256 digest). Returns
+    doc-granularity rows (doc_id, lang, source, text, n_tokens, q, pred) —
+    the input relation for every downstream corpus job (per-lang report,
+    train/val split, domain caps).
 
-    The composition point a pipeline user cares about: every filter stage is
-    a projection over the same scan, so Catalyst fuses features + both gates
-    into one codegen stage with zero intermediate writes; the only shuffles
-    are the dedup hash partition — keyed on the sha256 digest, the text
-    itself never rides a shuffle as a key — and the final per-lang
-    aggregate. That is the 100 TB shape: filters free, dedup bounded by
-    digest bytes, report tiny.
-
-    Float parity: quality reuses text_quality_score's exact expression
-    shape; per-lang quality sums go through DECIMAL(18,12) (see
-    relational.py rationale)."""
+    Every filter stage is a projection over the same scan, so Catalyst fuses
+    features + both gates into one codegen stage with zero intermediate
+    writes; the only shuffle is the dedup hash partition — keyed on the
+    sha256 digest, the text itself never rides a shuffle as a key. That is
+    the 100 TB shape: filters free, dedup bounded by digest bytes."""
     docs = _docs(spark, sf_dir)
     toks = _toks()
     n_toks = F.size(toks)
@@ -368,7 +364,18 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text", "n_tokens", "q", pred.alias("pred")
     ).filter((F.col("q") >= F.lit(CURATION_MIN_QUALITY)) & (F.col("pred") != "und"))
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.col("doc_id").asc())
-    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan: the shared
+    curation stage (quality floor + langid gate + exact dedup —
+    ``_curated_docs``) → per-lang training-corpus report.
+
+    Float parity: quality reuses text_quality_score's exact expression
+    shape; per-lang quality sums go through DECIMAL(18,12) (see
+    relational.py rationale)."""
+    deduped = _curated_docs(spark, sf_dir)
     sum_q = F.sum(F.col("q").cast("decimal(18,12)"))
     return (
         deduped.groupBy("lang")
@@ -453,8 +460,9 @@ def _curation_hits_sql(lang: str) -> str:
     return f"len(list_intersect(list_distinct(toks), [{markers}]))"
 
 
-_ORACLE_CURATION = f"""
-WITH base AS (
+# Shared curation CTE prefix (mirrors _curated_docs); `dd WHERE rn = 1` is
+# the curated doc-level relation every downstream corpus oracle reuses.
+_CURATION_CTES = f"""base AS (
   SELECT doc_id, lang, source, text, n_chars, {_TOKS_SQL} AS toks FROM documents
 ),
 feat AS (
@@ -478,7 +486,10 @@ kept AS (SELECT * FROM q WHERE q >= {CURATION_MIN_QUALITY} AND pred <> 'und'),
 dd AS (
   SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
   FROM kept
-)
+)"""
+
+_ORACLE_CURATION = f"""
+WITH {_CURATION_CTES}
 SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
        CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
        CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE) AS sum_quality,
@@ -598,34 +609,31 @@ ORDER BY lang
 
 # --- deterministic train/validation split ---------------------------------
 
-# Knuth multiplicative constant; reduced mod a prime FIRST so the product
-# stays < 2^63 for any id domain (a raw id*salt overflows bigint once ids
-# pass ~3.5e9 — a real corpus exceeds that).
-SPLIT_SALT = 2654435761
-SPLIT_MOD = 1_000_003  # prime
+# bucket = (first 16 bits of md5(doc_id)) mod 100. A cryptographic digest
+# gives full avalanche — no residue structure ties split membership to id
+# patterns (the previous multiplicative form kept only low-order residue
+# information). 16 bits keeps the hex->int conversion overflow-free on every
+# engine; 65536 % 100 = 36 leaves a ~0.01% absolute bucket-probability skew
+# (656/65536 vs 655/65536), far below sampling noise at any corpus size.
+SPLIT_HASH_HEX_CHARS = 4
 SPLIT_BUCKETS = 100
 VAL_BUCKETS = 10  # 10% validation
 
 
 def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible train/validation split by multiplicative id hash.
+    """Reproducible train/validation split by id-hash bucketing.
 
     The split a training pipeline needs at 100 TB: assignment is a pure
     per-row expression on the stable doc_id — no sampling state, no shuffle,
     no RNG — so it is identical across runs, clusters, and engines (the
     oracle reproduces it bit-for-bit), documents keep their split when the
     corpus is re-partitioned or appended to, and filtering either split
-    pushes down to the scan. bucket = ((doc_id mod P) * SALT) mod 100;
+    pushes down to the scan. bucket = int(md5(doc_id)[:4 hex], 16) mod 100;
     val iff bucket < 10. Reports per-(split, lang) counts/chars as the
     balance check run after every split definition change."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(SPLIT_MOD)) * F.lit(SPLIT_SALT),
-        F.lit(SPLIT_BUCKETS),
-    )
-    split = F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train"))
     return (
-        docs.select(split.alias("split"), "lang", "n_chars", "doc_id")
+        docs.select(_split_col().alias("split"), "lang", "n_chars", "doc_id")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -638,8 +646,8 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TRAIN_VAL = f"""
-SELECT CASE WHEN ((doc_id % {SPLIT_MOD}) * {SPLIT_SALT}) % {SPLIT_BUCKETS}
-            < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split,
+SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {SPLIT_HASH_HEX_CHARS}))::BIGINT
+            % {SPLIT_BUCKETS} < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split,
        lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -647,6 +655,78 @@ SELECT CASE WHEN ((doc_id % {SPLIT_MOD}) * {SPLIT_SALT}) % {SPLIT_BUCKETS}
        max(doc_id) AS last_doc
 FROM documents
 GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+# --- the fused pre-training data job ---------------------------------------
+
+
+def _split_col() -> "F.Column":
+    """Deterministic split assignment (same definition as
+    corpus_train_val_split): md5-prefix bucket on doc_id."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, SPLIT_HASH_HEX_CHARS),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SPLIT_BUCKETS),
+    )
+    return F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train"))
+
+
+def corpus_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The showcase pre-training data job, ONE fused declarative plan:
+
+        quality features → quality floor → langid gate → exact dedup
+        (shared ``_curated_docs`` stage) → deterministic train/val split
+        → per-(split, lang) corpus report
+
+    Composition is free: the split is a pure per-row expression over the
+    curated relation, so Catalyst fuses it into the dedup output projection —
+    stacking the split stage on top of curation adds ZERO shuffles. The
+    plan's exchanges are pinned at five (tests/test_plan_shapes.py): the
+    single-row-group scan re-split, the digest dedup, the two-phase
+    (split,lang[,source]) distinct-count aggregate, and the presentation
+    sort. At 100 TB this plan is the difference between a pipeline of 4
+    materialized intermediate datasets and one pass over the corpus.
+    """
+    deduped = _curated_docs(spark, sf_dir)
+    sum_q = F.sum(F.col("q").cast("decimal(18,12)"))
+    return (
+        deduped.select(_split_col().alias("split"), "lang", "source", "n_tokens", "q", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
+            sum_q.cast("double").alias("sum_quality"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_ORACLE_PRETRAIN_PIPELINE = f"""
+WITH {_CURATION_CTES},
+curated AS (SELECT * FROM dd WHERE rn = 1),
+sp AS (
+  SELECT *,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {SPLIT_HASH_HEX_CHARS}))::BIGINT
+              % {SPLIT_BUCKETS} < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split
+  FROM curated
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE) AS sum_quality,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM sp
+GROUP BY split, lang
 ORDER BY split, lang
 """
 
@@ -680,4 +760,9 @@ SPECS = [
               "quality floor + langid gate + exact dedup → per-lang corpus report"),
     QuerySpec("corpus_domain_cap", corpus_domain_cap, _ORACLE_DOMAIN_CAP, "text",
               "per-source token-budget packing (domain caps for a data mix)"),
+    QuerySpec("corpus_pretraining_pipeline", corpus_pretraining_pipeline,
+              _ORACLE_PRETRAIN_PIPELINE, "text",
+              "fused pre-training data job: curation → exact dedup → "
+              "train/val split → per-(split, lang) report, one plan, "
+              "two shuffles"),
 ]

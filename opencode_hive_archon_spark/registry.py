@@ -36,6 +36,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.plans.scenarios",
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",
+    "opencode_hive_archon_spark.sources.bucketed",
     "opencode_hive_archon_spark.streaming.jobs",
 ]
 
@@ -59,30 +60,40 @@ _PRIORITY = [
     # stream_static_join takes the window slot instead)
     "stream_stateful_user_stats", "stream_tumbling_counts", "stream_sliding_avg",
     "stream_session_windows", "stream_dedup", "stream_static_join",
-    # sources + reference query shapes
-    "source_roundtrip_formats", "local_supplier_volume", "promo_revenue_share",
+    # sources + reference query shapes; source_bucketed_join is the pinned
+    # shuffle-free bucketed-layout evidence (round-7 flagship)
+    "source_roundtrip_formats", "source_bucketed_join", "local_supplier_volume",
+    "promo_revenue_share",
     # (sql_pricing_summary shares pricing_summary's physical plan — the SQL
     # surface variant stays outside the window)
-    "pivot_lineitem_status", "stream_foreachbatch_sink", "agg_skew_salted",
+    "pivot_lineitem_status", "agg_skew_salted",
     "join_range_bucketed",
     # companion gates for the approximate operators (all five)
     "dedup_minhash_lsh_recall", "dedup_simhash_recall",
     "ann_lsh_recall", "ann_ivf_recall", "agg_approx_distinct_error",
     # relational core — one representative per shape; displaced siblings
     # (join_semi_anti ⊂ q21's semi/anti legs, join_outer_coalesce,
-    # grouping_sets ~ rollup, window_moving_avg ~ window_running,
-    # unpivot ~ pivot, text_token_stats ~ corpus_curation's text stage)
-    # stay green under tools/check.py and pytest
+    # grouping_sets ~ rollup, window_moving_avg/window_running ~
+    # window_rank_topk_per_group, unpivot ~ pivot, text_token_stats ~
+    # corpus_curation's text stage,
+    # stream_foreachbatch_sink ~ the in-window streaming six,
+    # multimodal_meta_profile ~ multimodal_decode) stay green under
+    # tools/check.py and pytest
+    # (agg_distinct displaced too: exact distinct aggregation is already
+    # window-covered by rollup_orders + the agg_approx_distinct_error gate)
     "scan_project_filter", "pricing_summary", "join_broadcast", "join_shuffle",
     "q21_waiting_suppliers", "events_sessionize", "join_asof_event_order",
-    "agg_distinct", "rollup_orders", "dedup_clusters",
-    "window_rank_topk_per_group", "window_running", "corpus_curation",
-    # LLM-data-pipeline representatives
+    "rollup_orders", "dedup_clusters",
+    "window_rank_topk_per_group", "corpus_curation",
+    # LLM-data-pipeline representatives; the fused pre-training job is the
+    # round-7 composite showcase
+    "corpus_pretraining_pipeline",
     "similarity_topk", "dedup_embedding_cosine", "dedup_exact", "dedup_near",
     "ann_quantized_topk",
-    # UDF family + multimodal representative
+    # UDF family + multimodal decode (oracle-exact since round 7) + the R23
+    # extraction front-end
     "udf_scalar_clamp", "udaf_grouped_normalize", "udtf_explode_tokens",
-    "multimodal_meta_profile",
+    "multimodal_decode", "plan_diff_extract",
 ]
 
 

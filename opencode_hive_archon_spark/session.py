@@ -117,7 +117,31 @@ def unpersist_all() -> int:
         except Exception:
             pass
     _PERSISTED.clear()
+    _KEYED.clear()
     return n
+
+
+# Session-scoped handles for expensive shared intermediates that MULTIPLE
+# query entry points consume (e.g. the near-dup edge table feeds
+# recall_graph_khop AND the dedup recall gates). Spark's CacheManager already
+# dedupes identical canonicalized plans, but each invocation still rebuilds
+# the (large) logical plan and re-runs the eager count; the keyed handle
+# skips both and guarantees one computation per (session, key).
+_KEYED: dict[tuple, DataFrame] = {}
+
+
+def materialize_keyed(spark: SparkSession, key: tuple, builder) -> DataFrame:
+    """Return the session-cached materialization for ``key``, computing it
+    via ``builder()`` (a zero-arg callable returning a DataFrame) on first
+    use. Keys must include every parameter the plan depends on (sf_dir,
+    tuning constants); the session id is added automatically so a restarted
+    SparkSession never serves another session's dead handles."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _KEYED.get(full_key)
+    if df is None:
+        df = materialize(builder())
+        _KEYED[full_key] = df
+    return df
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:

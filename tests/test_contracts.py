@@ -121,9 +121,12 @@ def test_priority_window_contents():
     window = list(all_specs())[:50]
     assert window == _PRIORITY
     for name in [
-        "recall_envelope", "scenario_replay", "stream_foreachbatch_sink",
+        "recall_envelope", "scenario_replay", "stream_static_join",
         "q21_waiting_suppliers", "events_sessionize", "dedup_clusters",
         "corpus_curation", "ann_quantized_topk", "agg_approx_distinct_error",
         "dedup_minhash_lsh_recall", "udtf_explode_tokens",
+        # round-7 flagships
+        "source_bucketed_join", "corpus_pretraining_pipeline",
+        "multimodal_decode", "plan_diff_extract",
     ]:
         assert name in window, name

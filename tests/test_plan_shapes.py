@@ -212,6 +212,36 @@ def test_train_val_split_prunes_text_column(spark, sf_dir):
     assert "partial_" in p and p.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
+    """source_bucketed_join: the whole plan — both fact scans, the
+    sort-merge join, and the per-order aggregate — must contain ZERO
+    Exchange nodes. The bucketed layout (bucketBy+sortBy on the join key,
+    same bucket count both sides) provides the distribution at write time;
+    the aggregate's grouping keys contain the bucket key, so it rides the
+    same partitioning; the top-k is TakeOrderedAndProject, not a global
+    sort. This is the repo's central 100-TB layout claim, pinned."""
+    from opencode_hive_archon_spark.sources import bucketed as B
+
+    p = plan(B.source_bucketed_join(spark, sf_dir))
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, p
+    assert "TakeOrderedAndProject" in p
+    # both scans are bucketed catalog-table scans with the declared count
+    assert p.count(f"Bucketed: true") == 2 or p.count("SelectedBucketsCount") == 2, p
+
+
+def test_pretraining_pipeline_fused(spark, sf_dir):
+    """corpus_pretraining_pipeline: stacking split on curation must add no
+    shuffle — the exchanges are exactly the curation set (scan re-split,
+    digest dedup, two-phase distinct-count aggregate, presentation sort) and
+    the split expression is fused below the dedup exchange."""
+    p = plan(T.corpus_pretraining_pipeline(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 5, p
+    # dedup digest computed map-side, below its exchange
+    assert "sha2" in p.split("Exchange hashpartitioning(_w0")[1]
+
+
 def test_graph_khop_no_cartesian(spark, sf_dir):
     """recall_graph_khop: every BFS hop is an equi-join (frontier vs edges)
     — no unbounded cartesian anywhere in the plan. (BroadcastNestedLoop

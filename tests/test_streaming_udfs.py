@@ -89,15 +89,22 @@ class TestUdfs:
 
 
 class TestMultimodal:
-    def test_decode_stub_plumbing(self, spark, sf_dir):
-        rows = M.multimodal_decode_stub(spark, sf_dir).collect()
+    def test_decode_header_parse(self, spark, sf_dir):
+        rows = M.multimodal_decode(spark, sf_dir).collect()
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         assert len(rows) == n_docs
         for r in rows[:50]:
-            assert r["decoder"] == "stub"
-            assert r["n_bytes"] > 0
+            assert r["codec"] == M.MAGIC
+            assert r["n_bytes"] == r["body_bytes"] + M.HEADER_BYTES
             assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
             assert (r["modality"] == "image") == (r["n_frames"] == 1)
+
+    def test_decode_arrow_matches_jvm(self, spark, sf_dir):
+        """The Python struct.unpack path must agree byte-for-byte with the
+        JVM substring/conv path — same header, two decoders."""
+        jvm = M.multimodal_decode(spark, sf_dir).collect()
+        arrow = M.multimodal_decode_arrow(spark, sf_dir).collect()
+        assert [tuple(r) for r in jvm] == [tuple(r) for r in arrow]
 
 
 class TestRecallEngine:
