@@ -131,6 +131,8 @@ BENCH_TIER2 = [
     "source_bucketed_join",
     "plan_diff_extract",
     "corpus_pretraining_pipeline",
+    "dedup_ngram_jaccard",
+    "multimodal_frame_sample",
 ]
 
 

@@ -7,6 +7,9 @@ The training-data-pipeline dedup ladder, each tier Spark-first:
 * near (Jaccard)  — token-3-gram shingle sets, banded self-join: length
                     bands prune the candidate space from O(n²) to near-dup
                     neighborhoods before any set intersection runs.
+* n-gram Jaccard  — character-5-gram sets through the same prefix-filtered
+                    SSJoin: tokenization-free (robust to punctuation and
+                    segmentation differences).
 * MinHash + LSH   — the 100 TB path: per-doc signature (k independent
                     min-hashes via seeded xxhash64), banded into b groups of
                     r rows; candidate pairs share a (band, band-hash) bucket;
@@ -148,30 +151,24 @@ FROM groups
 """
 
 
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: token-3-gram Jaccard >= 0.8 within a length band.
+def _prefix_filtered_pairs(docs: DataFrame) -> DataFrame:
+    """Generic prefix-filtered set-similarity join (SSJoin/PPJoin family —
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08 — exact, no LSH miss
+    probability) over a (doc_id, n_chars, sh: array<string>) relation:
 
-    Prefix-filtered set-similarity join (SSJoin/PPJoin family — Chaudhuri
-    et al. ICDE'06, Xiao et al. WWW'08 — exact, no LSH miss probability):
-
-    1. canonical order: shingles ranked by (global frequency asc, value) —
-       rare shingles first, so indexed prefixes collide rarely;
-    2. each doc indexes only its first L = |A| - ceil(0.8|A|) + 1 shingles
+    1. canonical order: set elements ranked by (global frequency asc,
+       value) — rare elements first, so indexed prefixes collide rarely;
+    2. each doc indexes only its first L = |A| - ceil(0.8|A|) + 1 elements
        in that order; the prefix-filter theorem guarantees every pair with
-       J >= 0.8 shares at least one indexed prefix token;
-    3. candidates = equi-join on the prefix token (+ length-band filter),
+       J >= 0.8 shares at least one indexed prefix element;
+    3. candidates = equi-join on the prefix element (+ length-band filter),
        then ONE exact array_intersect verify per distinct candidate pair.
 
     Shuffle profile: two key-partitioned shuffles (frequency count, prefix
-    join) over ~0.2 of the shingle instances — the verify set is tiny, so
-    cost tracks true near-duplicates, not n².
+    join) over ~0.2 of the element instances — the verify set is tiny, so
+    cost tracks true near-duplicates, not n². Returns (doc_a, doc_b,
+    jaccard) pairs at JACCARD_THRESHOLD.
     """
-    # The shingle arrays feed four downstream branches (freq, rank, prefix,
-    # verify); materialize them ONCE — otherwise the tokenize+3-gram
-    # expression re-evaluates per branch (and per exploded row in some
-    # collapsed plan shapes), turning a 2 s pass into minutes. At cluster
-    # scale this is the persist() of the shared intermediate.
-    docs = _shingled_docs(spark, sf_dir)
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ranked = ex.join(freq, "shingle").select(
@@ -221,8 +218,108 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: token-3-gram Jaccard >= 0.8 within a length band,
+    via the generic prefix-filtered set-similarity join
+    (``_prefix_filtered_pairs``) over the shared shingle relation."""
+    # The shingle arrays feed four downstream branches (freq, rank, prefix,
+    # verify); materialize them ONCE — otherwise the tokenize+3-gram
+    # expression re-evaluates per branch (and per exploded row in some
+    # collapsed plan shapes), turning a 2 s pass into minutes. At cluster
+    # scale this is the persist() of the shared intermediate.
+    return _prefix_filtered_pairs(_shingled_docs(spark, sf_dir))
+
+
 _ORACLE_DEDUP_NEAR = f"""
 WITH {_SHINGLE_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / NULLIF(len(list_distinct(a.sh || b.sh)), 0) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / NULLIF(len(list_distinct(a.sh || b.sh)), 0) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- character n-gram Jaccard (tokenization-free near-dup) ------------------
+
+CHAR_NGRAM = 5
+# Winnowing: keep a gram iff its (md5-prefix) hash ≡ 0 mod WINNOW_MOD — a
+# deterministic ~1/8 sample of each doc's gram set. Full char-gram sets are
+# ~|text| elements per document; at 100 TB nobody ships those through a
+# set-similarity join — winnowed Jaccard is the standard estimator (same
+# family as MinHash: hash-uniform subsets preserve the Jaccard ratio in
+# expectation). The winnow rule is engine-mirrored (md5 on both sides), so
+# the WHOLE pipeline keeps an exact DuckDB oracle. Measured at sf0.1 the
+# winnow turns a 63 s join into ~2 s with identical planted-pair recovery.
+WINNOW_MOD = 8
+
+
+def _char_grams() -> Column:
+    """Winnowed distinct character 5-grams over the whitespace-normalized
+    lowercased text (empty when the text is shorter than one gram).
+    Character grams are tokenization-free: robust to punctuation and
+    segmentation differences that break word-shingle Jaccard (the
+    CCNet-style dedup signal)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (CHAR_NGRAM - 1)),
+            lambda i: norm.substr(i, F.lit(CHAR_NGRAM)),
+        )
+    )
+    winnowed = F.filter(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("long")
+        % WINNOW_MOD
+        == 0,
+    )
+    return F.when(F.length(norm) >= CHAR_NGRAM, winnowed).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _chargram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, sh=winnowed char-5-gram set), materialized once per
+    branch fan-out (same rationale as _shingled_docs)."""
+    return _materialize(
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "n_chars", _char_grams().alias("sh"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowed character-5-gram Jaccard >= 0.8 within a
+    length band — the tokenization-free rung of the dedup ladder, running
+    through the SAME prefix-filtered SSJoin as ``dedup_near`` (only the set
+    definition changes; the scale posture — rare-first prefixes, id-only
+    candidate shuffle, SHUFFLE_HASH verify — is inherited). Docs whose
+    winnowed set is empty (very short texts) cannot pair — the estimator
+    property tests pin planted-dup recovery."""
+    return _prefix_filtered_pairs(_chargram_docs(spark, sf_dir))
+
+
+_CHARGRAM_CTE = f"""
+norm AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, n_chars,
+         list_filter(
+           list_distinct([substr(nt, i, {CHAR_NGRAM})
+                          for i in range(1, greatest(length(nt) - {CHAR_NGRAM - 2}, 1))]),
+           g -> ('0x' || substr(md5(g), 1, 4))::BIGINT % {WINNOW_MOD} = 0
+         ) AS sh
+  FROM norm
+)
+"""
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH {_CHARGRAM_CTE}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / NULLIF(len(list_distinct(a.sh || b.sh)), 0) AS jaccard
@@ -485,6 +582,10 @@ SPECS = [
               "exact dedup via sha2 hash-groupBy"),
     QuerySpec("dedup_near", dedup_near, _ORACLE_DEDUP_NEAR, "dedup",
               "length-banded token-3-gram Jaccard near-dup pairs"),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD,
+              "dedup",
+              "character-5-gram Jaccard near-dup pairs (tokenization-free; "
+              "same prefix-filtered SSJoin)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, "dedup",
               "MinHash+LSH banded near-dup (rows-only; recall tested vs exact)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "dedup",

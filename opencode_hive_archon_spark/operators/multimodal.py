@@ -156,6 +156,54 @@ def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SAMPLES = 4  # frames sampled per clip (uniform stride)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the decoded payloads: pick ``FRAME_SAMPLES``
+    uniformly-strided frame indices per clip (floor(k·n/s), the standard
+    video-sampling grid) — the step between decode and per-frame feature
+    extraction in a media training pipeline. Pure JVM arithmetic over the
+    parsed header; the frame GRID is planned here, the (library-dependent)
+    pixel fetch would consume it via the mapInPandas path shown by
+    ``multimodal_decode_arrow``."""
+    decoded = multimodal_decode(spark, sf_dir)
+    n_sampled = F.least(F.col("n_frames"), F.lit(FRAME_SAMPLES))
+    idx = F.transform(
+        F.sequence(F.lit(0), n_sampled - 1),
+        lambda k: F.floor(k * F.col("n_frames") / n_sampled),
+    )
+    return decoded.select(
+        "doc_id",
+        "modality",
+        "n_frames",
+        n_sampled.cast("int").alias("n_sampled"),
+        idx.alias("frame_idx"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_FRAME_SAMPLE = f"""
+WITH src AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         octet_length(encode(text)) AS body_len
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, modality,
+         CAST(CASE WHEN modality = 'image' THEN 1
+                   ELSE 1 + body_len % {FRAMES_MOD} END AS INT) AS n_frames
+  FROM src
+)
+SELECT doc_id, modality, n_frames,
+       CAST(least(n_frames, {FRAME_SAMPLES}) AS INT) AS n_sampled,
+       [CAST(k * n_frames // least(n_frames, {FRAME_SAMPLES}) AS BIGINT)
+        for k in range(0, least(n_frames, {FRAME_SAMPLES}))] AS frame_idx
+FROM dec
+ORDER BY doc_id
+"""
+
+
 def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the decoded metadata per modality — the downstream shape
     of a media-pipeline profiling job (oracle-checkable because byte
@@ -221,6 +269,9 @@ SPECS = [
               "multimodal",
               "same header decode via Arrow-batched mapInPandas (the real-codec "
               "plumbing); oracle-exact"),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
+              _ORACLE_FRAME_SAMPLE, "multimodal",
+              "uniform-stride frame-index sampling over decoded clip headers"),
     QuerySpec("multimodal_meta_profile", multimodal_meta_profile, _ORACLE_META_PROFILE,
               "multimodal", "per-modality byte/metadata profile"),
 ]

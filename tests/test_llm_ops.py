@@ -22,6 +22,16 @@ def test_dedup_near_finds_planted_pairs(spark, sf_dir):
         assert p["doc_a"] < p["doc_b"]
 
 
+def test_dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Char-5-gram Jaccard: valid pairs above threshold, and near-identical
+    texts (the planted exact dups) must appear regardless of tokenization."""
+    pairs = D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert p["jaccard"] >= D.JACCARD_THRESHOLD
+        assert p["doc_a"] < p["doc_b"]
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """LSH candidates + exact verify must recover every exact near-dup pair
     whose docs fall in the same length band (the exact query's blocking)."""

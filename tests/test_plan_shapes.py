@@ -100,7 +100,7 @@ def test_dedup_verify_no_corpus_broadcast(spark, sf_dir):
     from opencode_hive_archon_spark.operators import dedup as D
 
     assert "F.broadcast" not in inspect.getsource(D)
-    for fn in (D.dedup_near, D.dedup_minhash_lsh):
+    for fn in (D.dedup_near, D.dedup_minhash_lsh, D.dedup_ngram_jaccard):
         p = plan(fn(spark, sf_dir))
         assert "ShuffledHashJoin" in p, fn.__name__
         assert "BroadcastNestedLoop" not in p, fn.__name__
