@@ -133,6 +133,7 @@ BENCH_TIER2 = [
     "corpus_pretraining_pipeline",
     "dedup_ngram_jaccard",
     "multimodal_frame_sample",
+    "multimodal_resize_plan",
 ]
 
 

@@ -204,6 +204,59 @@ ORDER BY doc_id
 """
 
 
+RESIZE_BOX = 224  # target bounding box (the standard vision-model input)
+
+
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the decoded dimensions: fit each image/frame
+    into a ``RESIZE_BOX``² box preserving aspect ratio, never upscaling
+    (thumbnail semantics) — the scheduling arithmetic a preprocessing
+    pipeline runs BEFORE the pixel-level library call (which would consume
+    this plan via the ``multimodal_decode_arrow`` path). Pure JVM; the
+    scale factor and output dims are deterministic double arithmetic,
+    mirrored exactly by the oracle."""
+    decoded = multimodal_decode(spark, sf_dir)
+    scale = F.least(
+        F.lit(1.0),
+        F.least(
+            F.lit(float(RESIZE_BOX)) / F.col("width"),
+            F.lit(float(RESIZE_BOX)) / F.col("height"),
+        ),
+    )
+    out = lambda c: F.greatest(F.lit(1).cast("long"), F.floor(F.col(c) * scale))
+    return decoded.select(
+        "doc_id",
+        "modality",
+        "width",
+        "height",
+        scale.alias("scale"),
+        out("width").alias("out_w"),
+        out("height").alias("out_h"),
+        (scale < 1.0).alias("downscaled"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_RESIZE_PLAN = f"""
+WITH src AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         CAST({WIDTH_BASE} + n_chars % {WIDTH_MOD} AS INT) AS width,
+         CAST({HEIGHT_BASE} + (doc_id * {HEIGHT_MULT}) % {HEIGHT_MOD} AS INT) AS height
+  FROM documents
+),
+sc AS (
+  SELECT *, least(1.0, least({RESIZE_BOX}.0 / width, {RESIZE_BOX}.0 / height)) AS scale
+  FROM src
+)
+SELECT doc_id, modality, width, height, scale,
+       greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
+       greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h,
+       scale < 1.0 AS downscaled
+FROM sc
+ORDER BY doc_id
+"""
+
+
 def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the decoded metadata per modality — the downstream shape
     of a media-pipeline profiling job (oracle-checkable because byte
@@ -272,6 +325,10 @@ SPECS = [
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
               _ORACLE_FRAME_SAMPLE, "multimodal",
               "uniform-stride frame-index sampling over decoded clip headers"),
+    QuerySpec("multimodal_resize_plan", multimodal_resize_plan,
+              _ORACLE_RESIZE_PLAN, "multimodal",
+              "aspect-preserving resize planning (fit into 224x224, no "
+              "upscale) over decoded dimensions"),
     QuerySpec("multimodal_meta_profile", multimodal_meta_profile, _ORACLE_META_PROFILE,
               "multimodal", "per-modality byte/metadata profile"),
 ]
