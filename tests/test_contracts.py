@@ -130,3 +130,44 @@ def test_priority_window_contents():
         "multimodal_decode", "plan_diff_extract",
     ]:
         assert name in window, name
+
+
+def test_registry_census():
+    """Inventory canary: a refactor that silently drops a registered query
+    or downgrades an oracle-exact entry to rows-only must fail HERE with
+    names, not as a quiet shrink of the driver's correctness surface."""
+    from opencode_hive_archon_spark.registry import all_specs, oracle_sql
+
+    specs = all_specs()
+    rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
+    assert len(specs) == 99, sorted(specs)
+    # every rows-only entry is a deliberate, documented exception
+    assert rows_only == [
+        "agg_approx_distinct",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "stream_late_data",
+    ], rows_only
+    assert len(oracle_sql()) == 99 - len(rows_only)
+
+
+def test_keyed_materialize_released_by_unpersist_all(spark):
+    """Session-keyed materializations must not leak across workloads:
+    unpersist_all() clears the keyed handles so the next build recomputes."""
+    from opencode_hive_archon_spark import session as S
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10)
+
+    a = S.materialize_keyed(spark, ("census_test",), build)
+    b = S.materialize_keyed(spark, ("census_test",), build)
+    assert a is b and len(calls) == 1
+    S.unpersist_all()
+    S.materialize_keyed(spark, ("census_test",), build)
+    assert len(calls) == 2
+    S.unpersist_all()
