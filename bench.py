@@ -146,8 +146,9 @@ def try_run(specs, name, spark, sf_dir, failures) -> float | None:
 
     Failures are recorded once per query name (exception class + first line)
     and never propagate: a single broken operator must not abort the bench.
-    Callers prune ``failures`` entries for queries that later produce a timed
-    sample, so a warm-up-only hiccup never shows up as a failed query.
+    Callers pass separate dicts for warm-up vs timed passes, so a
+    warm-up-only hiccup is reported as such while timed-pass failures stay
+    failures.
     """
     t0 = time.perf_counter()
     try:
@@ -167,6 +168,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     specs = registry.all_specs()
+    # Separate books for warm-up vs timed passes: a warm-up-only hiccup is
+    # reported as such, while ANY timed-pass failure stays a failure — even
+    # when other iterations produced samples (a flaky query must not read
+    # as healthy just because its median exists).
+    warmup_failures: dict[str, str] = {}
     failures: dict[str, str] = {}
     # Warm the JVM (codegen, parquet footers, Arrow) so per-query timings
     # reflect steady state rather than first-touch initialization.
@@ -179,7 +185,7 @@ def main() -> None:
     # Untimed warm-up pass: the first execution of each query absorbs
     # whole-stage-codegen compilation and shared-intermediate cache fills.
     for name in BENCH_QUERIES:
-        try_run(specs, name, spark, sf_dir, failures)
+        try_run(specs, name, spark, sf_dir, warmup_failures)
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(iters):
@@ -196,7 +202,7 @@ def main() -> None:
 
     # Tier 2: warm-up + one timed pass per query.
     for name in BENCH_TIER2:
-        try_run(specs, name, spark, sf_dir, failures)
+        try_run(specs, name, spark, sf_dir, warmup_failures)
     tier2_timings: dict[str, float] = {}
     for name in BENCH_TIER2:
         elapsed = try_run(specs, name, spark, sf_dir, failures)
@@ -207,11 +213,19 @@ def main() -> None:
 
     unpersist_all()
 
-    # A query that failed only during warm-up but produced timed samples is
-    # not a failure — keep `n_fail` aligned with the set of queries that have
-    # no timing at all.
+    # `failures` now contains ONLY timed-pass failures. A query that failed
+    # solely during warm-up (present in warmup_failures, absent here, with
+    # timed samples) is reported separately, not as a failure.
     timed_ok = set(timings) | set(tier2_timings)
-    failures = {k: v for k, v in failures.items() if k not in timed_ok}
+    warmup_only = {
+        k: v
+        for k, v in warmup_failures.items()
+        if k in timed_ok and k not in failures
+    }
+    # a query that failed warm-up AND produced no timed sample is a failure
+    for k, v in warmup_failures.items():
+        if k not in timed_ok:
+            failures.setdefault(k, v)
 
     all_timings = {**timings, **tier2_timings}
     # "value" is the TIER-1 HEADLINE total — the set rounds 1-2 reported and
@@ -234,6 +248,7 @@ def main() -> None:
         "tier2": sorted(tier2_timings),
         "tier1_missing": tier1_missing,
         "failures": failures,
+        "warmup_only_failures": warmup_only,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

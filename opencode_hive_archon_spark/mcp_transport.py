@@ -98,11 +98,18 @@ class StdioTransport:
         if name == "recall_search":
             if "query" not in args:
                 raise _InvalidParams("recall_search requires 'query'")
+            try:
+                top_k = int(args.get("top_k") if args.get("top_k") is not None else 5)
+                threshold = float(
+                    args.get("threshold") if args.get("threshold") is not None else 0.6
+                )
+            except (TypeError, ValueError) as exc:
+                raise _InvalidParams(f"bad argument type: {exc}") from exc
             result = server.recall_search(
                 query=args["query"],
                 mode=args.get("mode", "conversation"),
-                top_k=int(args.get("top_k", 5)),
-                threshold=float(args.get("threshold", 0.6)),
+                top_k=top_k,
+                threshold=threshold,
                 provider_override=args.get("provider_override"),
             )
         elif name == "validate_branch":
@@ -156,7 +163,12 @@ class StdioTransport:
             except json.JSONDecodeError:
                 resp = _error(None, -32700, "parse error")
             else:
-                resp = self.handle(msg)
+                # valid JSON but not a request object (batch arrays are not
+                # supported by MCP stdio framing; scalars are never valid)
+                if not isinstance(msg, dict):
+                    resp = _error(None, -32600, "invalid request: expected object")
+                else:
+                    resp = self.handle(msg)
             if resp is not None:
                 stdout.write(json.dumps(resp) + "\n")
                 stdout.flush()

@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opencode_hive_archon_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
 from opencode_hive_archon_spark.session import materialize as _materialize
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
@@ -254,6 +258,7 @@ CHAR_NGRAM = 5
 # the WHOLE pipeline keeps an exact DuckDB oracle. Measured at sf0.1 the
 # winnow turns a 63 s join into ~2 s with identical planted-pair recovery.
 WINNOW_MOD = 8
+_MD5_PREFIX_SQL = md5_prefix_long_sql("g")
 
 
 def _char_grams() -> Column:
@@ -269,12 +274,7 @@ def _char_grams() -> Column:
             lambda i: norm.substr(i, F.lit(CHAR_NGRAM)),
         )
     )
-    winnowed = F.filter(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("long")
-        % WINNOW_MOD
-        == 0,
-    )
+    winnowed = F.filter(grams, lambda g: md5_prefix_long(g) % WINNOW_MOD == 0)
     return F.when(F.length(norm) >= CHAR_NGRAM, winnowed).otherwise(
         F.array().cast("array<string>")
     )
@@ -312,7 +312,7 @@ sh AS (
          list_filter(
            list_distinct([substr(nt, i, {CHAR_NGRAM})
                           for i in range(1, greatest(length(nt) - {CHAR_NGRAM - 2}, 1))]),
-           g -> ('0x' || substr(md5(g), 1, 4))::BIGINT % {WINNOW_MOD} = 0
+           g -> {_MD5_PREFIX_SQL} % {WINNOW_MOD} = 0
          ) AS sh
   FROM norm
 )

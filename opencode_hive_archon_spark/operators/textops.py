@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from opencode_hive_archon_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
 from opencode_hive_archon_spark.functions.vector import cosine_similarity
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
@@ -646,7 +650,7 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TRAIN_VAL = f"""
-SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {SPLIT_HASH_HEX_CHARS}))::BIGINT
+SELECT CASE WHEN {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", SPLIT_HASH_HEX_CHARS)}
             % {SPLIT_BUCKETS} < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split,
        lang,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -666,11 +670,7 @@ def _split_col() -> "F.Column":
     """Deterministic split assignment (same definition as
     corpus_train_val_split): md5-prefix bucket on doc_id."""
     bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, SPLIT_HASH_HEX_CHARS),
-            16,
-            10,
-        ).cast("long"),
+        md5_prefix_long(F.col("doc_id").cast("string"), SPLIT_HASH_HEX_CHARS),
         F.lit(SPLIT_BUCKETS),
     )
     return F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train"))
@@ -714,7 +714,7 @@ WITH {_CURATION_CTES},
 curated AS (SELECT * FROM dd WHERE rn = 1),
 sp AS (
   SELECT *,
-         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {SPLIT_HASH_HEX_CHARS}))::BIGINT
+         CASE WHEN {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", SPLIT_HASH_HEX_CHARS)}
               % {SPLIT_BUCKETS} < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split
   FROM curated
 )

@@ -23,6 +23,8 @@ inventory the mandate adds on top.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,10 +48,26 @@ _FACTS = (
 _BUCKETED_READY: set[tuple[str, str]] = set()
 
 
+def _sf_suffix(sf_dir: str) -> str:
+    """Table-name suffix derived from the sf dir, so tables from different
+    scale factors never collide: a session that alternates sf_dirs must get
+    each dir's OWN layout, not a cached name pointing at the other's data."""
+    base = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return "".join(c if c.isalnum() else "_" for c in base)
+
+
+def bucketed_table_names(sf_dir: str) -> dict[str, str]:
+    """{source table -> fully-qualified bucketed table identifier}."""
+    sfx = _sf_suffix(sf_dir)
+    return {src: f"{CATALOG_DB}.{table}_{sfx}" for table, src, _ in _FACTS}
+
+
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> None:
     """Write orders+lineitem as managed parquet tables bucketed AND sorted on
     the join key (once per session+sf_dir; both sides use the same bucket
-    count, which is what makes the join co-located).
+    count, which is what makes the join co-located). Table names carry the
+    sf_dir suffix, so the session ready-set can never serve another scale
+    factor's data.
 
     ``repartition(N, key)`` before the bucketed write keeps file counts
     bounded (one file per bucket per write task otherwise — at 1000 tasks x
@@ -58,10 +76,11 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> None:
     if cache_key in _BUCKETED_READY:
         return
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
+    idents = bucketed_table_names(sf_dir)
     for table, src, key in _FACTS:
-        ident = f"{CATALOG_DB}.{table}"
+        ident = idents[src]
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        _clear_orphan_location(spark, table)
+        _clear_orphan_location(spark, ident.split(".", 1)[1])
         (
             read_table(spark, sf_dir, src)
             .repartition(N_BUCKETS, F.col(key))
@@ -86,8 +105,9 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-row sum is order-insensitive (oracle-exact).
     """
     ensure_bucketed_facts(spark, sf_dir)
-    li = spark.table(f"{CATALOG_DB}.lineitem_bucketed")
-    orders = spark.table(f"{CATALOG_DB}.orders_bucketed")
+    idents = bucketed_table_names(sf_dir)
+    li = spark.table(idents["lineitem"])
+    orders = spark.table(idents["orders"])
     revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )

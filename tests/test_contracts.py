@@ -153,6 +153,32 @@ def test_registry_census():
     assert len(oracle_sql()) == 99 - len(rows_only)
 
 
+def test_md5_prefix_cross_engine_parity(spark):
+    """The canonical cross-engine hash (CONVENTIONS.md) must agree value-
+    for-value between the Spark helper and its DuckDB SQL mirror."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from opencode_hive_archon_spark.functions.hashing import (
+        md5_prefix_long,
+        md5_prefix_long_sql,
+    )
+
+    vals = ["", "a", "42", "hello world", "ünïcode"]
+    got_spark = [
+        r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(md5_prefix_long(F.col("s"), 6).alias("h"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {md5_prefix_long_sql('?', 6)}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_duck
+
+
 def test_keyed_materialize_released_by_unpersist_all(spark):
     """Session-keyed materializations must not leak across workloads:
     unpersist_all() clears the keyed handles so the next build recomputes."""
