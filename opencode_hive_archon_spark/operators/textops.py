@@ -763,6 +763,7 @@ SPECS = [
     QuerySpec("corpus_pretraining_pipeline", corpus_pretraining_pipeline,
               _ORACLE_PRETRAIN_PIPELINE, "text",
               "fused pre-training data job: curation → exact dedup → "
-              "train/val split → per-(split, lang) report, one plan, "
-              "two shuffles"),
+              "train/val split → per-(split, lang) report in one fused "
+              "plan — zero shuffles added over curation (≤5 pinned "
+              "exchanges total)"),
 ]

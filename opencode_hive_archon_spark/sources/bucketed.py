@@ -23,6 +23,7 @@ inventory the mandate adds on top.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,9 +52,17 @@ _BUCKETED_READY: set[tuple[str, str]] = set()
 def _sf_suffix(sf_dir: str) -> str:
     """Table-name suffix derived from the sf dir, so tables from different
     scale factors never collide: a session that alternates sf_dirs must get
-    each dir's OWN layout, not a cached name pointing at the other's data."""
-    base = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return "".join(c if c.isalnum() else "_" for c in base)
+    each dir's OWN layout, not a cached name pointing at the other's data.
+
+    The suffix carries a digest of the FULL normalized path, not just the
+    basename — two dirs with the same basename (/a/sf0.1 vs /b/sf0.1) would
+    otherwise map to the same table names while the ready-set is keyed on the
+    full path, letting one dir silently read the other's layout."""
+    norm = os.path.abspath(sf_dir.rstrip("/") or "/")
+    base = os.path.basename(norm) or "default"
+    safe = "".join(c if c.isalnum() else "_" for c in base)
+    digest = hashlib.md5(norm.encode("utf-8")).hexdigest()[:8]
+    return f"{safe}_{digest}"
 
 
 def bucketed_table_names(sf_dir: str) -> dict[str, str]:

@@ -53,11 +53,14 @@ def save_curated_doc_stats(spark: SparkSession, sf_dir: str) -> str:
     Repeat calls are idempotent AND near-atomic for readers: the (slow)
     rewrite lands in a STAGING table first, then the published name is
     swapped via two metadata-only operations (DROP + RENAME). A concurrent
-    reader of the published table never observes a half-written table; the
-    remaining exposure is the metadata swap itself, which the in-memory /
-    Hive v1 catalog cannot make into one atomic operation — a lakehouse
-    format (Delta/Iceberg, unavailable in this sandbox; see sources/io.py)
-    is the fully-atomic version of this same pattern."""
+    reader of the published table never observes PARTIALLY WRITTEN DATA —
+    but the name may briefly fail to resolve between the DROP and the
+    RENAME, and a crash inside that window leaves the data reachable only
+    under the staging name (recovery: rename the staging table back by
+    hand). The in-memory / Hive v1 catalog cannot make the swap one atomic
+    operation — a lakehouse format (Delta/Iceberg, unavailable in this
+    sandbox; see sources/io.py) is the fully-atomic version of this same
+    pattern."""
     docs = read_table(spark, sf_dir, "documents")
     curated = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

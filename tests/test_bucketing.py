@@ -71,3 +71,17 @@ def test_bucketed_matches_unbucketed(spark, sf_dir, bucketed):
         )
     }
     assert bucketed_rows == plain
+
+
+def test_sf_suffix_distinguishes_same_basename_dirs():
+    """Two sf_dirs with the same basename (/a/sf0.1 vs /b/sf0.1) must map to
+    DIFFERENT bucketed table names — the suffix carries a digest of the full
+    path, so the session ready-set can never serve the other dir's layout."""
+    from opencode_hive_archon_spark.sources.bucketed import _sf_suffix
+
+    a = _sf_suffix("/a/sf0.1")
+    b = _sf_suffix("/b/sf0.1")
+    assert a != b
+    assert a.startswith("sf0_1_") and b.startswith("sf0_1_")
+    # stable across calls and trailing-slash normalization
+    assert _sf_suffix("/a/sf0.1/") == a

@@ -175,7 +175,9 @@ def test_corpus_curation_fused_filters(spark, sf_dir):
     assert "sha2" in p and "WindowGroupLimit" in p and p.count("WindowGroupLimit") >= 2
     # the digest is computed map-side (below its exchange), so the shuffle
     # key is the 32-byte hash, not the document text
-    assert "sha2" in p.split("Exchange hashpartitioning(_w0")[1]
+    parts = p.split("Exchange hashpartitioning(_w0")
+    assert len(parts) > 1, p
+    assert "sha2" in parts[1]
     # exchanges: _docs re-split, digest dedup, (lang,source) distinct,
     # lang agg, final range sort — nothing else
     assert p.count("Exchange") <= 5, p
@@ -239,7 +241,9 @@ def test_pretraining_pipeline_fused(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("Exchange") <= 5, p
     # dedup digest computed map-side, below its exchange
-    assert "sha2" in p.split("Exchange hashpartitioning(_w0")[1]
+    parts = p.split("Exchange hashpartitioning(_w0")
+    assert len(parts) > 1, p
+    assert "sha2" in parts[1]
 
 
 def test_graph_khop_no_cartesian(spark, sf_dir):
