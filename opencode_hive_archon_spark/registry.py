@@ -42,58 +42,51 @@ _SPEC_MODULES = [
 
 
 # Registration-order priority. The driver's correctness snapshot records the
-# FIRST 50 registered queries, so ordering is part of the contract: the
-# reference-parity pipeline, streaming, the one-per-family representatives
-# and the companion recall gates must land inside the window. Entries beyond
-# 50 are either redundant-with-siblings variants (e.g. join_asof_pandas next
-# to join_asof_event_order) or rows-only approximates whose QUALITY is
-# already driver-gated by a companion query in the window — all of them stay
-# covered by tools/check.py and pytest.
+# FIRST 50 registered queries, so ordering is part of the contract.
+#
+# ROUND-8 ROTATION: rounds 1-7 driver-gated the 50 flagship queries (the
+# exact set recorded in CORRECTNESS_r07.json). This round the window holds
+# the 49 queries that had NEVER been inside a driver snapshot — so the
+# UNION of the r7 and r8 snapshots covers the whole registry with
+# driver-grade evidence. The rotated-out flagships remain covered by
+# tools/check.py sweeps and pytest; tests/test_contracts.py pins the
+# rotation itself (window == exactly the never-gated set + listed fillers).
 _PRIORITY = [
-    # reference-parity retrieval pipeline (R1-R23)
-    "recall_multi_provider_merge", "recall_score_topk", "recall_summary_branch",
-    "recall_envelope", "recall_compat", "recall_envelope_reranked",
-    "scenario_tag_filter", "scenario_replay", "scenario_forced_branches",
-    "plan_diff_metrics",
-    # structured streaming (stream_late_data is rows-only by design — its
-    # late-arrival assertions live in pytest — so the oracle-exact
-    # stream_static_join takes the window slot instead)
-    "stream_stateful_user_stats", "stream_tumbling_counts", "stream_sliding_avg",
-    "stream_session_windows", "stream_dedup", "stream_static_join",
-    # sources + reference query shapes; source_bucketed_join is the pinned
-    # shuffle-free bucketed-layout evidence (round-7 flagship)
-    "source_roundtrip_formats", "source_bucketed_join", "local_supplier_volume",
-    "promo_revenue_share",
-    # (sql_pricing_summary shares pricing_summary's physical plan — the SQL
-    # surface variant stays outside the window)
-    "pivot_lineitem_status", "agg_skew_salted",
-    "join_range_bucketed",
-    # companion gates for the approximate operators (all five)
-    "dedup_minhash_lsh_recall", "dedup_simhash_recall",
-    "ann_lsh_recall", "ann_ivf_recall", "agg_approx_distinct_error",
-    # relational core — one representative per shape; displaced siblings
-    # (join_semi_anti ⊂ q21's semi/anti legs, join_outer_coalesce,
-    # grouping_sets ~ rollup, window_moving_avg/window_running ~
-    # window_rank_topk_per_group, unpivot ~ pivot, text_token_stats ~
-    # corpus_curation's text stage,
-    # stream_foreachbatch_sink ~ the in-window streaming six,
-    # multimodal_meta_profile ~ multimodal_decode) stay green under
-    # tools/check.py and pytest
-    # (agg_distinct displaced too: exact distinct aggregation is already
-    # window-covered by rollup_orders + the agg_approx_distinct_error gate)
-    "scan_project_filter", "pricing_summary", "join_broadcast", "join_shuffle",
-    "q21_waiting_suppliers", "events_sessionize", "join_asof_event_order",
-    "rollup_orders", "dedup_clusters",
-    "window_rank_topk_per_group", "corpus_curation",
-    # LLM-data-pipeline representatives; the fused pre-training job is the
-    # round-7 composite showcase
-    "corpus_pretraining_pipeline",
-    "similarity_topk", "dedup_embedding_cosine", "dedup_exact", "dedup_near",
-    "ann_quantized_topk",
-    # UDF family + multimodal decode (oracle-exact since round 7) + the R23
-    # extraction front-end
-    "udf_scalar_clamp", "udaf_grouped_normalize", "udtf_explode_tokens",
-    "multimodal_decode", "plan_diff_extract",
+    # relational siblings displaced by round ≤7 representatives
+    "join_semi_anti", "join_outer_coalesce", "join_asof_pandas",
+    "agg_distinct", "cube_events", "grouping_sets_orders",
+    "scalar_subquery_orders", "sql_pricing_summary",
+    "window_running", "window_moving_avg", "sort_multi_limit", "set_ops",
+    "scalar_string_date_math", "json_extract_events", "array_ops_embeddings",
+    "unpivot_lineitem_status",
+    # TPC-H-shaped queries never window-gated before
+    "q18_large_orders", "q3_shipping_priority",
+    # similarity / ANN (oracle-exact members + the rows-only sketches, whose
+    # recall gates were driver-gated in r7)
+    "similarity_join_labels", "ann_batch_topk",
+    "ann_lsh_topk", "ann_ivf_topk",
+    # dedup family remainder (rows-only sketches quality-gated in r7)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    # quality gate not previously in-window
+    "agg_approx_quantile_error",
+    # text / corpus family (entirely sweep-verified until now)
+    "text_token_stats", "text_lang_profile", "text_langid",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_rolling_fingerprint", "text_repetition_stats",
+    "corpus_train_val_split", "corpus_domain_cap",
+    # multimodal remainder
+    "multimodal_join", "multimodal_meta_profile", "multimodal_decode_arrow",
+    "multimodal_frame_sample", "multimodal_resize_plan",
+    # graph + plan-diff remainder
+    "recall_graph_khop", "plan_diff_extracted_metrics",
+    # sources / catalog remainder
+    "source_partitioned_pruning", "catalog_roundtrip",
+    # streaming remainder (stream_late_data rows-only by design;
+    # late-arrival assertions live in pytest)
+    "stream_late_data", "stream_stream_join", "stream_foreachbatch_sink",
+    # --- fillers: new round-8 queries land here; source_bucketed_join
+    # carries the r7 flagship layout-claim through a second snapshot ---
+    "agg_approx_distinct", "source_bucketed_join",
 ]
 
 

@@ -111,25 +111,50 @@ class TestBranchProperties:
         )
 
 
+# The exact 50 queries the driver snapshotted through round 7
+# (CORRECTNESS_r07.json keys). The round-8 window rotates these OUT so the
+# union of the r7+r8 snapshots covers the whole registry.
+_R7_WINDOW = {
+    "recall_multi_provider_merge", "recall_score_topk", "recall_summary_branch",
+    "recall_envelope", "recall_compat", "recall_envelope_reranked",
+    "scenario_tag_filter", "scenario_replay", "scenario_forced_branches",
+    "plan_diff_metrics", "stream_stateful_user_stats", "stream_tumbling_counts",
+    "stream_sliding_avg", "stream_session_windows", "stream_dedup",
+    "stream_static_join", "source_roundtrip_formats", "source_bucketed_join",
+    "local_supplier_volume", "promo_revenue_share", "pivot_lineitem_status",
+    "agg_skew_salted", "join_range_bucketed", "dedup_minhash_lsh_recall",
+    "dedup_simhash_recall", "ann_lsh_recall", "ann_ivf_recall",
+    "agg_approx_distinct_error", "scan_project_filter", "pricing_summary",
+    "join_broadcast", "join_shuffle", "q21_waiting_suppliers",
+    "events_sessionize", "join_asof_event_order", "rollup_orders",
+    "dedup_clusters", "window_rank_topk_per_group", "corpus_curation",
+    "corpus_pretraining_pipeline", "similarity_topk", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_near", "ann_quantized_topk", "udf_scalar_clamp",
+    "udaf_grouped_normalize", "udtf_explode_tokens", "multimodal_decode",
+    "plan_diff_extract",
+}
+
+# r7-gated queries deliberately re-seated in the rotated window (fillers /
+# carry-through evidence). Everything else in the window must be new to the
+# driver this round.
+_R8_FILLERS = {"source_bucketed_join"}
+
+
 def test_priority_window_contents():
-    """The driver records the first 50 registered queries; pin the flagship
-    entries inside the window so a registry edit can't silently push them
-    out (and the window stays exactly 50 deep)."""
+    """Round-8 rotation pin: the window is exactly 50 deep, registration
+    order leads with it, and — apart from the declared fillers — every
+    window entry is one the driver had NEVER snapshotted before round 8, so
+    the r7 ∪ r8 snapshots cover the entire registry."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     assert len(_PRIORITY) == 50
-    window = list(all_specs())[:50]
+    specs = all_specs()
+    window = list(specs)[:50]
     assert window == _PRIORITY
-    for name in [
-        "recall_envelope", "scenario_replay", "stream_static_join",
-        "q21_waiting_suppliers", "events_sessionize", "dedup_clusters",
-        "corpus_curation", "ann_quantized_topk", "agg_approx_distinct_error",
-        "dedup_minhash_lsh_recall", "udtf_explode_tokens",
-        # round-7 flagships
-        "source_bucketed_join", "corpus_pretraining_pipeline",
-        "multimodal_decode", "plan_diff_extract",
-    ]:
-        assert name in window, name
+    repeats = (set(window) & _R7_WINDOW) - _R8_FILLERS
+    assert not repeats, f"r7-gated queries occupying rotation slots: {repeats}"
+    uncovered = set(specs) - set(window) - _R7_WINDOW
+    assert not uncovered, f"queries in neither driver window: {uncovered}"
 
 
 def test_registry_census():
