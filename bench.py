@@ -83,9 +83,9 @@ BENCH_QUERIES = [
     "stream_tumbling_counts",
 ]
 
-# Tier 2: every remaining family/shape gets a timed representative
-# (single pass after warm-up). The companion *_recall gates are correctness
-# machinery (they run exact + approximate back to back) and stay unbenched.
+# Tier 2: every registered query outside the frozen tier-1 set gets a
+# timed single pass after warm-up — 99/99 coverage so a perf regression
+# anywhere in the registry is visible round over round.
 BENCH_TIER2 = [
     "recall_multi_provider_merge",
     "recall_compat",
@@ -134,6 +134,29 @@ BENCH_TIER2 = [
     "dedup_ngram_jaccard",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
+    # r8: the 19 queries never timed in any prior round — full-registry
+    # timing visibility so a perf regression anywhere is visible in
+    # BENCH_DETAIL.json, including the quality gates (they run exact +
+    # approximate back to back, so their cost is real pipeline cost).
+    "join_asof_pandas",
+    "cube_events",
+    "scalar_subquery_orders",
+    "set_ops",
+    "scalar_string_date_math",
+    "array_ops_embeddings",
+    "text_lang_profile",
+    "text_token_count",
+    "text_fingerprint",
+    "plan_diff_extracted_metrics",
+    "stream_foreachbatch_sink",
+    "agg_approx_distinct",
+    "dedup_clusters",
+    "agg_approx_distinct_error",
+    "dedup_minhash_lsh_recall",
+    "dedup_simhash_recall",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "scenario_tag_filter",
 ]
 
 

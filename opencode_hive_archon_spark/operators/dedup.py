@@ -36,6 +36,7 @@ from opencode_hive_archon_spark.functions.hashing import (
     md5_prefix_long_sql,
 )
 from opencode_hive_archon_spark.session import materialize as _materialize
+from opencode_hive_archon_spark.session import materialize_iter as _materialize_iter
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -488,27 +489,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAX_CC_ITERS = 20  # safety cap; convergence needs O(component diameter) rounds
+MAX_CC_ITERS = 20  # safety cap; star rounds converge in O(log n), min-label
+                   # in O(component diameter)
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup pair graph — the step that
-    turns pairwise matches into dedup decisions (pairs → clusters → keep the
-    min-id doc per cluster).
+def cc_min_label(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation: (doc_a, doc_b) undirected pairs -> (doc_id,
+    label) where label = min doc_id reachable from doc_id.
 
-    Min-label propagation as iterated DataFrame joins: every node starts
-    labeled with its own id; each round takes the min label over neighbors;
-    fixpoint when no label changes (driver checks a 1-row count per round —
-    the only driver action, bounded by the component diameter). The testdata
-    graph has tiny diameters; a production run at 100 TB swaps this loop for
-    the alternating large-star/small-star rounds (Kiveris et al., "Connected
-    Components in MapReduce", SoCC'14) which converge in O(log n) with the
-    same per-round join shape. Each round materializes its labels so the
-    lineage doesn't grow into a re-execution tree.
-
-    Exact oracle: DuckDB recursive CTE computes min reachable id per node —
-    the same fixpoint this loop converges to."""
-    pairs = _materialize(dedup_near(spark, sf_dir).select("doc_a", "doc_b"))
+    Every node starts labeled with its own id; each round takes the min
+    label over neighbors; fixpoint when no label changes (driver checks a
+    1-row count per round, bounded by the component DIAMETER). Simple and
+    optimal for shallow graphs — near-dup components are usually stars of
+    boilerplate around one template — but a 100 TB corpus with chain-shaped
+    components (versioned documents) pays O(diameter) shuffle rounds, which
+    is why the registered query runs :func:`cc_alternating_star` instead.
+    Kept as the cross-check: test_cc_equivalence pins label-for-label
+    agreement between the two on planted graphs and on the real pair set."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -522,9 +519,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src").agg(F.min("label").alias("nbr_min"))
         )
         # carry the previous label through the materialization so the
-        # convergence check is a filter-count on the PERSISTED frame (one
-        # extra cheap action, not a fresh join)
-        stepped = _materialize(
+        # convergence check is a filter-count on the materialized frame (one
+        # extra cheap action, not a fresh join). materialize_iter (lineage
+        # cut) — NOT materialize — or round k's plan embeds round k-1's
+        # plan ~3x over and a 16-deep chain overflows the JVM plan string.
+        stepped = _materialize_iter(
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
@@ -535,9 +534,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = stepped.filter(F.col("label") != F.col("prev")).count()
         labels = stepped.select("doc_id", "label")
         if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected components did not converge in {MAX_CC_ITERS} rounds")
+            return labels
+    raise RuntimeError(f"min-label CC did not converge in {MAX_CC_ITERS} rounds")
+
+
+def cc_alternating_star(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14): the
+    production path — O(log n) rounds regardless of component diameter,
+    where min-label propagation needs O(diameter).
+
+    (doc_a, doc_b) undirected pairs -> (doc_id, label), label = component
+    min. The edge set is kept directed high->low ("hi" > "lo" — an invariant
+    both phases preserve, so no orientation pass is ever needed):
+
+    * large-star(u): m = min(N(u) ∪ {u}); every neighbor v > u re-attaches
+      to m — emit (v, m). Long chains collapse by doubling: a node deep in
+      a chain hops to its neighborhood minimum, halving its distance to the
+      root each round.
+    * small-star(u): over the smaller neighbors N⁻(u), m = min(N⁻(u));
+      emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m — locally star-shapes the
+      subgraph below each node.
+
+    Fixpoint: the edge set is a union of stars (member -> component min) and
+    neither phase changes it. Convergence is detected with an exact edge-set
+    comparison (count equality + one anti-join emptiness probe) once per
+    super-round — O(log n) driver actions total, vs one per diameter step
+    for min-label. Each super-round materializes its edges so lineage stays
+    flat. Every shuffle carries only (id, id) pairs — never text/shingles.
+    """
+    nodes = _materialize(
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # input pairs have doc_a < doc_b => store (hi=doc_b, lo=doc_a)
+    edges = _materialize(
+        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+        .distinct()
+    )
+    for _ in range(MAX_CC_ITERS):
+        # ---- large-star: needs both directions to see full neighborhoods
+        und = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        ls = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # emitted (v, m): m <= u < v, so hi > lo holds by construction
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # ---- small-star: per node, re-attach smaller neighbors to their min
+        # (materialize_iter: each round's edges must be a lineage LEAF, see
+        # session.materialize_iter — geometric plan growth otherwise)
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        stepped = _materialize_iter(
+            ls.join(mins2, "hi")
+            .select(
+                F.explode(F.array(F.col("hi"), F.col("lo"))).alias("n"),
+                "m",
+            )
+            .filter(F.col("n") != F.col("m"))  # drop the (m, m) self-loop
+            .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        converged = (
+            stepped.count() == edges.count()
+            and stepped.join(edges, ["hi", "lo"], "left_anti").isEmpty()
+        )
+        edges = stepped
+        if converged:
+            # fixpoint: edges are exactly (member, component-min) stars
+            return nodes.join(
+                edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label")),
+                "doc_id",
+                "left",
+            ).select("doc_id", F.coalesce("label", "doc_id").alias("label"))
+    raise RuntimeError(
+        f"alternating-star CC did not converge in {MAX_CC_ITERS} rounds"
+    )
+
+
+def _cluster_report(labels: DataFrame) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -551,15 +632,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_CLUSTERS = f"""
-WITH RECURSIVE {_SHINGLE_CTE},
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise matches into dedup decisions (pairs → clusters → keep the
+    min-id doc per cluster).
+
+    Runs :func:`cc_alternating_star` (large-star/small-star, O(log n)
+    rounds — the 100 TB path); :func:`cc_min_label` is the cross-checked
+    alternative for shallow graphs. Exact oracle: DuckDB recursive CTE
+    computes min reachable id per node — the same fixpoint."""
+    pairs = _materialize(dedup_near(spark, sf_dir).select("doc_a", "doc_b"))
+    return _cluster_report(cc_alternating_star(pairs))
+
+
+# Non-recursive candidate-pair CTEs, shared between the recursive-CTE oracle
+# (driver gate, sf0.01) and tools/check.py's iterative-fixpoint oracle (the
+# sf0.1 path: pairs SQL + driver-side union-find, same fixpoint, no
+# recursion).
+_ORACLE_PAIR_CTES = f"""{_SHINGLE_CTE},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b
     ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / NULLIF(len(list_distinct(a.sh || b.sh)), 0) >= {JACCARD_THRESHOLD}
-),
+)"""
+
+ORACLE_CLUSTER_EDGES_SQL = f"WITH {_ORACLE_PAIR_CTES} SELECT doc_a, doc_b FROM pairs"
+
+_ORACLE_CLUSTERS = f"""
+WITH RECURSIVE {_ORACLE_PAIR_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -591,6 +693,6 @@ SPECS = [
     QuerySpec("dedup_simhash", dedup_simhash, None, "dedup",
               "SimHash hamming<=3 near-dup (rows-only)"),
     QuerySpec("dedup_clusters", dedup_clusters, _ORACLE_CLUSTERS, "dedup",
-              "connected components over near-dup pairs (iterative min-label "
-              "propagation; recursive-CTE oracle)"),
+              "connected components over near-dup pairs (alternating "
+              "large-star/small-star, O(log n) rounds; recursive-CTE oracle)"),
 ]

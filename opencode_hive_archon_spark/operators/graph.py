@@ -98,15 +98,21 @@ _SEED_VALUES = ", ".join(
     f"(CAST({s} AS BIGINT), CAST(0 AS BIGINT))" for s in GRAPH_SEEDS
 )
 
-_ORACLE_GRAPH_KHOP = f"""
-WITH RECURSIVE {LSH_CAND_CTES},
+# Non-recursive edge CTEs, shared between the recursive-CTE oracle (driver
+# gate, sf0.01) and tools/check.py's iterative BFS oracle (sf0.1 path).
+_ORACLE_EDGE_CTES = f"""{LSH_CAND_CTES},
 pairs AS (
   SELECT c.vec_a, c.vec_b
   FROM cand c
   JOIN embeddings a ON a.vec_id = c.vec_a
   JOIN embeddings b ON b.vec_id = c.vec_b
   WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
-),
+)"""
+
+ORACLE_GRAPH_EDGES_SQL = f"WITH {_ORACLE_EDGE_CTES} SELECT vec_a, vec_b FROM pairs"
+
+_ORACLE_GRAPH_KHOP = f"""
+WITH RECURSIVE {_ORACLE_EDGE_CTES},
 edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION ALL SELECT vec_b, vec_a FROM pairs

@@ -106,6 +106,28 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize_iter(df: DataFrame) -> DataFrame:
+    """Materialize AND truncate lineage — for fixpoint loops only.
+
+    Iterative algorithms (connected components, label propagation) that
+    re-derive a frame from the previous round's frame grow the logical plan
+    geometrically: each round's plan embeds the prior round's plan several
+    times (the frame is referenced by both join sides and the convergence
+    check), so by round ~15 the plan STRING alone exceeds JVM limits (a
+    2 GB plan surfaced exactly this way on a 16-deep planted chain).
+    ``persist()`` does not help — caching keeps the full lineage.
+
+    ``localCheckpoint(eager=True)`` cuts the plan at this node: downstream
+    rounds see a leaf. The trade-off vs ``materialize()`` is fault posture —
+    localCheckpoint pins blocks to executors with no recompute path, so on a
+    multi-executor production cluster the loops should flip to reliable
+    checkpointing (``sc.setCheckpointDir(hdfs_path)`` + ``df.checkpoint()``)
+    — same lineage cut, blocks on durable storage. Round count is O(log n)
+    for the star loops, so the per-round checkpoint write is not the
+    bottleneck at scale; the geometric plan growth would be."""
+    return df.localCheckpoint(eager=True)
+
+
 def unpersist_all() -> int:
     """Release every tracked materialize() handle (non-blocking); returns
     how many were released. Safe to call at any point between jobs."""

@@ -212,6 +212,78 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     assert all(sizes[cid] == len(docs) for cid, docs in members.items())
 
 
+def _planted_graphs():
+    """Deterministic planted graphs that stress both CC algorithms: long
+    chains (worst case for min-label's O(diameter)), cliques, stars, binary
+    trees, and seeded random unions of those shapes."""
+    import random
+
+    graphs = []
+    chain = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(15)]
+    graphs.append(("chain16", chain))
+    clique = [
+        (f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)
+    ]
+    graphs.append(("clique6", clique))
+    star = [("hub", f"leaf{i:02d}") for i in range(10)]
+    graphs.append(("star10", star))
+    tree = [
+        (f"t{i:02d}", f"t{2 * i + k:02d}") for i in range(7) for k in (1, 2)
+    ]
+    graphs.append(("tree15", tree))
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        n = 40
+        edges = {
+            tuple(sorted((f"r{rng.randrange(n):02d}", f"r{rng.randrange(n):02d}")))
+            for _ in range(45)
+        }
+        graphs.append((f"rand{seed}", [(a, b) for a, b in edges if a != b]))
+    return graphs
+
+
+def test_cc_equivalence_on_planted_graphs(spark):
+    """Label-for-label agreement between alternating large-star/small-star
+    (the registered production path) and min-label propagation on planted
+    graphs, cross-checked against a driver-side union-find ground truth."""
+    for name, edge_list in _planted_graphs():
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edge_list],
+            "doc_a string, doc_b string",
+        ).distinct()
+        star = {
+            r["doc_id"]: r["label"] for r in D.cc_alternating_star(pairs).collect()
+        }
+        minlab = {
+            r["doc_id"]: r["label"] for r in D.cc_min_label(pairs).collect()
+        }
+        # ground truth: union-find over the same edges
+        parent: dict[str, str] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {n_: min(m for m in parent if find(m) == find(n_)) for n_ in parent}
+        assert star == truth, f"{name}: star labels diverge from union-find"
+        assert minlab == truth, f"{name}: min-label labels diverge from union-find"
+
+
+def test_cc_equivalence_on_real_pairs(spark, sf_dir):
+    """Both CC paths agree on the actual near-dup pair graph."""
+    pairs = D.dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    star = {r["doc_id"]: r["label"] for r in D.cc_alternating_star(pairs).collect()}
+    minlab = {r["doc_id"]: r["label"] for r in D.cc_min_label(pairs).collect()}
+    assert star == minlab and star
+
+
 def test_graph_khop_invariants(spark, sf_dir):
     """BFS contract: seeds are exactly the hop-0 rows, every hop-k node
     (k>=1) has a hop-(k-1) neighbor in the near-dup edge graph, and no node
