@@ -63,6 +63,18 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Production state-store posture for every streaming job: RocksDB
+        # keeps stream-stream join / session-window / dedup state OFF the
+        # executor heap (spillable, incrementally checkpointed), so state
+        # size is bounded by disk, not memory — the difference between a
+        # stream-stream join that survives a weekend and one that OOMs.
+        # tests/test_streaming_state.py drives multi-batch runs through this
+        # provider and asserts watermark eviction keeps state bounded.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

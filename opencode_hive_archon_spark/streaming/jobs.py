@@ -184,13 +184,33 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet ns timestamps floor to µs on read), keeping the boundary
     predicate bit-exact.
     """
-    lead = _stream_events(spark, sf_dir).withWatermark("ts", WATERMARK_DELAY).select(
+    joined = funnel_join(
+        _stream_events(spark, sf_dir), _stream_events(spark, sf_dir)
+    )
+    return _run_to_table(spark, joined, "append")
+
+
+def funnel_join(lead_src: DataFrame, follow_src: DataFrame) -> DataFrame:
+    """The stream-stream funnel-join TRANSFORMATION, source-agnostic so the
+    registered single-batch job and the multi-batch bounded-state test
+    (tests/test_streaming_state.py) drive the identical plan.
+
+    The time bound MUST be native timestamp-interval arithmetic:
+    StreamingJoinHelper derives each side's state-eviction watermark only
+    from ``ts ± INTERVAL`` shapes. An earlier version phrased the same
+    bound as ``unix_micros(follow_ts) <= unix_micros(lead_ts) + 3e8`` —
+    semantically identical (timestamps ARE microseconds), but opaque to the
+    extractor, so join state silently grew without bound ("Failed to
+    extract state value watermark" in the logs; the bounded-state test
+    fails). Timestamp comparison is exact integer-µs on both engines, so
+    the oracle is unchanged."""
+    lead = lead_src.withWatermark("ts", WATERMARK_DELAY).select(
         F.col("event_id").alias("lead_id"),
         F.col("user_id"),
         F.col("event_type").alias("lead_type"),
         F.col("ts").alias("lead_ts"),
     )
-    follow = _stream_events(spark, sf_dir).withWatermark("ts", WATERMARK_DELAY).select(
+    follow = follow_src.withWatermark("ts", WATERMARK_DELAY).select(
         F.col("event_id").alias("follow_id"),
         F.col("user_id").alias("follow_user"),
         F.col("event_type").alias("follow_type"),
@@ -198,16 +218,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lead_us = F.unix_micros(F.col("lead_ts"))
     follow_us = F.unix_micros(F.col("follow_ts"))
-    joined = lead.join(
+    return lead.join(
         follow,
         (F.col("user_id") == F.col("follow_user"))
-        & (follow_us > lead_us)
-        & (follow_us <= lead_us + STREAM_JOIN_WINDOW_S * 1_000_000),
+        & (F.col("follow_ts") > F.col("lead_ts"))
+        & (
+            F.col("follow_ts")
+            <= F.col("lead_ts") + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_S} SECONDS")
+        ),
     ).select(
         "lead_id", "follow_id", "user_id", "lead_type", "follow_type",
         ((follow_us - lead_us) / F.lit(1_000_000)).cast("long").alias("gap_s"),
     )
-    return _run_to_table(spark, joined, "append")
 
 
 _ORACLE_STREAM_STREAM_JOIN = f"""
@@ -264,17 +286,23 @@ FROM agg, bounds WHERE window_end <= wm
 """
 
 
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows with a 30-minute inactivity gap."""
-    ev = _stream_events(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", WATERMARK_DELAY)
+def session_windows_agg(src: DataFrame) -> DataFrame:
+    """The session-window TRANSFORMATION, source-agnostic (shared by the
+    registered job and the multi-batch bounded-state test)."""
+    return (
+        src.withWatermark("ts", WATERMARK_DELAY)
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    ev = _stream_events(spark, sf_dir)
+    agg = session_windows_agg(ev)
     out = _run_to_table(spark, agg, "append")
     return out.select(
         "user_id",

@@ -1,0 +1,174 @@
+"""Bounded-state evidence for stateful streaming (the 100 TB posture).
+
+The correctness gates drive every streaming job single-batch, which proves
+semantics but says nothing about STATE: a stream-stream join or session
+window that never evicts works fine for one batch and OOMs on day three of
+a production run. These tests drive the same transformations (shared with
+the registered jobs — funnel_join / session_windows_agg) through a
+MULTI-batch time-ordered source (maxFilesPerTrigger=1) and assert, from the
+query progress metrics, that
+
+* the RocksDB state-store provider (pinned session-wide in session.get_spark)
+  is actually in effect,
+* watermark eviction removes rows from the store as batches advance
+  (numRowsRemoved > 0), and state stays bounded below the full input —
+  i.e. the store holds a sliding watermark-width slice, not history,
+* the multi-batch result is exactly the single-batch / batch-oracle result
+  (batching is invisible in the output).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import normalize_timestamps
+from opencode_hive_archon_spark.streaming import jobs as J
+
+
+def _events_batch(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(ev)
+
+
+@pytest.fixture(scope="module")
+def sliced_events(spark, sf_dir):
+    """events split into 4 time-ordered parquet slices with ascending
+    mtimes, so maxFilesPerTrigger=1 replays them as 4 chronological
+    micro-batches (the shape a live source produces)."""
+    from pyspark.sql import Window
+
+    ev = _events_batch(spark, sf_dir)
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    workdir = tempfile.mkdtemp(prefix="state_slices_")
+    indir = os.path.join(workdir, "in")
+    os.makedirs(indir)
+    for i in range(1, 5):
+        tmp = os.path.join(workdir, f"w{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(indir, f"{i:04d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    yield indir
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _run_multibatch(spark, agg, name):
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    return progress
+
+
+def _stream_src(spark, indir, per_trigger: int | None):
+    schema = spark.read.parquet(indir).schema
+    reader = spark.readStream.schema(schema)
+    if per_trigger:
+        reader = reader.option("maxFilesPerTrigger", per_trigger)
+    return normalize_timestamps(reader.parquet(indir))
+
+
+def _state_ops(progress):
+    return [op for p in progress if p["numInputRows"] for op in p["stateOperators"]]
+
+
+def test_rocksdb_provider_in_effect(spark):
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+
+def test_stream_stream_join_state_bounded(spark, sf_dir, sliced_events):
+    joined = J.funnel_join(
+        _stream_src(spark, sliced_events, 1), _stream_src(spark, sliced_events, 1)
+    )
+    progress = _run_multibatch(spark, joined, "state_test_join")
+    batches = [p for p in progress if p["numInputRows"]]
+    assert len(batches) >= 3, "multi-batch arrival did not happen"
+
+    ops = _state_ops(progress)
+    assert sum(op["numRowsRemoved"] for op in ops) > 0, (
+        "watermark never evicted join state"
+    )
+    ev = _events_batch(spark, sf_dir)
+    n_events = ev.count()
+    peak = max(op["numRowsTotal"] for op in ops)
+    # both join sides buffer rows only until the watermark passes
+    # lead_ts + window; with 4 time-ordered batches the peak must stay
+    # well below the full two-sided input (2 * n_events)
+    assert peak < 2 * n_events, f"state never bounded: peak={peak}, input={n_events}"
+
+    # batching must be invisible in the output: exact match vs batch self-join
+    a = ev.select(
+        F.col("event_id").alias("lead_id"),
+        "user_id",
+        F.unix_micros("ts").alias("lus"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("fu"),
+        F.unix_micros("ts").alias("fus"),
+    )
+    expected = {
+        (r["lead_id"], r["follow_id"])
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("fu"))
+            & (F.col("fus") > F.col("lus"))
+            & (F.col("fus") <= F.col("lus") + J.STREAM_JOIN_WINDOW_S * 1_000_000),
+        ).collect()
+    }
+    got = {
+        (r["lead_id"], r["follow_id"])
+        for r in spark.table("state_test_join").collect()
+    }
+    assert got == expected
+
+
+def test_session_windows_state_bounded(spark, sf_dir, sliced_events):
+    agg = J.session_windows_agg(_stream_src(spark, sliced_events, 1))
+    progress = _run_multibatch(spark, agg, "state_test_sessions")
+    batches = [p for p in progress if p["numInputRows"]]
+    assert len(batches) >= 3
+
+    ops = _state_ops(progress)
+    assert sum(op["numRowsRemoved"] for op in ops) > 0, (
+        "watermark never closed/evicted session state"
+    )
+
+    # multi-batch result == the registered single-batch job's result
+    single = J.stream_session_windows(spark, sf_dir)
+    key = lambda r: (
+        r["user_id"],
+        r["session_start"],
+        r["session_end"],
+        r["n_events"],
+        r["total_value"],
+    )
+    got = sorted(
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"],
+         r["n_events"], r["total_value"])
+        for r in spark.table("state_test_sessions").collect()
+    )
+    expected = sorted(key(r) for r in single.collect())
+    assert got == expected
