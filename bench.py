@@ -157,6 +157,8 @@ BENCH_TIER2 = [
     "ann_lsh_recall",
     "ann_ivf_recall",
     "scenario_tag_filter",
+    # r8 additions
+    "source_schema_evolution",
 ]
 
 

@@ -158,6 +158,71 @@ ORDER BY o_orderpriority
 """
 
 
+EVOLUTION_CUT_YEAR = 1995  # generation 0 = orders before this year
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read path: two generations of the same dataset with
+    drifting schemas, merged at read time, missing columns back-filled.
+
+    Real pipelines append for years; later generations add columns. Here
+    generation 0 (orders before {cut}) is written WITHOUT ``o_orderpriority``
+    (the column didn't exist yet) and generation 1 (orders {cut}+) with it.
+    ``mergeSchema=true`` reconciles the footers into the union schema —
+    generation-0 rows surface the missing column as NULL, back-filled with
+    a 'LEGACY' sentinel before aggregation.
+
+    Scale notes: schema merge is a FOOTER operation (per-file metadata
+    union, no data read); column pruning still reaches the scan — the plan
+    test pins ReadSchema to the 3 consumed columns of the ~9-column table.
+    The two-generation copy is written once per source dataset into a
+    digest-keyed temp dir (same pattern/cache-invalidation rules as
+    source_partitioned_pruning)."""
+    orders = read_table(spark, sf_dir, "orders")
+    digest = hashlib.sha1(
+        _source_identity(os.path.join(sf_dir, "orders.parquet")).encode()
+    ).hexdigest()[:12]
+    outdir = os.path.join(tempfile.gettempdir(), f"orders_evolved_{digest}")
+    g0_marker = os.path.join(outdir, "gen=0", "_SUCCESS")
+    g1_marker = os.path.join(outdir, "gen=1", "_SUCCESS")
+    year = F.year("o_orderdate")
+    if not (os.path.exists(g0_marker) and os.path.exists(g1_marker)):
+        orders.filter(year < EVOLUTION_CUT_YEAR).drop("o_orderpriority").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(outdir, "gen=0"))
+        orders.filter(year >= EVOLUTION_CUT_YEAR).write.mode("overwrite").parquet(
+            os.path.join(outdir, "gen=1")
+        )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(outdir, "gen=0"), os.path.join(outdir, "gen=1")
+    )
+    return (
+        back.select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+_ORACLE_SCHEMA_EVOLUTION = f"""
+SELECT CASE WHEN year(o_orderdate) < {EVOLUTION_CUT_YEAR}
+            THEN 'LEGACY' ELSE o_orderpriority END AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY priority
+"""
+
+
 def _oracle() -> str:
     per_fmt = " UNION ALL ".join(
         f"SELECT '{fmt}' AS format, count(*) AS n_rows, "
@@ -173,4 +238,8 @@ SPECS = [
               "sources", "parquet/orc/csv/json write+read-back checksums"),
     QuerySpec("source_partitioned_pruning", source_partitioned_pruning, _ORACLE_PRUNING,
               "sources", "partitionBy write + partition-pruned read-back"),
+    QuerySpec("source_schema_evolution", source_schema_evolution,
+              _ORACLE_SCHEMA_EVOLUTION, "sources",
+              "mergeSchema read over two schema generations + missing-column "
+              "back-fill"),
 ]

@@ -139,6 +139,11 @@ _R7_WINDOW = {
 # driver this round.
 _R8_FILLERS = {"source_bucketed_join"}
 
+# Queries ADDED in round 8, after the rotation window was fixed: they sit
+# outside both driver windows this round (sweep + pytest verified) and
+# rotate into the round-9 window.
+_R8_ADDED = {"source_schema_evolution"}
+
 
 def test_priority_window_contents():
     """Round-8 rotation pin: the window is exactly 50 deep, registration
@@ -153,7 +158,7 @@ def test_priority_window_contents():
     assert window == _PRIORITY
     repeats = (set(window) & _R7_WINDOW) - _R8_FILLERS
     assert not repeats, f"r7-gated queries occupying rotation slots: {repeats}"
-    uncovered = set(specs) - set(window) - _R7_WINDOW
+    uncovered = set(specs) - set(window) - _R7_WINDOW - _R8_ADDED
     assert not uncovered, f"queries in neither driver window: {uncovered}"
 
 
@@ -165,7 +170,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 99, sorted(specs)
+    assert len(specs) == 100, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -175,7 +180,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 99 - len(rows_only)
+    assert len(oracle_sql()) == 100 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

@@ -255,3 +255,17 @@ def test_graph_khop_no_cartesian(spark, sf_dir):
 
     p = plan(G.recall_graph_khop(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+
+def test_schema_evolution_read_pruned(spark, sf_dir):
+    """source_schema_evolution: the mergeSchema two-generation read must
+    still prune columns — only the 3 consumed columns (o_orderpriority,
+    o_totalprice, o_orderdate is not even needed post-write) reach the scan,
+    not the full ~9-column orders schema."""
+    from opencode_hive_archon_spark.sources import io as IO
+
+    p = plan(IO.source_schema_evolution(spark, sf_dir))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" in read_schema
+    for col in ("o_comment", "o_clerk", "o_custkey", "o_orderdate"):
+        assert col not in read_schema, f"{col} not pruned: {read_schema}"
