@@ -159,6 +159,7 @@ BENCH_TIER2 = [
     "scenario_tag_filter",
     # r8 additions
     "source_schema_evolution",
+    "multimodal_frame_table",
 ]
 
 

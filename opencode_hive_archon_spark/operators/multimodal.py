@@ -204,6 +204,90 @@ ORDER BY doc_id
 """
 
 
+def multimodal_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-payload codec pass: explode each clip into its per-frame table —
+    (frame_no, byte offset, frame size, md5 of the frame bytes) — by
+    actually reading EVERY payload byte, not just the header.
+
+    Frames tile the body contiguously on the standard uniform grid
+    (frame k spans body bytes [k·len/n, (k+1)·len/n)); the checksum proves
+    the full payload streamed through the decoder. This is the real-codec
+    slot with the stdlib standing in for the media library: swap
+    ``hashlib.md5`` for per-frame pixel decode and the schema, Arrow batch
+    shape, and metadata-only return (payload bytes never cross back to the
+    JVM) are already production-correct.
+
+    Oracle note: DuckDB's ``substring``/``md5`` operate on VARCHAR, so the
+    oracle slices the source text by CHARACTER offsets. The corpus is pure
+    ASCII at every sf (octet_length == length for all rows — verified), so
+    character slices and the engine's byte slices coincide bit-for-bit; a
+    non-ASCII corpus would need a blob-capable oracle instead."""
+    payloads = with_binary_payload(spark, sf_dir)
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "doc_id": [], "modality": [], "frame_no": [],
+                "offset": [], "n_frame_bytes": [], "frame_md5": [],
+            }
+            for doc_id, modality, raw in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                buf = bytes(raw)
+                _w, _h, frames = struct.unpack(">III", buf[4:HEADER_BYTES])
+                body = buf[HEADER_BYTES:]
+                blen = len(body)
+                for k in range(frames):
+                    lo = k * blen // frames
+                    hi = (k + 1) * blen // frames
+                    cols["doc_id"].append(doc_id)
+                    cols["modality"].append(modality)
+                    cols["frame_no"].append(k)
+                    cols["offset"].append(HEADER_BYTES + lo)
+                    cols["n_frame_bytes"].append(hi - lo)
+                    cols["frame_md5"].append(hashlib.md5(body[lo:hi]).hexdigest())
+            yield pd.DataFrame(cols)
+
+    return payloads.mapInPandas(
+        frame_batches,
+        schema="doc_id long, modality string, frame_no int, offset int, "
+        "n_frame_bytes int, frame_md5 string",
+    ).orderBy("doc_id", "frame_no")
+
+
+_ORACLE_FRAME_TABLE = f"""
+WITH src AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         text, octet_length(encode(text)) AS blen
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, modality, text, blen,
+         CAST(CASE WHEN modality = 'image' THEN 1
+                   ELSE 1 + blen % {FRAMES_MOD} END AS BIGINT) AS n_frames
+  FROM src
+),
+fr AS (
+  SELECT doc_id, modality, text, blen, n_frames,
+         unnest([k for k in range(0, n_frames)]) AS frame_no
+  FROM dec
+)
+SELECT doc_id, modality, CAST(frame_no AS INT) AS frame_no,
+       CAST({HEADER_BYTES} + frame_no * blen // n_frames AS INT) AS offset,
+       CAST((frame_no + 1) * blen // n_frames
+            - frame_no * blen // n_frames AS INT) AS n_frame_bytes,
+       md5(substring(text,
+                     CAST(frame_no * blen // n_frames + 1 AS BIGINT),
+                     CAST((frame_no + 1) * blen // n_frames
+                          - frame_no * blen // n_frames AS BIGINT))) AS frame_md5
+FROM fr
+ORDER BY doc_id, frame_no
+"""
+
+
 RESIZE_BOX = 224  # target bounding box (the standard vision-model input)
 
 
@@ -322,6 +406,10 @@ SPECS = [
               "multimodal",
               "same header decode via Arrow-batched mapInPandas (the real-codec "
               "plumbing); oracle-exact"),
+    QuerySpec("multimodal_frame_table", multimodal_frame_table,
+              _ORACLE_FRAME_TABLE, "multimodal",
+              "full-payload frame-table codec: per-frame offsets/sizes/md5 "
+              "via Arrow mapInPandas (metadata-only return)"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
               _ORACLE_FRAME_SAMPLE, "multimodal",
               "uniform-stride frame-index sampling over decoded clip headers"),
