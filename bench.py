@@ -160,6 +160,8 @@ BENCH_TIER2 = [
     # r8 additions
     "source_schema_evolution",
     "multimodal_frame_table",
+    "window_analytics",
+    "source_upsert_pattern",
 ]
 
 

@@ -598,6 +598,56 @@ FROM daily
 """
 
 
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window function suite over daily revenue per priority:
+    lag/lead neighbors, ntile quartiles, percent_rank and cume_dist — the
+    remaining SQL window functions not exercised by the rank/running/moving
+    queries.
+
+    Scale shape: the window input is the DAILY aggregate (calendar ×
+    5 priorities — bounded by time, not data volume), and every window is
+    partitioned by priority; no unpartitioned WindowExec. percent_rank /
+    cume_dist are exact rationals evaluated in double on both engines, so
+    the oracle comparison stays bit-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "day_total"
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_total",
+        F.lag("day_total", 1).over(w).alias("prev_total"),
+        F.lead("day_total", 1).over(w).alias("next_total"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("o_orderpriority", "day")
+
+
+_ORACLE_WINDOW_ANALYTICS = """
+WITH daily AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, day_total,
+       lag(day_total, 1) OVER w AS prev_total,
+       lead(day_total, 1) OVER w AS next_total,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+ORDER BY o_orderpriority, day
+"""
+
+
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row moving average over daily event values, year-partitioned with
     halo rows: the last 6 rows of each year are duplicated into the next
@@ -875,6 +925,10 @@ SPECS = [
               "one user_id shuffle"),
     QuerySpec("window_running", window_running, _ORACLE_WINDOW_RUNNING, "relational",
               "running total + lag delta"),
+    QuerySpec("window_analytics", window_analytics, _ORACLE_WINDOW_ANALYTICS,
+              "relational",
+              "lag/lead/ntile/percent_rank/cume_dist suite over daily "
+              "revenue, priority-partitioned"),
     QuerySpec("window_moving_avg", window_moving_avg, _ORACLE_WINDOW_MA, "relational",
               "7-row moving average"),
     QuerySpec("sort_multi_limit", sort_multi_limit, _ORACLE_SORT_LIMIT, "relational",

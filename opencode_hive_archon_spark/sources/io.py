@@ -223,6 +223,86 @@ ORDER BY priority
 """
 
 
+INSERT_KEY_OFFSET = 10_000_000  # synthetic insert keys, disjoint from base
+
+
+def source_upsert_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE INTO (SCD-1 upsert) pattern without a lakehouse format:
+    apply a change-set of updates, inserts and deletes to a base table in
+    one plan — LEFT join overrides updated values, an anti-filter drops
+    deletes, a UNION appends inserts — then report the merged state per
+    segment.
+
+    The change-set is derived deterministically from the base so the oracle
+    can replicate it: every key ≡ 3 (mod 10) gets +100 balance (update),
+    the first 100 customers are cloned to a disjoint key range (insert),
+    every key ≡ 0 (mod 97) is removed (delete).
+
+    Scale notes: everything is an equi-join/filter on the merge key — the
+    exact shape Delta/Iceberg MERGE compiles to; a small change-set gets
+    broadcast by AQE, a large one shuffle-joins on the key. With a
+    bucketed base table (sources/bucketed.py) the join side co-locates and
+    the merge becomes shuffle-free. The final groupBy is the verification
+    report, not part of the pattern."""
+    base = read_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    updates = base.filter(key % 10 == 3).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("new_bal")
+    )
+    inserts = base.filter(key < 100).select(
+        (key + INSERT_KEY_OFFSET).alias("c_custkey"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    merged = (
+        base.join(updates, "c_custkey", "left")
+        .filter(key % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("new_bal", "c_acctbal").alias("bal"),
+        )
+        .unionByName(inserts)
+    )
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("bal").cast("decimal(18,2)")).cast("double").alias(
+                "total_bal"
+            ),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_UPSERT = f"""
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+  FROM customer WHERE c_custkey % 10 = 3
+),
+ins AS (
+  SELECT c_custkey + {INSERT_KEY_OFFSET} AS c_custkey, c_mktsegment,
+         c_acctbal AS bal
+  FROM customer WHERE c_custkey < 100
+),
+merged AS (
+  SELECT b.c_custkey, b.c_mktsegment,
+         COALESCE(u.new_bal, b.c_acctbal) AS bal
+  FROM customer b LEFT JOIN upd u USING (c_custkey)
+  WHERE b.c_custkey % 97 != 0
+  UNION ALL
+  SELECT * FROM ins
+)
+SELECT c_mktsegment, count(*) AS n_rows,
+       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def _oracle() -> str:
     per_fmt = " UNION ALL ".join(
         f"SELECT '{fmt}' AS format, count(*) AS n_rows, "
@@ -242,4 +322,8 @@ SPECS = [
               _ORACLE_SCHEMA_EVOLUTION, "sources",
               "mergeSchema read over two schema generations + missing-column "
               "back-fill"),
+    QuerySpec("source_upsert_pattern", source_upsert_pattern, _ORACLE_UPSERT,
+              "sources",
+              "MERGE INTO / SCD-1 upsert pattern: update-override join + "
+              "delete anti-filter + insert union in one plan"),
 ]

@@ -142,7 +142,12 @@ _R8_FILLERS = {"source_bucketed_join"}
 # Queries ADDED in round 8, after the rotation window was fixed: they sit
 # outside both driver windows this round (sweep + pytest verified) and
 # rotate into the round-9 window.
-_R8_ADDED = {"source_schema_evolution", "multimodal_frame_table"}
+_R8_ADDED = {
+    "source_schema_evolution",
+    "multimodal_frame_table",
+    "window_analytics",
+    "source_upsert_pattern",
+}
 
 
 def test_priority_window_contents():
@@ -170,7 +175,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 101, sorted(specs)
+    assert len(specs) == 103, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -180,7 +185,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 101 - len(rows_only)
+    assert len(oracle_sql()) == 103 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):
