@@ -178,6 +178,7 @@ def try_run(specs, name, spark, sf_dir, failures) -> float | None:
     warm-up-only hiccup is reported as such while timed-pass failures stay
     failures.
     """
+    print(f"[bench] {name}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     try:
         run_query(specs[name].fn(spark, sf_dir))

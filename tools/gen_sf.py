@@ -181,9 +181,14 @@ def generate(outdir: str, scale: float = 10.0) -> None:
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype="int64")),
     }))
 
-    centers = rng.normal(0, 1, (10, 64))
+    # Driver geometry (measured at sf0.1): UNIFORM random unit vectors,
+    # labels independent of geometry — within-label cosine is centred on 0
+    # (p99 ≈ 0.29), so the cos ≥ 0.3 near-dup graph keeps the same pair
+    # DENSITY per vector-pair (~0.8%) rather than collapsing into clusters.
+    # (A clustered first attempt put within-cluster cosine at ~0.9 and blew
+    # the pair table up quadratically — not what the driver data does.)
     labels = rng.integers(0, 10, n_vecs)
-    vecs = centers[labels] + rng.normal(0, 0.35, (n_vecs, 64))
+    vecs = rng.normal(0, 1, (n_vecs, 64))
     vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype("float32")
     _write(outdir, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_vecs, dtype="int64")),
