@@ -59,13 +59,13 @@ def recall_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is the in-session analogue of "write the edge table out bucketed
     # by src once" (module docstring).
     from opencode_hive_archon_spark.operators.similarity import (
-        LSH_BITS,
         LSH_TABLES,
+        lsh_bits_for,
     )
 
     pairs = _materialize_keyed(
         spark,
-        ("near_dup_pairs", sf_dir, NEAR_DUP_COSINE, LSH_TABLES, LSH_BITS),
+        ("near_dup_pairs", sf_dir, NEAR_DUP_COSINE, LSH_TABLES, lsh_bits_for(sf_dir)),
         lambda: dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b"),
     )
     edges = pairs.select(

@@ -123,10 +123,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings themselves. Session-keyed so every consumer of the near-dup
     # pipeline (graph khop, recall gates, repeated bench passes) shares ONE
     # signature computation per sf_dir.
+    bits = lsh_bits_for(sf_dir)
     sigs = _materialize_keyed(
         spark,
-        ("lsh_sigs", sf_dir, LSH_TABLES, LSH_BITS),
-        lambda: lsh_bucketed(spark, sf_dir).select("vec_id", "table", "sig"),
+        ("lsh_sigs", sf_dir, LSH_TABLES, bits),
+        lambda: lsh_bucketed(spark, sf_dir, bits=bits).select(
+            "vec_id", "table", "sig"
+        ),
     )
     cand = (
         sigs.alias("x")
@@ -219,11 +222,53 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. n=1e9, 10k-row buckets → B≈17) and recover the per-pair collision
 # probability p^B by raising L (recall over L tables = 1-(1-p^B)^L). Both are
 # plumbing-free knobs: `lsh_bucketed(..., tables=L, bits=B)` below changes
-# only the bucket-key width, never the join shape. The defaults are the
-# sf-testdata tuning and are load-bearing for the DuckDB oracle constants.
+# only the bucket-key width, never the join shape.
+#
+# The rule is EXECUTED, not just stated: ``lsh_bits_for`` resolves B from
+# the corpus row count (parquet-footer metadata — a driver-side peek, no
+# scan) as max(LSH_BITS, ceil(log2(n / TARGET_BUCKET_ROWS))), and the
+# DuckDB oracle computes the identical formula in its ``params`` CTE, so
+# the pipeline stays hash-exact at every sf. At the shipped testdata sizes
+# (≤2,000 vectors) the formula lands exactly on the pinned B=4 tuning; a
+# 10× corpus resolves to B=8, which is what keeps bucket occupancy — and
+# therefore candidate-pair volume — CONSTANT per vector instead of growing
+# linearly (measured: the 10× corpus ran 140× slower at fixed B=4, 8.6×
+# at adaptive B — the scaling-exponent fix recorded in SCALE.md).
 LSH_TABLES = 10
 LSH_BITS = 4
+TARGET_BUCKET_ROWS = 125  # 2000/2^4: the shipped tuning's bucket occupancy
 N_HYPERPLANES = LSH_TABLES * LSH_BITS
+
+
+def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Table row count from parquet FOOTER metadata — a driver-side
+    constant-time peek (same pattern as streaming's footer-statistics cut),
+    never a Spark scan action."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    paths = (
+        [path]
+        if os.path.isfile(path)
+        else [
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        ]
+    )
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def lsh_bits_for(sf_dir: str) -> int:
+    """Resolve the LSH signature width for a corpus (SCALE RULE above)."""
+    import math
+
+    n = corpus_rows(sf_dir)
+    return max(
+        LSH_BITS, math.ceil(math.log2(max(n, 1) / float(TARGET_BUCKET_ROWS)))
+    )
 
 
 def _signature(vec_col, hyperplanes_col):
@@ -244,14 +289,17 @@ def lsh_bucketed(
     sf_dir: str,
     *,
     tables: int = LSH_TABLES,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """(vec_id, label, embedding, table, sig): one row per vector per hash
     table. Hyperplanes are table-derived (vec_id 1..N) => deterministic.
 
-    (tables, bits) widen the bucket key for larger corpora (see SCALE RULE
-    above); defaults are the oracle-pinned testdata tuning.
+    ``bits=None`` resolves the signature width from the corpus size
+    (``lsh_bits_for``, SCALE RULE above — mirrored by the oracle's params
+    CTE); pass an explicit value only to probe the knob in tests.
     """
+    if bits is None:
+        bits = lsh_bits_for(sf_dir)
     n_planes = tables * bits
     emb = _t(spark, sf_dir, "embeddings")
     # sort_array(collect_list(struct)) — NOT orderBy + collect_list, whose
@@ -382,16 +430,22 @@ GROUP BY label
 # Shared CTE block (planes -> sigs -> cand) so other oracles — e.g. the
 # k-hop graph walk over the near-dup edge set — reuse the identical
 # candidate pipeline.
-LSH_CAND_CTES = f"""planes AS (
-  SELECT vec_id AS pid, embedding AS p FROM embeddings
-  WHERE vec_id BETWEEN 1 AND {N_HYPERPLANES}
+LSH_CAND_CTES = f"""params AS (
+  SELECT greatest({LSH_BITS},
+                  CAST(ceil(log2(count(*) / {TARGET_BUCKET_ROWS}.0)) AS INT))
+         AS bits
+  FROM embeddings
+),
+planes AS (
+  SELECT vec_id AS pid, embedding AS p FROM embeddings, params
+  WHERE vec_id BETWEEN 1 AND {LSH_TABLES} * bits
 ),
 sigs AS (
-  SELECT e.vec_id, CAST((p.pid - 1) // {LSH_BITS} AS INT) AS tbl,
+  SELECT e.vec_id, CAST((p.pid - 1) // b.bits AS INT) AS tbl,
          string_agg(CASE WHEN {_DOT.format(a='e.embedding', b='p.p')} > 0
                          THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
-  FROM embeddings e CROSS JOIN planes p
-  GROUP BY e.vec_id, (p.pid - 1) // {LSH_BITS}
+  FROM embeddings e CROSS JOIN planes p CROSS JOIN params b
+  GROUP BY e.vec_id, (p.pid - 1) // b.bits
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
