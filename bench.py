@@ -162,6 +162,9 @@ BENCH_TIER2 = [
     "multimodal_frame_table",
     "window_analytics",
     "source_upsert_pattern",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "agg_heavy_hitters",
 ]
 
 

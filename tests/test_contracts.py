@@ -147,6 +147,9 @@ _R8_ADDED = {
     "multimodal_frame_table",
     "window_analytics",
     "source_upsert_pattern",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "agg_heavy_hitters",
 }
 
 
@@ -175,7 +178,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 103, sorted(specs)
+    assert len(specs) == 106, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -185,7 +188,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 103 - len(rows_only)
+    assert len(oracle_sql()) == 106 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

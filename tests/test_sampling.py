@@ -1,0 +1,84 @@
+"""Tests for operators/sampling.py: stratified sample, sequence packing,
+and the Misra-Gries heavy-hitter sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.operators.sampling import (
+    HH_COUNTERS,
+    HH_PHI,
+    PACK_BUDGET,
+    SAMPLE_RATES,
+    _mg_summaries,
+    agg_heavy_hitters,
+    corpus_pack_sequences,
+    corpus_stratified_sample,
+)
+
+
+def test_mg_candidates_contain_heavy_hitters_under_eviction(spark):
+    """The load-bearing sketch guarantee, exercised where the driver data
+    can't reach at test scale: key cardinality (5000) far above
+    HH_COUNTERS (512), so the decrement path actually runs. Planted
+    heavy keys (~8% of N each) must ALWAYS survive as candidates —
+    Mergeable-Summaries bound: undercount ≤ N/(K+1) ≈ 0.2%·N."""
+    n_tail, tail_card, n_heavy = 30_000, 5_000, 2_500
+    tail = spark.range(n_tail).select(
+        (F.col("id") % tail_card + 100).alias("hot_key"))
+    heavy = (
+        spark.range(n_heavy * 3)
+        .select((F.col("id") % 3).alias("hot_key"))
+    )
+    df = tail.unionAll(heavy).repartition(8)
+    cands = {r.hot_key for r in _mg_summaries(df).collect()}
+    assert {0, 1, 2} <= cands
+    # sketch actually compressed: far fewer candidates than distinct keys
+    assert len(cands) <= 8 * HH_COUNTERS
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    """End-to-end: sketch + verify must equal the plain exact computation
+    (the sketch may only prune work, never change the answer)."""
+    from opencode_hive_archon_spark.operators.sampling import _hot_key_col
+    from opencode_hive_archon_spark.session import read_table
+
+    got = {(r.hot_key, r.n_events) for r in
+           agg_heavy_hitters(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    counted = (
+        ev.select(_hot_key_col().alias("k")).groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = ev.count()
+    want = {(r.k, r.c) for r in
+            counted.where(F.col("c") > HH_PHI * total).collect()}
+    assert got == want and got
+
+
+def test_pack_bins_respect_budget_plus_one_doc(spark, sf_dir):
+    """Concat-then-chunk invariant: a bin holds at most PACK_BUDGET chars
+    plus the one document that straddles its upper boundary."""
+    from opencode_hive_archon_spark.session import read_table
+
+    max_doc = (
+        read_table(spark, sf_dir, "documents")
+        .agg(F.max("n_chars")).collect()[0][0]
+    )
+    rows = corpus_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_bin_chars <= PACK_BUDGET + max_doc
+        assert r.n_docs >= r.n_bins  # every bin has at least one doc
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Achieved rates track the configured mixture (binomial tolerance)
+    and the report is bit-identical across runs (no RNG anywhere)."""
+    a = corpus_stratified_sample(spark, sf_dir).collect()
+    b = corpus_stratified_sample(spark, sf_dir).collect()
+    assert a == b
+    for r in a:
+        target = SAMPLE_RATES.get(r.lang, 1.0)
+        assert abs(r.achieved_rate - target) < 0.25, (r.lang, r.achieved_rate)
+        assert r.n_kept <= r.n_total

@@ -1,0 +1,140 @@
+"""Scaling-exponent bench: time a query set at sf0.1 and sf1 in ONE JVM.
+
+VERDICT r7 #6 asks for a decade scale step: generate sf1 (tools/gen_sf.py),
+run the tier-1 headline + the dedup ladder + ANN + graph k-hop at both
+scales, and record per-query scaling EXPONENTS
+
+    alpha = log(t_sf1 / t_sf0.1) / log(10)
+
+so a super-linear query (alpha > 1) is visible before it matters at 100 TB.
+alpha <= ~1 means at-worst-linear growth; alpha < 0.5 means fixed overhead
+(JVM/planning/shuffle setup) still dominates at this size — both are fine.
+
+Methodology: one untimed warm-up pass per sf (codegen, parquet footers,
+Arrow init), then ITERS timed passes, median per query. Both scales run in
+the same JVM back-to-back so compilation state is identical; shared-plan
+caches are dropped between scales via unpersist_all().
+
+Writes SCALING_SF1.json at the repo root and prints a summary table.
+
+Usage:  python tools/scale_bench.py [sf_small_dir sf_big_dir]
+        (defaults: /root/testdata/sf0.1  /tmp/testdata_sf1/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import BENCH_QUERIES, run_query  # noqa: E402
+from opencode_hive_archon_spark import registry  # noqa: E402
+from opencode_hive_archon_spark.session import (  # noqa: E402
+    TABLE_NAMES,
+    get_spark,
+    read_table,
+    unpersist_all,
+)
+
+# Tier-1 headline + the full dedup ladder, ANN family, and graph k-hop —
+# the queries whose 100 TB posture SCALE.md argues for.
+EXTRA = [
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "recall_graph_khop",
+    "ann_batch_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "corpus_pretraining_pipeline",
+    "events_sessionize",
+    "q18_large_orders",
+    "q3_shipping_priority",
+]
+QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
+
+ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
+
+
+def time_at(spark, specs, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    for t in TABLE_NAMES:
+        read_table(spark, sf_dir, t).count()
+    failures: dict[str, str] = {}
+    for name in QUERIES:  # warm-up
+        try:
+            run_query(specs[name].fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - harness isolation
+            failures.setdefault(name, f"warmup {type(exc).__name__}")
+    samples: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for _ in range(ITERS):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            try:
+                run_query(specs[name].fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
+                continue
+            samples[name].append(time.perf_counter() - t0)
+            print(f"[scale] {os.path.basename(sf_dir)} {name} "
+                  f"{samples[name][-1]:.2f}s", file=sys.stderr, flush=True)
+    timings = {n: round(statistics.median(ts), 3)
+               for n, ts in samples.items() if ts}
+    return timings, failures
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata_sf1/sf1"
+    ratio = 10.0  # row-count ratio between the two scales
+    spark = get_spark("scale-bench")
+    specs = registry.all_specs()
+    spark.range(1000).count()
+
+    t_small, fail_small = time_at(spark, specs, small)
+    unpersist_all()
+    t_big, fail_big = time_at(spark, specs, big)
+    unpersist_all()
+
+    rows = {}
+    for name in QUERIES:
+        a, b = t_small.get(name), t_big.get(name)
+        if a is None or b is None:
+            continue
+        alpha = math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(ratio)
+        rows[name] = {"t_sf0.1": a, "t_sf1": b, "exponent": round(alpha, 3)}
+
+    out = {
+        "ratio": ratio,
+        "iters": ITERS,
+        "sf_small": small,
+        "sf_big": big,
+        "tier1_total_sf0.1": round(
+            sum(t_small.get(n, 0.0) for n in BENCH_QUERIES), 3),
+        "tier1_total_sf1": round(
+            sum(t_big.get(n, 0.0) for n in BENCH_QUERIES), 3),
+        "n_queries": len(rows),
+        "n_fail": len(set(fail_small) | set(fail_big)),
+        "failures": {**fail_small, **fail_big},
+        "superlinear": sorted(
+            n for n, r in rows.items() if r["exponent"] > 1.0),
+        "queries": rows,
+    }
+    path = os.path.join(REPO, "SCALING_SF1.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path}", file=sys.stderr)
+    for name, r in sorted(rows.items(), key=lambda kv: -kv[1]["exponent"]):
+        print(f"{r['exponent']:+.3f}  {r['t_sf0.1']:7.2f}s -> "
+              f"{r['t_sf1']:7.2f}s  {name}")
+    print(f"superlinear (>1.0): {out['superlinear'] or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
