@@ -165,6 +165,7 @@ BENCH_TIER2 = [
     "corpus_stratified_sample",
     "corpus_pack_sequences",
     "agg_heavy_hitters",
+    "source_zorder_layout",
 ]
 
 
@@ -304,6 +305,25 @@ def main() -> None:
         "n_queries": len(all_timings),
         "n_fail": len(failures),
     }
+    # Decade-scale evidence: if a committed SCALING_SF1.json exists (produced
+    # by `python tools/gen_sf.py ... && python tools/scale_bench.py`, NOT by
+    # this per-round run), carry its headline into the driver record so
+    # BENCH_r{N} shows the sf1 scaling posture next to the sf0.1 numbers.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_SF1.json"
+    )
+    try:
+        with open(scaling_path) as fh:
+            sc = json.load(fh)
+        summary["sf1_precomputed"] = {
+            "tier1_total_sf0.1": sc["tier1_total_sf0.1"],
+            "tier1_total_sf1": sc["tier1_total_sf1"],
+            "n_queries": sc["n_queries"],
+            "n_fail": sc["n_fail"],
+            "superlinear": sc["superlinear"],
+        }
+    except (OSError, KeyError, ValueError):
+        pass  # no scaling artifact committed — omit the section
     if tier1_missing:
         summary["tier1_missing"] = tier1_missing
     line = json.dumps(summary)

@@ -38,6 +38,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",
     "opencode_hive_archon_spark.sources.bucketed",
+    "opencode_hive_archon_spark.sources.zorder",
     "opencode_hive_archon_spark.streaming.jobs",
 ]
 

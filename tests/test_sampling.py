@@ -82,3 +82,21 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
         target = SAMPLE_RATES.get(r.lang, 1.0)
         assert abs(r.achieved_rate - target) < 0.25, (r.lang, r.achieved_rate)
         assert r.n_kept <= r.n_total
+
+
+def test_zorder_skips_more_than_single_key_sort(spark, sf_dir):
+    """The load-bearing layout claim: for a predicate on the NON-sort key,
+    the Z-ordered layout must prune file-groups the date-sorted layout
+    cannot (which degenerates to a full scan), while staying bounded on
+    the date predicate."""
+    from opencode_hive_archon_spark.sources.zorder import (
+        N_GROUPS,
+        source_zorder_layout,
+    )
+
+    rows = {r.layout: r for r in source_zorder_layout(spark, sf_dir).collect()}
+    z, d = rows["zorder"], rows["date_sort"]
+    assert z.groups_total == N_GROUPS == d.groups_total
+    assert z.scan_custkey_pred < d.scan_custkey_pred
+    assert d.scan_custkey_pred == N_GROUPS  # baseline cannot prune custkey
+    assert z.scan_date_pred < N_GROUPS // 2  # still clustered on date
