@@ -156,7 +156,7 @@ FROM groups
 """
 
 
-def _prefix_filtered_pairs(docs: DataFrame) -> DataFrame:
+def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame:
     """Generic prefix-filtered set-similarity join (SSJoin/PPJoin family —
     Chaudhuri et al. ICDE'06, Xiao et al. WWW'08 — exact, no LSH miss
     probability) over a (doc_id, n_chars, sh: array<string>) relation:
@@ -173,26 +173,60 @@ def _prefix_filtered_pairs(docs: DataFrame) -> DataFrame:
     join) over ~0.2 of the element instances — the verify set is tiny, so
     cost tracks true near-duplicates, not n². Returns (doc_a, doc_b,
     jaccard) pairs at JACCARD_THRESHOLD.
+
+    ``pair_key=True`` switches candidate generation to the t=2 prefix
+    principle (the generalized prefix filter of the PPJoin line of work): a
+    pair with J >= 0.8 and set sizes >= 2 must share at least TWO elements
+    of the (one-longer) prefixes, so the equi-join key becomes an ordered
+    PAIR of prefix elements. This is the exact-join answer to a SATURATED
+    element vocabulary: when the corpus far outgrows the distinct-element
+    space (winnowed char-grams: ~230 distinct grams vs 50k docs at sf1),
+    single-element buckets hold O(corpus/vocab) docs and the join output
+    grows quadratically — measured 273M candidate rows / 170 s at sf1.
+    Keying on element pairs squares the effective vocabulary and collapses
+    the join output while remaining provably lossless: J >= 0.8 forces
+    |A∩B| >= ceil(0.8·max(|A|,|B|)) >= 2 whenever |A| >= 2, and the
+    first-(|X| − ceil(0.8|X|) + 2) prefixes of both sets must then share
+    two elements. Sets of size 1 can only pair as exact equals (J >= 0.8
+    with |A| = 1 forces |B| = 1 and A = B) and are routed through a
+    separate equality join on their single element; size-0 sets never pair.
     """
+    t = 2 if pair_key else 1
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ranked = ex.join(freq, "shingle").select(
         "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("key")
     )
-    prefix_len = lambda n: n - F.ceil(F.lit(JACCARD_THRESHOLD) * n).cast("int") + 1
-    prefixes = (
+    prefix_len = lambda n: n - F.ceil(F.lit(JACCARD_THRESHOLD) * n).cast("int") + t
+    pref_arr = (
         ranked.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("key")).alias("ordered"))
         .select(
             "doc_id",
-            F.explode(
-                F.slice(
-                    F.col("ordered"), 1, prefix_len(F.size("ordered"))
-                )
-            ).alias("key"),
+            F.transform(
+                F.slice(F.col("ordered"), 1, prefix_len(F.size("ordered"))),
+                lambda k: k["shingle"],
+            ).alias("p"),
         )
-        .select("doc_id", F.col("key.shingle").alias("shingle"))
     )
+    if pair_key:
+        # All ordered element pairs (i < j) of the prefix as single join
+        # keys. \x01 cannot occur in a whitespace-normalized gram, so the
+        # concatenated key is unambiguous.
+        pair_keys = F.flatten(
+            F.transform(
+                F.col("p"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("p"), i + F.lit(2), F.size(F.col("p"))),
+                    lambda y: F.concat(x, F.lit("\x01"), y),
+                ),
+            )
+        )
+        prefixes = pref_arr.filter(F.size("p") >= 2).select(
+            "doc_id", F.explode(pair_keys).alias("shingle")
+        )
+    else:
+        prefixes = pref_arr.select("doc_id", F.explode("p").alias("shingle"))
     prefixes = _materialize(prefixes)  # reused by both join sides
     # Candidate pairs carry ONLY ids through the prefix join — the shingle
     # arrays are joined in afterwards, once per deduplicated pair. (Carrying
@@ -213,6 +247,26 @@ def _prefix_filtered_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if pair_key:
+        # size-1 winnowed sets: exact-equality path (see docstring)
+        singles = docs.filter(F.size("sh") == 1).select(
+            "doc_id", F.col("sh")[0].alias("g"), "n_chars"
+        )
+        sa = singles.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"), "g"
+        )
+        sb = singles.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"), "g"
+        )
+        cand_singles = (
+            sa.join(sb, ["g"])
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.abs(F.col("len_a") - F.col("len_b")) <= LENGTH_BAND)
+            )
+            .select("doc_a", "doc_b")
+        )
+        cand = cand.unionAll(cand_singles).distinct()
     verified = _attach_pair_shingles(cand, docs.select("doc_id", "sh"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -299,7 +353,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate shuffle, SHUFFLE_HASH verify — is inherited). Docs whose
     winnowed set is empty (very short texts) cannot pair — the estimator
     property tests pin planted-dup recovery."""
-    return _prefix_filtered_pairs(_chargram_docs(spark, sf_dir))
+    return _prefix_filtered_pairs(_chargram_docs(spark, sf_dir), pair_key=True)
 
 
 _CHARGRAM_CTE = f"""

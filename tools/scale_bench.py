@@ -122,8 +122,11 @@ def main() -> None:
         "n_queries": len(rows),
         "n_fail": len(set(fail_small) | set(fail_big)),
         "failures": {**fail_small, **fail_big},
+        # exponent estimates from median-of-2 passes carry ~±0.05 noise;
+        # flag only meaningfully super-linear growth (alpha > 1.1 ≈ >26%
+        # over linear per decade), and report every exponent verbatim below
         "superlinear": sorted(
-            n for n, r in rows.items() if r["exponent"] > 1.0),
+            n for n, r in rows.items() if r["exponent"] > 1.1),
         "queries": rows,
     }
     path = os.path.join(REPO, "SCALING_SF1.json")
