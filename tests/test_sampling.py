@@ -100,3 +100,29 @@ def test_zorder_skips_more_than_single_key_sort(spark, sf_dir):
     assert z.scan_custkey_pred < d.scan_custkey_pred
     assert d.scan_custkey_pred == N_GROUPS  # baseline cannot prune custkey
     assert z.scan_date_pred < N_GROUPS // 2  # still clustered on date
+
+
+def test_stratified_sample_prunes_scan(spark, sf_dir):
+    """The sample report must never read the text payload: ReadSchema keeps
+    only (doc_id, lang, n_chars) — at 100 TB that is the difference between
+    scanning metadata columns and scanning the corpus."""
+    from tests.test_plan_shapes import plan
+
+    p = plan(corpus_stratified_sample(spark, sf_dir))
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read, read
+    for col in ("doc_id", "lang", "n_chars"):
+        assert col in read, read
+
+
+def test_heavy_hitters_verify_is_broadcast(spark, sf_dir):
+    """The exact-verify pass must broadcast the candidate set against the
+    events scan — a shuffle join there would re-introduce the full-key
+    exchange the sketch exists to avoid."""
+    from tests.test_plan_shapes import plan
+
+    p = plan(agg_heavy_hitters(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p[:800]
+    # the events scan reads only the key column
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read and "props" not in read, read
