@@ -166,6 +166,7 @@ BENCH_TIER2 = [
     "corpus_pack_sequences",
     "agg_heavy_hitters",
     "source_zorder_layout",
+    "join_skew_salted",
 ]
 
 

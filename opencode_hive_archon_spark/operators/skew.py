@@ -133,7 +133,69 @@ FROM customer
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key equi-join with explicit salting — the JOIN-side companion of
+    ``agg_skew_salted``. l_returnflag has 3 distinct values, so a plain
+    shuffle join on it lands a third of the fact table on each of 3
+    reducers. Salting: the fact side derives salt = hash(row) mod 16; the
+    dim side replicates each key across all 16 salts; the join keys on
+    (flag, salt), spreading every hot key over 16 balanced partitions.
+
+    When the dim fits in memory, `broadcast()` is the first-choice fix and
+    salting is unnecessary — the pattern here is for the case where the
+    build side is itself too large to broadcast (the `shuffle_hash` hint
+    pins that regime so the demo actually exercises the salted exchange;
+    tests/test_skew_join.py asserts no BroadcastHashJoin and the composite
+    (flag, salt) partitioning). AQE's skew-join split handles sort-merge
+    skew automatically, but only at partition granularity of the OUTPUT —
+    pre-salting balances the exchange itself, which is what matters when
+    one key is a third of a 100 TB table."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    dim = spark.createDataFrame(
+        [("A", "0.90"), ("N", "1.00"), ("R", "1.10")], "flag string, factor string"
+    ).select("flag", F.col("factor").cast("decimal(8,2)").alias("factor"))
+    salted_dim = dim.select(
+        "flag", "factor",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("salt"),
+    )
+    joined = li.join(
+        salted_dim.hint("shuffle_hash"),
+        (li["l_returnflag"] == salted_dim["flag"]) & (li["salt"] == salted_dim["salt"]),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)") * F.col("factor")
+            ).cast("double").alias("weighted_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_JOIN_SKEW = """
+WITH dim(flag, factor) AS (VALUES ('A', CAST('0.90' AS DECIMAL(8,2))),
+                                  ('N', CAST('1.00' AS DECIMAL(8,2))),
+                                  ('R', CAST('1.10' AS DECIMAL(8,2))))
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * factor) AS DOUBLE)
+         AS weighted_revenue
+FROM lineitem JOIN dim ON l_returnflag = flag
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
+    QuerySpec("join_skew_salted", join_skew_salted, _ORACLE_JOIN_SKEW,
+              "relational",
+              "hot-key join balanced by explicit 16-way salting: dim rows "
+              "replicated per salt, fact rows salted by row-hash, join "
+              "keyed on (flag, salt) — the exchange itself is balanced, "
+              "not just the AQE output split"),
     QuerySpec("grouping_sets_orders", grouping_sets_orders, _ORACLE_GROUPING_SETS,
               "relational", "explicit GROUPING SETS aggregation"),
     QuerySpec("scalar_subquery_orders", scalar_subquery_orders, _ORACLE_SCALAR_SUBQUERY,

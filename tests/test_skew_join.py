@@ -60,3 +60,22 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_shape(spark):
+    """join_skew_salted must actually exercise the salted shuffle: no
+    broadcast join, and the exchange keyed on the composite (flag, salt)
+    pair — 48 balanced groups instead of 3 hot ones."""
+    from opencode_hive_archon_spark.operators.skew import join_skew_salted
+
+    df = join_skew_salted(spark, "/root/testdata/sf0.001")
+    from tests.test_plan_shapes import plan
+
+    p = plan(df)
+    assert "BroadcastHashJoin" not in p, p[:1500]
+    assert "ShuffledHashJoin" in p, p[:1500]
+    # composite join key: both flag and salt participate in the exchange
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert any("salt" in k for k in keys), keys or p[:1500]

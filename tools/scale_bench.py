@@ -57,6 +57,11 @@ EXTRA = [
     "events_sessionize",
     "q18_large_orders",
     "q3_shipping_priority",
+    # round-8 additions
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "agg_heavy_hitters",
+    "source_zorder_layout",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
