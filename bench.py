@@ -167,6 +167,8 @@ BENCH_TIER2 = [
     "agg_heavy_hitters",
     "source_zorder_layout",
     "join_skew_salted",
+    "events_funnel",
+    "events_retention",
 ]
 
 

@@ -34,6 +34,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.reshape",
     "opencode_hive_archon_spark.operators.tpch_style",
     "opencode_hive_archon_spark.operators.sampling",
+    "opencode_hive_archon_spark.operators.funnel",
     "opencode_hive_archon_spark.plans.scenarios",
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",

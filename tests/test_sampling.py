@@ -126,3 +126,29 @@ def test_heavy_hitters_verify_is_broadcast(spark, sf_dir):
     # the events scan reads only the key column
     read = p.split("ReadSchema:")[1].splitlines()[0]
     assert "user_id" in read and "props" not in read, read
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """The funnel docstring's load-bearing claim: three stacked stage
+    windows + the per-user collapse all reuse ONE user_id hash exchange
+    (the only other exchange is the 1-row-per-partition global collapse)."""
+    import re
+
+    from opencode_hive_archon_spark.operators.funnel import events_funnel
+    from tests.test_plan_shapes import plan
+
+    p = plan(events_funnel(spark, sf_dir))
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(hash_ex) == 1 and "user_id" in hash_ex[0], hash_ex
+    assert p.count("Window ") == 3, p.count("Window ")
+
+
+def test_funnel_stage_ordering(spark, sf_dir):
+    """Monotone funnel: each stage's population is a subset of the
+    previous one (strict temporal ordering enforces this by construction;
+    the assert catches any regression to unordered per-stage minima)."""
+    from opencode_hive_archon_spark.operators.funnel import events_funnel
+
+    r = events_funnel(spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_viewed >= r.n_clicked >= r.n_purchased
+    assert r.n_purchased > 0  # data sanity: the funnel is actually exercised
