@@ -169,6 +169,7 @@ BENCH_TIER2 = [
     "join_skew_salted",
     "events_funnel",
     "events_retention",
+    "corpus_decontaminate",
 ]
 
 

@@ -35,6 +35,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.tpch_style",
     "opencode_hive_archon_spark.operators.sampling",
     "opencode_hive_archon_spark.operators.funnel",
+    "opencode_hive_archon_spark.operators.decontaminate",
     "opencode_hive_archon_spark.plans.scenarios",
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",

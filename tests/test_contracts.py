@@ -154,6 +154,7 @@ _R8_ADDED = {
     "join_skew_salted",
     "events_funnel",
     "events_retention",
+    "corpus_decontaminate",
 }
 
 
@@ -182,7 +183,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 110, sorted(specs)
+    assert len(specs) == 111, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -192,7 +193,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 110 - len(rows_only)
+    assert len(oracle_sql()) == 111 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

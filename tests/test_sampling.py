@@ -152,3 +152,18 @@ def test_funnel_stage_ordering(spark, sf_dir):
     r = events_funnel(spark, sf_dir).collect()[0]
     assert r.n_users >= r.n_viewed >= r.n_clicked >= r.n_purchased
     assert r.n_purchased > 0  # data sanity: the funnel is actually exercised
+
+
+def test_decontaminate_catches_planted_split_leaks(spark, sf_dir):
+    """The audit must find leakage: the corpus plants near/exact dups, a
+    random (hash) split puts some pairs on opposite sides, and every such
+    pair shares long grams. Zero contamination would mean the check is
+    broken, not that the corpus is clean."""
+    from opencode_hive_archon_spark.operators.decontaminate import (
+        corpus_decontaminate,
+    )
+
+    r = corpus_decontaminate(spark, sf_dir).collect()[0]
+    assert r.n_val_docs > 0 and r.n_train_docs > 0
+    assert 0 < r.n_contaminated_val <= r.n_val_docs
+    assert r.n_pairs >= r.n_contaminated_val
