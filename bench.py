@@ -170,6 +170,9 @@ BENCH_TIER2 = [
     "events_funnel",
     "events_retention",
     "corpus_decontaminate",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
 ]
 
 

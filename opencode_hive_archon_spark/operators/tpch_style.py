@@ -263,7 +263,172 @@ LIMIT 100
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: annual revenue flow between a nation PAIR, both directions
+    (supplier nation ships to customer nation). Two aliased copies of the
+    tiny nation dim broadcast onto the fact chain; the only big shuffle is
+    lineitem ⋈ orders. The pair filter lands on broadcast-joined columns,
+    so AQE prunes most of the probe early."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_ORACLE_Q7 = f"""
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         {_REVENUE_SQL} AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Date + returnflag predicates push into the scans; customer
+    and nation broadcast; the ranking is TakeOrderedAndProject (decimal-
+    exact revenue makes the top-20 cut deterministic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate <  TIMESTAMP '1995-10-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: average yearly revenue lost to small-quantity orders of
+    one brand — the classic correlated scalar subquery
+    (l_quantity < 0.2 * avg(l_quantity) per part), decorrelated to a
+    per-part aggregate join. Exactness: the comparison is rewritten
+    division-free as 5 · qty · count < sum(qty) in decimal, so no float
+    average enters the predicate and the oracle matches bit-for-bit; only
+    the final single division by 7.0 is floating point."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 20)
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(qty_dec).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap_partkey"))
+        .filter(
+            qty_dec * F.col("n_li") * F.lit(5) < F.col("sum_qty")
+        )
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+    )
+
+
+_ORACLE_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS ap_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 20
+  AND CAST(l_quantity AS DECIMAL(18,2)) * n_li * 5 < sum_qty
+"""
+
+
 SPECS = [
+    QuerySpec("q7_volume_shipping", q7_volume_shipping, _ORACLE_Q7,
+              "relational", "Q7-shape bidirectional nation-pair shipping "
+              "revenue by year (double-aliased broadcast nation dim)"),
+    QuerySpec("q10_returned_items", q10_returned_items, _ORACLE_Q10,
+              "relational", "Q10-shape top-20 customers by returned-item "
+              "revenue in a quarter"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              _ORACLE_Q17,
+              "relational", "Q17-shape correlated per-part avg-quantity "
+              "subquery, decorrelated + division-free decimal predicate"),
     QuerySpec("local_supplier_volume", local_supplier_volume, _ORACLE_Q5,
               "relational", "Q5-shape six-table join, local-supplier revenue by nation"),
     QuerySpec("promo_revenue_share", promo_revenue_share, _ORACLE_Q14,
