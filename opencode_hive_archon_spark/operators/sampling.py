@@ -317,7 +317,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total_w = F.sum("cnt").over(Window_all())
+    total_w = F.sum("cnt").over(_total_window())
     return (
         verified.withColumn("total", total_w)
         .where(
@@ -333,7 +333,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def Window_all():
+def _total_window():
     """Single-partition frame over the tiny verified-groups relation
     (|candidates|+1 rows), used only to attach the global total."""
     from pyspark.sql import Window

@@ -55,6 +55,10 @@ _SPEC_MODULES = [
 # driver-grade evidence. The rotated-out flagships remain covered by
 # tools/check.py sweeps and pytest; tests/test_contracts.py pins the
 # rotation itself (window == exactly the never-gated set + listed fillers).
+# Queries ADDED during round 8 (tests/test_contracts.py::_R8_ADDED)
+# register after the window by design: their driver-grade slot comes with
+# the next rotation, and until then they carry full-sweep + pytest
+# evidence (SWEEP_r08*.txt at sf0.01 AND sf0.1).
 _PRIORITY = [
     # relational siblings displaced by round ≤7 representatives
     "join_semi_anti", "join_outer_coalesce", "join_asof_pandas",

@@ -62,6 +62,13 @@ EXTRA = [
     "corpus_pack_sequences",
     "agg_heavy_hitters",
     "source_zorder_layout",
+    "join_skew_salted",
+    "events_funnel",
+    "events_retention",
+    "corpus_decontaminate",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
