@@ -43,16 +43,17 @@ from opencode_hive_archon_spark.spec import QuerySpec
 DECON_NGRAM = 8  # tokens per contamination gram
 
 
-def _long_grams() -> F.Column:
-    toks = F.split(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
-    )
+def _long_grams(toks: F.Column) -> F.Column:
+    """Distinct 8-token grams from an ALREADY-MATERIALIZED token column.
+
+    The token array must be its own projection before this runs: deriving
+    it inline would re-evaluate the tokenize regex for every slice access
+    (the pitfall documented at dedup._shingled_docs — measured here as
+    73 s → ~3 s at sf0.1)."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(DECON_NGRAM)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i, DECON_NGRAM), " "),
         )
     )
     return F.when(F.size(toks) >= DECON_NGRAM, grams).otherwise(
@@ -62,8 +63,15 @@ def _long_grams() -> F.Column:
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination audit of the val split against the train split."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _split_col().alias("split"), _long_grams().alias("g")
+    toks = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _split_col().alias("split"), toks.alias("toks"))
+        .select(
+            "doc_id", "split", _long_grams(F.col("toks")).alias("g")
+        )
     )
     counts = docs.groupBy().agg(
         F.sum((F.col("split") == "val").cast("long")).alias("n_val_docs"),
