@@ -173,6 +173,7 @@ BENCH_TIER2 = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q17_small_quantity_revenue",
+    "events_path_analysis",
 ]
 
 

@@ -159,7 +159,65 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order path analysis): for every
+    consecutive event pair within a user's timeline, count (from_type →
+    to_type) transitions and their share of all transitions from that
+    source type. The `lead` window shares the same user_id exchange
+    pattern as the funnel; ordering carries the unique event_id tie-break
+    (CONVENTIONS.md) so simultaneous events transition deterministically.
+    The share divides two exact counts once per output row — engine-parity
+    safe."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    from_totals = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "share",
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(from_totals),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_ORACLE_PATHS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY from_type) AS share
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_path_analysis", events_path_analysis, _ORACLE_PATHS,
+        "relational",
+        "first-order event-type transition matrix with per-source shares "
+        "(lead window, deterministic event_id tie-break, one user-keyed "
+        "exchange)"),
     QuerySpec(
         "events_funnel", events_funnel, _ORACLE_FUNNEL, "relational",
         "strictly-ordered view→click→purchase funnel: stacked per-user "

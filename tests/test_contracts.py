@@ -158,6 +158,7 @@ _R8_ADDED = {
     "q7_volume_shipping",
     "q10_returned_items",
     "q17_small_quantity_revenue",
+    "events_path_analysis",
 }
 
 
@@ -186,7 +187,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 114, sorted(specs)
+    assert len(specs) == 115, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -196,7 +197,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 114 - len(rows_only)
+    assert len(oracle_sql()) == 115 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):
