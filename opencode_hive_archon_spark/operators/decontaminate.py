@@ -37,6 +37,7 @@ from opencode_hive_archon_spark.operators.textops import (
     VAL_BUCKETS,
     _split_col,
 )
+from opencode_hive_archon_spark.session import materialize as _materialize
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
 
@@ -77,7 +78,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("split") == "val").cast("long")).alias("n_val_docs"),
         F.sum((F.col("split") == "train").cast("long")).alias("n_train_docs"),
     )
-    ge = docs.select("doc_id", "split", F.explode("g").alias("gram"))
+    # The exploded (doc, split, gram) relation feeds BOTH join sides;
+    # materialize it once so tokenization + gram construction run a single
+    # time over the corpus instead of once per side (the session-level
+    # persist pattern used by the dedup family).
+    ge = _materialize(
+        docs.select("doc_id", "split", F.explode("g").alias("gram"))
+    )
     val = ge.filter(F.col("split") == "val").select(
         F.col("doc_id").alias("val_doc"), "gram"
     )
