@@ -174,6 +174,7 @@ BENCH_TIER2 = [
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "events_path_analysis",
+    "corpus_bpe_pair_stats",
 ]
 
 

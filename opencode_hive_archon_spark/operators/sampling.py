@@ -69,8 +69,7 @@ def _sample_keep_col() -> F.Column:
         F.concat(F.col("doc_id").cast("string"), F.lit(":strata")),
         SAMPLE_HASH_HEX,
     )
-    expr = F.lit(_SAMPLE_SPACE)  # default: keep all
-    thr = expr
+    thr = F.lit(_SAMPLE_SPACE)  # default: keep all
     for lang, t in SAMPLE_THRESHOLDS.items():
         thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
     return h < thr

@@ -731,7 +731,57 @@ ORDER BY split, lang
 """
 
 
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character-pair frequencies — the merge-candidate
+    statistic of ONE BPE tokenizer-training iteration (the inner loop of
+    byte-pair encoding: count all adjacent symbol pairs, merge the most
+    frequent). Expressed as pure explode + partial-aggregated count: the
+    map side collapses each partition's character stream to its pair
+    vocabulary (a few hundred rows), so the shuffle is vocabulary-sized
+    regardless of corpus size — the property that makes distributed BPE
+    training iterations cheap. Deterministic pair tie-break; global top-20
+    via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    pairs = F.when(
+        F.length(norm) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: norm.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+_ORACLE_BPE_PAIRS = """
+WITH norm AS (
+  SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+  FROM documents
+),
+pairs AS (
+  SELECT unnest([substr(nt, i, 2) for i in range(1, greatest(len(nt), 1))])
+           AS pair
+  FROM norm
+)
+SELECT pair, count(*) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("corpus_bpe_pair_stats", corpus_bpe_pair_stats, _ORACLE_BPE_PAIRS,
+              "text",
+              "BPE tokenizer-training iteration statistic: top-20 adjacent "
+              "char-pair frequencies, vocabulary-sized shuffle"),
     QuerySpec("text_repetition_stats", text_repetition_stats, _ORACLE_REPETITION,
               "text",
               "Gopher-style repetition signals: distinct-token ratio + "

@@ -159,6 +159,7 @@ _R8_ADDED = {
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "events_path_analysis",
+    "corpus_bpe_pair_stats",
 }
 
 
@@ -187,7 +188,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 115, sorted(specs)
+    assert len(specs) == 116, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -197,7 +198,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 115 - len(rows_only)
+    assert len(oracle_sql()) == 116 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):
