@@ -742,16 +742,23 @@ def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     training iterations cheap. Deterministic pair tie-break; global top-20
     via TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    # Normalize into its OWN projection first: slicing the inline regex
+    # expression would re-evaluate it once per character access (O(len²)
+    # regex work per doc — the pitfall documented at _shingled_docs;
+    # measured 14 s → ~1 s at sf0.1 for this query).
+    normed = docs.select(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias("nt")
+    )
+    nt = F.col("nt")
     pairs = F.when(
-        F.length(norm) >= 2,
+        F.length(nt) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.length(norm) - 1),
-            lambda i: norm.substr(i, F.lit(2)),
+            F.sequence(F.lit(1), F.length(nt) - 1),
+            lambda i: nt.substr(i, F.lit(2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        normed.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "pair")

@@ -69,6 +69,8 @@ EXTRA = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q17_small_quantity_revenue",
+    "events_path_analysis",
+    "corpus_bpe_pair_stats",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
