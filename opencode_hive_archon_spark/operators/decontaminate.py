@@ -8,7 +8,8 @@ scale: unlike the short grams used for NEAR-dup similarity (whose
 vocabulary saturates — see dedup.py's pair-key discussion), long-gram
 vocabulary grows combinatorially, so the (gram → doc) inverted index has
 near-singleton buckets and the join output tracks TRUE shared text, never
-corpus². The whole check is two scans + one equi-join on the gram.
+corpus². The whole check is ONE corpus scan into a persisted
+(doc, split, gram) relation that feeds both sides of a single equi-join.
 
 ``corpus_decontaminate`` treats the engine's deterministic validation
 split (textops.corpus_train_val_split: md5-bucket on doc_id) as the eval
