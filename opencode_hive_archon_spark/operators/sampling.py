@@ -265,25 +265,37 @@ _HOT_KEY_SQL = (
 )
 
 
+def mg_reduce(counts: dict, batch_counts: dict, k: int = HH_COUNTERS) -> dict:
+    """One batched Misra-Gries step: merge exact batch counts into the
+    summary, then, if more than ``k`` keys are live, subtract the
+    (k+1)-th largest counter from every counter and drop non-positives.
+    Preserves the MG bound est(x) ≥ f(x) − N/(k+1) for the stream
+    consumed so far (property-tested over arbitrary chunkings in
+    tests/test_sampling.py)."""
+    for key, c in batch_counts.items():
+        counts[key] = counts.get(key, 0) + int(c)
+    if len(counts) > k:
+        vals = sorted(counts.values(), reverse=True)
+        thr = vals[k]  # (k+1)-th largest
+        counts = {key: v - thr for key, v in counts.items() if v > thr}
+    return counts
+
+
 def _mg_summaries(keys_df: DataFrame) -> DataFrame:
     """Per-partition Misra-Gries summary via Arrow-batched mapInPandas.
 
-    Batched MG reduction: accumulate exact batch counts; whenever more than
-    K keys are live, subtract the (K+1)-th largest count from every counter
-    and drop non-positive ones. This is the standard batched form of the
-    MG decrement and preserves est(k) ≥ f_p(k) − N_p/(K+1)."""
+    The reduction itself is the pure, property-tested :func:`mg_reduce`;
+    this wrapper only streams Arrow batches through it."""
 
     def mg(batches):
         import pandas as pd
 
         counts: dict[int, int] = {}
         for pdf in batches:
-            for k, c in pdf["hot_key"].value_counts().items():
-                counts[int(k)] = counts.get(int(k), 0) + int(c)
-            if len(counts) > HH_COUNTERS:
-                vals = sorted(counts.values(), reverse=True)
-                thr = vals[HH_COUNTERS]  # (K+1)-th largest
-                counts = {k: v - thr for k, v in counts.items() if v > thr}
+            counts = mg_reduce(
+                counts,
+                {int(k): int(c) for k, c in pdf["hot_key"].value_counts().items()},
+            )
         yield pd.DataFrame(
             {"hot_key": list(counts.keys()), "est": list(counts.values())}
         )

@@ -167,3 +167,39 @@ def test_decontaminate_catches_planted_split_leaks(spark, sf_dir):
     assert r.n_val_docs > 0 and r.n_train_docs > 0
     assert 0 < r.n_contaminated_val <= r.n_val_docs
     assert r.n_pairs >= r.n_contaminated_val
+
+
+def test_mg_reduce_bound_property():
+    """Hypothesis: over arbitrary streams and arbitrary chunkings, the
+    batched MG reduction never undercounts any key by more than
+    N/(k+1), and every key with true frequency above that bound
+    survives. Pure-python — no Spark job per example."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opencode_hive_archon_spark.operators.sampling import mg_reduce
+
+    K = 8  # small capacity so eviction actually triggers
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(st.integers(min_value=0, max_value=40), max_size=300),
+        chunks=st.integers(min_value=1, max_value=7),
+    )
+    def check(stream, chunks):
+        true = Counter(stream)
+        n = len(stream)
+        counts: dict = {}
+        step = max(1, (n // chunks) or 1)
+        for i in range(0, max(n, 1), step):
+            counts = mg_reduce(counts, Counter(stream[i : i + step]), k=K)
+        bound = n / (K + 1)
+        for key, f in true.items():
+            est = counts.get(key, 0)
+            assert est >= f - bound, (key, f, est, bound)
+            if f > bound:
+                assert key in counts, (key, f, bound)
+
+    check()
