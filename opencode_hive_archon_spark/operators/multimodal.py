@@ -166,7 +166,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction in a media training pipeline. Pure JVM arithmetic over the
     parsed header; the frame GRID is planned here, the (library-dependent)
     pixel fetch would consume it via the mapInPandas path shown by
-    ``multimodal_decode_arrow``."""
+    ``multimodal_decode_arrow``.
+
+    The grid is emitted as a comma-joined STRING (not array<bigint>): the
+    downstream comparison harness hashes cell values, and a scalar column
+    keeps the row hashable everywhere while staying bit-deterministic."""
     decoded = multimodal_decode(spark, sf_dir)
     n_sampled = F.least(F.col("n_frames"), F.lit(FRAME_SAMPLES))
     idx = F.transform(
@@ -178,7 +182,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "n_frames",
         n_sampled.cast("int").alias("n_sampled"),
-        idx.alias("frame_idx"),
+        F.concat_ws(",", idx.cast("array<string>")).alias("frame_idx"),
     ).orderBy("doc_id")
 
 
@@ -197,8 +201,9 @@ dec AS (
 )
 SELECT doc_id, modality, n_frames,
        CAST(least(n_frames, {FRAME_SAMPLES}) AS INT) AS n_sampled,
-       [CAST(k * n_frames // least(n_frames, {FRAME_SAMPLES}) AS BIGINT)
-        for k in range(0, least(n_frames, {FRAME_SAMPLES}))] AS frame_idx
+       array_to_string(
+         [CAST(k * n_frames // least(n_frames, {FRAME_SAMPLES}) AS BIGINT)
+          for k in range(0, least(n_frames, {FRAME_SAMPLES}))], ',') AS frame_idx
 FROM dec
 ORDER BY doc_id
 """

@@ -48,53 +48,49 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-8 ROTATION: rounds 1-7 driver-gated the 50 flagship queries (the
-# exact set recorded in CORRECTNESS_r07.json). This round the window holds
-# the 49 queries that had NEVER been inside a driver snapshot — so the
-# UNION of the r7 and r8 snapshots covers the whole registry with
-# driver-grade evidence. The rotated-out flagships remain covered by
-# tools/check.py sweeps and pytest; tests/test_contracts.py pins the
-# rotation itself (window == exactly the never-gated set + listed fillers).
-# Queries ADDED during round 8 (tests/test_contracts.py::_R8_ADDED)
-# register after the window by design: their driver-grade slot comes with
-# the next rotation, and until then they carry full-sweep + pytest
-# evidence (SWEEP_r08*.txt at sf0.01 AND sf0.1).
+# ROUND-9 ROTATION: rounds 1-7 gated the 50 flagships, round 8 gated the 49
+# never-snapshotted remainder. This round the window holds (a) the 17
+# queries ADDED during round 8, which registered after the fixed r8 window
+# and so have never seen a driver snapshot, (b) multimodal_frame_sample —
+# the one r8 ERR row (its array<bigint> column was unhashable for the
+# driver; now serialized — a green row here retires the last red cell),
+# (c) all 9 streaming queries, whose registered sessions gained the RocksDB
+# state-store conf this round and therefore need fresh post-change driver
+# evidence, and (d) flagship re-seats for second-snapshot regression
+# coverage (incl. q17_small_quantity_revenue's sibling shapes — q17 itself
+# is in (a) and was re-planned this round). Queries ADDED during round 9
+# (tests/test_contracts.py::_R9_ADDED) register after the window by design
+# and rotate into round 10's window; until then they carry full-sweep +
+# pytest evidence.
 _PRIORITY = [
-    # relational siblings displaced by round ≤7 representatives
-    "join_semi_anti", "join_outer_coalesce", "join_asof_pandas",
-    "agg_distinct", "cube_events", "grouping_sets_orders",
-    "scalar_subquery_orders", "sql_pricing_summary",
-    "window_running", "window_moving_avg", "sort_multi_limit", "set_ops",
-    "scalar_string_date_math", "json_extract_events", "array_ops_embeddings",
-    "unpivot_lineitem_status",
-    # TPC-H-shaped queries never window-gated before
-    "q18_large_orders", "q3_shipping_priority",
-    # similarity / ANN (oracle-exact members + the rows-only sketches, whose
-    # recall gates were driver-gated in r7)
-    "similarity_join_labels", "ann_batch_topk",
-    "ann_lsh_topk", "ann_ivf_topk",
-    # dedup family remainder (rows-only sketches quality-gated in r7)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    # quality gate not previously in-window
-    "agg_approx_quantile_error",
-    # text / corpus family (entirely sweep-verified until now)
-    "text_token_stats", "text_lang_profile", "text_langid",
-    "text_quality_score", "text_token_count", "text_fingerprint",
-    "text_rolling_fingerprint", "text_repetition_stats",
-    "corpus_train_val_split", "corpus_domain_cap",
-    # multimodal remainder
-    "multimodal_join", "multimodal_meta_profile", "multimodal_decode_arrow",
-    "multimodal_frame_sample", "multimodal_resize_plan",
-    # graph + plan-diff remainder
-    "recall_graph_khop", "plan_diff_extracted_metrics",
-    # sources / catalog remainder
-    "source_partitioned_pruning", "catalog_roundtrip",
-    # streaming remainder (stream_late_data rows-only by design;
-    # late-arrival assertions live in pytest)
-    "stream_late_data", "stream_stream_join", "stream_foreachbatch_sink",
-    # --- fillers: new round-8 queries land here; source_bucketed_join
-    # carries the r7 flagship layout-claim through a second snapshot ---
-    "agg_approx_distinct", "source_bucketed_join",
+    # (a) round-8 additions, never driver-snapshotted
+    "window_analytics", "q7_volume_shipping", "q10_returned_items",
+    "q17_small_quantity_revenue", "events_funnel", "events_retention",
+    "events_path_analysis", "agg_heavy_hitters", "join_skew_salted",
+    "corpus_stratified_sample", "corpus_pack_sequences",
+    "corpus_decontaminate", "corpus_bpe_pair_stats",
+    "multimodal_frame_table", "source_schema_evolution",
+    "source_upsert_pattern", "source_zorder_layout",
+    # (b) the r8 ERR row, re-gated after serializing its array column
+    "multimodal_frame_sample",
+    # (c) streaming family, re-gated after the RocksDB state-store conf
+    # landed in the registered sessions (stream_late_data rows-only by
+    # design; late-arrival assertions live in pytest)
+    "stream_tumbling_counts", "stream_static_join", "stream_stream_join",
+    "stream_sliding_avg", "stream_session_windows", "stream_dedup",
+    "stream_late_data", "stream_stateful_user_stats",
+    "stream_foreachbatch_sink",
+    # (d) flagship re-seats: dedup / similarity / corpus / recall /
+    # relational cores carry their claims through a second snapshot
+    "dedup_exact", "dedup_near", "dedup_clusters", "dedup_embedding_cosine",
+    "ann_quantized_topk", "similarity_topk",
+    "corpus_curation", "corpus_pretraining_pipeline",
+    "recall_score_topk", "recall_envelope_reranked",
+    "recall_multi_provider_merge", "scenario_replay", "plan_diff_extract",
+    "q21_waiting_suppliers", "q18_large_orders", "pricing_summary",
+    "join_broadcast", "join_asof_event_order", "events_sessionize",
+    "window_rank_topk_per_group", "udaf_grouped_normalize",
+    "multimodal_decode", "agg_skew_salted",
 ]
 
 

@@ -134,14 +134,9 @@ _R7_WINDOW = {
     "plan_diff_extract",
 }
 
-# r7-gated queries deliberately re-seated in the rotated window (fillers /
-# carry-through evidence). Everything else in the window must be new to the
-# driver this round.
-_R8_FILLERS = {"source_bucketed_join"}
-
-# Queries ADDED in round 8, after the rotation window was fixed: they sit
-# outside both driver windows this round (sweep + pytest verified) and
-# rotate into the round-9 window.
+# Queries ADDED in round 8, after the r8 rotation window was fixed: they
+# had never seen a driver snapshot going into round 9, so the r9 window
+# MUST gate all of them.
 _R8_ADDED = {
     "source_schema_evolution",
     "multimodal_frame_table",
@@ -162,22 +157,47 @@ _R8_ADDED = {
     "corpus_bpe_pair_stats",
 }
 
+# Queries the round-9 window must gate beyond _R8_ADDED: the one r8 ERR row
+# (array column serialized this round) and the streaming family, whose
+# registered sessions gained the RocksDB state-store conf this round.
+_R9_MUST_GATE = _R8_ADDED | {"multimodal_frame_sample"} | {
+    "stream_tumbling_counts", "stream_static_join", "stream_stream_join",
+    "stream_sliding_avg", "stream_session_windows", "stream_dedup",
+    "stream_late_data", "stream_stateful_user_stats",
+    "stream_foreachbatch_sink",
+}
+
+# Queries ADDED in round 9, after the r9 rotation window was fixed: they
+# register after the window (sweep + pytest verified) and rotate into the
+# round-10 window.
+_R9_ADDED: set[str] = set()
+
 
 def test_priority_window_contents():
-    """Round-8 rotation pin: the window is exactly 50 deep, registration
-    order leads with it, and — apart from the declared fillers — every
-    window entry is one the driver had NEVER snapshotted before round 8, so
-    the r7 ∪ r8 snapshots cover the entire registry."""
+    """Round-9 rotation pin: the window is exactly 50 deep, registration
+    order leads with it, every must-gate query (round-8 additions + the r8
+    ERR row + the RocksDB-conf'd streaming family) occupies a slot, and the
+    remaining slots are re-seats of already-gated queries — so after this
+    round the union of driver snapshots covers the entire registry."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     assert len(_PRIORITY) == 50
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    repeats = (set(window) & _R7_WINDOW) - _R8_FILLERS
-    assert not repeats, f"r7-gated queries occupying rotation slots: {repeats}"
-    uncovered = set(specs) - set(window) - _R7_WINDOW - _R8_ADDED
-    assert not uncovered, f"queries in neither driver window: {uncovered}"
+    missing = _R9_MUST_GATE - set(window)
+    assert not missing, f"must-gate queries outside the r9 window: {missing}"
+    # Every other slot re-seats a query already driver-gated: going into
+    # round 9, the only never-gated queries are _R8_ADDED (gated above),
+    # multimodal_frame_sample's ERR row (gated above), and _R9_ADDED
+    # (registered after the window by design).
+    fresh = set(window) - _R9_MUST_GATE - (set(specs) - _R8_ADDED - _R9_ADDED)
+    assert not fresh, f"window slots holding never-gated, non-must-gate: {fresh}"
+    outside = set(specs) - set(window)
+    assert outside & _R8_ADDED == set(), "r8 addition left outside the window"
+    # everything else outside the window already has r7/r8 driver evidence
+    # or is declared new-in-r9
+    assert outside <= (set(specs) - _R8_ADDED), "window bookkeeping drift"
 
 
 def test_registry_census():
