@@ -374,23 +374,33 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate join. Exactness: the comparison is rewritten
     division-free as 5 · qty · count < sum(qty) in decimal, so no float
     average enters the predicate and the oracle matches bit-for-bit; only
-    the final single division by 7.0 is floating point."""
+    the final single division by 7.0 is floating point.
+
+    Scale note (round-9 re-plan): the decorrelated aggregate only needs the
+    partkeys that survive the brand/size filter (~1/1000 of parts), so
+    lineitem is SEMI-JOINED against the broadcast filtered keys BEFORE the
+    per-part aggregate — at 100× scale this turns a full-table shuffle
+    keyed on every partkey into one keyed on the probed thousandth. The
+    pruned aggregate is then itself broadcastable (≤ one row per filtered
+    part), so the probe side pays no shuffle at all. p_partkey is unique
+    (TPC-H PK), so the semi-join equals the original inner join."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 20)
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 20))
+        .select("p_partkey")
+    )
+    li_pruned = li.join(
+        F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi"
     )
     qty_dec = F.col("l_quantity").cast("decimal(18,2)")
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    per_part = li_pruned.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         F.sum(qty_dec).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_li"),
     )
-    small = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == F.col("ap_partkey"))
-        .filter(
-            qty_dec * F.col("n_li") * F.lit(5) < F.col("sum_qty")
-        )
-    )
+    small = li_pruned.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey")
+    ).filter(qty_dec * F.col("n_li") * F.lit(5) < F.col("sum_qty"))
     return small.agg(
         (
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")

@@ -269,3 +269,23 @@ def test_schema_evolution_read_pruned(spark, sf_dir):
     assert "o_totalprice" in read_schema
     for col in ("o_comment", "o_clerk", "o_custkey", "o_orderdate"):
         assert col not in read_schema, f"{col} not pruned: {read_schema}"
+
+
+def test_q17_aggregate_input_pruned(spark, sf_dir):
+    """q17_small_quantity_revenue (round-9 re-plan): the decorrelated
+    per-part aggregate must consume lineitem AFTER the broadcast semi-join
+    against the brand/size-filtered partkeys — at 100× scale the difference
+    between shuffling every partkey and the ~1/1000 actually probed. The
+    pruned aggregate is then broadcast back, so the probe side joins with
+    zero shuffles of its own."""
+    from opencode_hive_archon_spark.operators import tpch_style as TP
+
+    p = plan(TP.q17_small_quantity_revenue(spark, sf_dir))
+    # both lineitem scans (aggregate side + probe side) are semi-pruned
+    assert p.count("LeftSemi") == 2, p
+    assert "SortMergeJoin" not in p
+    # the ONLY key shuffle is the pruned aggregate's own partkey exchange
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # and that aggregate's partial stage sits above a LeftSemi, not a bare scan
+    partial = p.index("partial_sum(cast(l_quantity")
+    assert "LeftSemi" in p[partial:], "aggregate input not semi-pruned"
