@@ -17,6 +17,7 @@ DECIMAL, which round-trips float32 differently).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,7 +111,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generates candidates via an equi-join on the (table, signature) bucket
     key — a hash shuffle, no O(n²) nested loop — then the exact cosine
     re-check runs once per distinct candidate pair. Because the hyperplanes
-    are table-derived dot products (no engine hash functions), the WHOLE
+    are table-derived and the signature dot is quantized-integer (no engine
+    hash functions, no float summation-order dependence), the WHOLE
     pipeline is deterministic and mirrored exactly by the DuckDB oracle —
     the approximate algorithm itself is hash-verified, not just row-counted.
     The exhaustive baseline lives in `_all_pairs_cosine` (tests assert
@@ -240,16 +242,11 @@ TARGET_BUCKET_ROWS = 125  # 2000/2^4: the shipped tuning's bucket occupancy
 N_HYPERPLANES = LSH_TABLES * LSH_BITS
 
 
-def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
-    """Table row count from parquet FOOTER metadata — a driver-side
-    constant-time peek (same pattern as streaming's footer-statistics cut),
-    never a Spark scan action."""
+def _table_files(sf_dir: str, table: str) -> list[str]:
     import os
 
-    import pyarrow.parquet as pq
-
     path = f"{sf_dir}/{table}.parquet"
-    paths = (
+    return (
         [path]
         if os.path.isfile(path)
         else [
@@ -258,7 +255,17 @@ def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
             if p.endswith(".parquet")
         ]
     )
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Table row count from parquet FOOTER metadata — a driver-side
+    constant-time peek (same pattern as streaming's footer-statistics cut),
+    never a Spark scan action."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows for p in _table_files(sf_dir, table)
+    )
 
 
 def lsh_bits_for(sf_dir: str) -> int:
@@ -271,17 +278,71 @@ def lsh_bits_for(sf_dir: str) -> int:
     )
 
 
-def _signature(vec_col, hyperplanes_col):
-    """Random-hyperplane signature: bit i = (vec · plane_i) > 0, as a compact
-    bit-string bucket key. Hyperplanes are table-derived (vec_id 1..N) =>
-    deterministic."""
-    return F.concat_ws(
-        "",
-        F.transform(
-            hyperplanes_col,
-            lambda h: F.when(dot_product(vec_col, h) > 0, F.lit("1")).otherwise(F.lit("0")),
-        ),
-    )
+# Signature arithmetic is QUANTIZED-INTEGER: bit i = (⌊v·2^20⌋ · ⌊p_i·2^20⌋
+# > 0) with the dot taken over int64. Integer addition is associative, so
+# the numpy matmul below, a Spark-side sequential fold, and DuckDB's
+# list_reduce all produce the SAME signature bit-for-bit — determinism no
+# float summation order can offer. ⌊x·2^20⌋ itself is exact everywhere
+# (scaling by a power of two only shifts the float exponent). |x| < 1 and
+# d = 64 bound the dot by 64·2^40 < 2^47, far inside int64.
+QUANT_SCALE = 1 << 20
+
+_PLANES_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _quantized_planes(sf_dir: str, n_planes: int):
+    """(n_planes, d) int64 hyperplane matrix: embedding rows vec_id 1..N,
+    quantized. Read EXECUTOR-side straight from the parquet footprint with a
+    pushed-down vec_id filter — a side-input parameter load (the planes are
+    O(log n) rows at any corpus size), cached per process. No driver
+    collect, no per-row broadcast column."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    key = (sf_dir, n_planes)
+    cached = _PLANES_CACHE.get(key)
+    if cached is None:
+        t = ds.dataset(_table_files(sf_dir, "embeddings")).to_table(
+            columns=["vec_id", "embedding"],
+            filter=(ds.field("vec_id") >= 1) & (ds.field("vec_id") <= n_planes),
+        )
+        order = np.argsort(t.column("vec_id").to_numpy())
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )[order]
+        cached = np.floor(mat * QUANT_SCALE).astype(np.int64)
+        _PLANES_CACHE[key] = cached
+    return cached
+
+
+def _sig_udf(sf_dir: str, tables: int, bits: int):
+    """array<string> pandas UDF: all ``tables`` signatures of one vector in
+    a single Arrow-batched numpy matmul — (batch × d) @ (d × L·B) — instead
+    of L·B interpreted per-plane folds. This is what moved the sf1 scaling
+    exponent of the signature stage (SCALE.md round 9)."""
+    n_planes = tables * bits
+
+    @F.pandas_udf("array<string>")
+    def table_sigs(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        planes = _quantized_planes(sf_dir, n_planes)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        quant = np.floor(mat * QUANT_SCALE).astype(np.int64)
+        signs = (quant @ planes.T) > 0  # (batch, n_planes) bool
+        return pd.Series(
+            [
+                [
+                    "".join("1" if b else "0" for b in row[t * bits:(t + 1) * bits])
+                    for t in range(tables)
+                ]
+                for row in signs
+            ]
+        )
+
+    return table_sigs
 
 
 def lsh_bucketed(
@@ -292,7 +353,10 @@ def lsh_bucketed(
     bits: int | None = None,
 ) -> DataFrame:
     """(vec_id, label, embedding, table, sig): one row per vector per hash
-    table. Hyperplanes are table-derived (vec_id 1..N) => deterministic.
+    table. Hyperplanes are table-derived (vec_id 1..N) => deterministic,
+    and the quantized-integer signature (QUANT_SCALE note above) makes the
+    bucket keys bit-identical between the vectorized numpy path and the
+    DuckDB oracle's list_reduce fold.
 
     ``bits=None`` resolves the signature width from the corpus size
     (``lsh_bits_for``, SCALE RULE above — mirrored by the oracle's params
@@ -300,35 +364,12 @@ def lsh_bucketed(
     """
     if bits is None:
         bits = lsh_bits_for(sf_dir)
-    n_planes = tables * bits
     emb = _t(spark, sf_dir, "embeddings")
-    # sort_array(collect_list(struct)) — NOT orderBy + collect_list, whose
-    # order Spark does not guarantee across partial/final aggregation.
-    planes = (
-        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_planes))
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))),
-                lambda s: s["embedding"],
-            ).alias("planes")
-        )
+    sig_arr = _sig_udf(sf_dir, tables, bits)(F.col("embedding"))
+    return emb.select(
+        "vec_id", "label", "embedding",
+        F.posexplode(sig_arr).alias("table", "sig"),
     )
-    signed = emb.crossJoin(F.broadcast(planes))
-    tables_arr = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _signature(
-                    F.col("embedding"),
-                    F.slice(F.col("planes"), t * bits + 1, bits),
-                ).alias("sig"),
-            )
-            for t in range(tables)
-        ]
-    )
-    return signed.select(
-        "vec_id", "label", "embedding", F.explode(tables_arr).alias("b")
-    ).select("vec_id", "label", "embedding", "b.table", "b.sig")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,14 +463,23 @@ GROUP BY label
 
 # Exact mirror of the LSH pipeline: hyperplanes are embedding rows
 # 1..N_HYPERPLANES sorted by vec_id; bit i of table t's signature is
-# sign(dot(v, plane t*LSH_BITS+i)) with the same sequential-fold dot as
-# Spark (list_reduce parity),
-# so candidate buckets — and therefore the final pair set — match
-# bit-for-bit. string_agg ORDER BY pid reproduces Spark's slice order
-# ((pid-1)//4 = table, pid ascending within a table).
+# sign(qdot(v, plane t*LSH_BITS+i)) over the QUANTIZED-INTEGER dot
+# (⌊x·2^20⌋ int64 terms — see QUANT_SCALE). Integer sums are associative,
+# so list_reduce here and the numpy matmul in Spark agree bit-for-bit, and
+# the candidate buckets — and therefore the final pair set — match exactly.
+# string_agg ORDER BY pid reproduces Spark's slice order ((pid-1)//B =
+# table, pid ascending within a table).
 # Shared CTE block (planes -> sigs -> cand) so other oracles — e.g. the
 # k-hop graph walk over the near-dup edge set — reuse the identical
 # candidate pipeline.
+_QUANT = (
+    f"list_transform({{v}}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))"
+)
+_IDOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), t -> t[1] * t[2])), (acc, x) -> acc + x)"
+)
+
 LSH_CAND_CTES = f"""params AS (
   SELECT greatest({LSH_BITS},
                   CAST(ceil(log2(count(*) / {TARGET_BUCKET_ROWS}.0)) AS INT))
@@ -437,14 +487,18 @@ LSH_CAND_CTES = f"""params AS (
   FROM embeddings
 ),
 planes AS (
-  SELECT vec_id AS pid, embedding AS p FROM embeddings, params
+  SELECT vec_id AS pid, {_QUANT.format(v='embedding')} AS p
+  FROM embeddings, params
   WHERE vec_id BETWEEN 1 AND {LSH_TABLES} * bits
+),
+qemb AS (
+  SELECT vec_id, {_QUANT.format(v='embedding')} AS q FROM embeddings
 ),
 sigs AS (
   SELECT e.vec_id, CAST((p.pid - 1) // b.bits AS INT) AS tbl,
-         string_agg(CASE WHEN {_DOT.format(a='e.embedding', b='p.p')} > 0
+         string_agg(CASE WHEN {_IDOT.format(a='e.q', b='p.p')} > 0
                          THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
-  FROM embeddings e CROSS JOIN planes p CROSS JOIN params b
+  FROM qemb e CROSS JOIN planes p CROSS JOIN params b
   GROUP BY e.vec_id, (p.pid - 1) // b.bits
 ),
 cand AS (
