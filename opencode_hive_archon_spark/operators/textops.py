@@ -338,11 +338,22 @@ def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     features + both gates into one codegen stage with zero intermediate
     writes; the only shuffle is the dedup hash partition — keyed on the
     sha256 digest, the text itself never rides a shuffle as a key. That is
-    the 100 TB shape: filters free, dedup bounded by digest bytes."""
+    the 100 TB shape: filters free, dedup bounded by digest bytes.
+
+    Tokenization is FACTORED: the regex+split token array (and its distinct
+    form for marker hits) is computed once in a prior projection and every
+    feature reads the column — per-language marker counting must not
+    re-tokenize (5 langs × regex split = the measured hot spot at sf1; the
+    factoring is what codegen CSE does not guarantee for array-typed
+    subexpressions). Still one codegen stage — a projection chain adds no
+    exchange."""
     docs = _docs(spark, sf_dir)
-    toks = _toks()
-    n_toks = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    tokenized = docs.select(
+        "doc_id", "lang", "source", "text",
+        _toks().alias("toks"),
+    ).withColumn("dtoks", F.array_distinct(F.col("toks")))
+    n_toks = F.size(F.col("toks"))
+    stop_hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(*_STOPWORDS)))
     n_punct = F.length(F.col("text")) - F.length(
         F.regexp_replace(F.col("text"), r"[^\w\s]", "")
     )
@@ -354,11 +365,19 @@ def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
     )
     langs = list(_LANG_MARKERS)
-    scored = docs.select(
+
+    def marker_hits(lg: str):
+        return F.size(
+            F.array_intersect(
+                F.col("dtoks"), F.array(*[F.lit(m) for m in _LANG_MARKERS[lg]])
+            )
+        )
+
+    scored = tokenized.select(
         "doc_id", "lang", "source", "text",
         n_toks.cast("long").alias("n_tokens"),
         quality.alias("q"),
-        *[_marker_hits(lg).alias(f"hits_{lg}") for lg in langs],
+        *[marker_hits(lg).alias(f"hits_{lg}") for lg in langs],
     )
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     pred = F.lit("und")
