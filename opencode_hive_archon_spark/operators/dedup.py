@@ -28,7 +28,7 @@ lowercase).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opencode_hive_archon_spark.functions.hashing import (
@@ -703,6 +703,128 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_report(cc_alternating_star(pairs))
 
 
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup LADDER end-to-end — the artifact a 100 TB dedup run ships:
+    a per-document canonical mapping.
+
+        exact dedup (sha2 digest, keep min doc_id)
+          → near-dup SSJoin on the exact SURVIVORS only
+            (t=2 prefix-filtered token-3-gram Jaccard — the oracle-exact
+            rung; MinHash-LSH is the drop-in probabilistic analogue)
+          → connected components (alternating large-star/small-star)
+          → keep-min representative per cluster
+
+    Returns (doc_id, canonical_id, status) for EVERY document, status ∈
+    {kept, exact_dup, near_dup}; canonical_id follows the full chain (an
+    exact dup of a near-dup maps to the cluster representative). Chaining
+    matters at scale: the SSJoin and CC run on the exact-survivor set, so
+    upstream redundancy never inflates the expensive rungs. Shuffle
+    profile: one digest-keyed window, then the SSJoin/CC shuffles bounded
+    by survivors, then one broadcast-sized labels join back.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    exact = _materialize(
+        docs.select("doc_id", "n_chars", "text", F.sha2(norm, 256).alias("h"))
+        .select(
+            "doc_id", "n_chars", "text",
+            F.min("doc_id").over(Window.partitionBy("h")).alias("exact_rep"),
+        )
+    )
+    survivors = exact.filter(F.col("doc_id") == F.col("exact_rep"))
+    sh = _materialize(
+        survivors
+        .select("doc_id", "n_chars", _toks().alias("toks"))
+        .select("doc_id", "n_chars", _shingles(F.col("toks")).alias("sh"))
+    )
+    pairs = _materialize(
+        _prefix_filtered_pairs(sh, pair_key=True).select("doc_a", "doc_b")
+    )
+    labels = cc_alternating_star(pairs)  # only nodes that appear in pairs
+    surv_canon = (
+        survivors.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("exact_rep"),
+            F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    status = (
+        F.when(F.col("doc_id") != F.col("exact_rep"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("canonical_id"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        exact.select("doc_id", "exact_rep")
+        .join(surv_canon, "exact_rep")
+        .select("doc_id", "canonical_id", status.alias("status"))
+        .orderBy("doc_id")
+    )
+
+
+# Ladder CTEs (non-recursive prefix): exact digest map -> survivors ->
+# survivor shingles -> near-dup pairs. Shared between the recursive-CTE
+# registry oracle (driver gate, sf0.01) and tools/check.py's
+# iterative-fixpoint path at sf0.1.
+_LADDER_CTES = f"""
+hashed AS (
+  SELECT doc_id, n_chars, text,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS exact_rep
+  FROM hashed
+),
+surv AS (
+  SELECT d.doc_id, d.n_chars, d.text
+  FROM documents d JOIN exact e USING (doc_id)
+  WHERE e.doc_id = e.exact_rep
+),
+stok AS (SELECT doc_id, n_chars, {_TOKS_SQL} AS t FROM surv),
+ssh AS (
+  SELECT doc_id, n_chars,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM stok
+),
+spairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ssh a JOIN ssh b
+    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / NULLIF(len(list_distinct(a.sh || b.sh)), 0) >= {JACCARD_THRESHOLD}
+)"""
+
+ORACLE_LADDER_EXACT_SQL = f"WITH {_LADDER_CTES} SELECT doc_id, exact_rep FROM exact"
+ORACLE_LADDER_EDGES_SQL = f"WITH {_LADDER_CTES} SELECT doc_a, doc_b FROM spairs"
+
+_ORACLE_DEDUP_PIPELINE = f"""
+WITH RECURSIVE {_LADDER_CTES},
+sedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM spairs
+  UNION ALL SELECT doc_b, doc_a FROM spairs
+),
+sreach(doc, root) AS (
+  SELECT DISTINCT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.root FROM sreach r JOIN sedges e ON e.src = r.doc
+),
+slab AS (SELECT doc AS doc_id, min(root) AS cluster_id FROM sreach GROUP BY doc),
+surv_canon AS (
+  SELECT s.doc_id AS exact_rep,
+         coalesce(l.cluster_id, s.doc_id) AS canonical_id
+  FROM surv s LEFT JOIN slab l USING (doc_id)
+)
+SELECT e.doc_id, c.canonical_id,
+       CASE WHEN e.doc_id <> e.exact_rep THEN 'exact_dup'
+            WHEN e.doc_id <> c.canonical_id THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM exact e JOIN surv_canon c ON c.exact_rep = e.exact_rep
+ORDER BY e.doc_id
+"""
+
+
 # Non-recursive candidate-pair CTEs, shared between the recursive-CTE oracle
 # (driver gate, sf0.01) and tools/check.py's iterative-fixpoint oracle (the
 # sf0.1 path: pairs SQL + driver-side union-find, same fixpoint, no
@@ -753,4 +875,8 @@ SPECS = [
     QuerySpec("dedup_clusters", dedup_clusters, _ORACLE_CLUSTERS, "dedup",
               "connected components over near-dup pairs (alternating "
               "large-star/small-star, O(log n) rounds; recursive-CTE oracle)"),
+    QuerySpec("corpus_dedup_pipeline", corpus_dedup_pipeline,
+              _ORACLE_DEDUP_PIPELINE, "dedup",
+              "fused dedup ladder: exact sha2 -> near-dup SSJoin on "
+              "survivors -> CC -> keep-min canonical mapping per document"),
 ]

@@ -170,7 +170,7 @@ _R9_MUST_GATE = _R8_ADDED | {"multimodal_frame_sample"} | {
 # Queries ADDED in round 9, after the r9 rotation window was fixed: they
 # register after the window (sweep + pytest verified) and rotate into the
 # round-10 window.
-_R9_ADDED: set[str] = set()
+_R9_ADDED: set[str] = {"corpus_dedup_pipeline"}
 
 
 def test_priority_window_contents():
@@ -208,7 +208,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 116, sorted(specs)
+    assert len(specs) == 117, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -218,7 +218,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 116 - len(rows_only)
+    assert len(oracle_sql()) == 117 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

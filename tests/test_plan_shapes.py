@@ -289,3 +289,24 @@ def test_q17_aggregate_input_pruned(spark, sf_dir):
     # and that aggregate's partial stage sits above a LeftSemi, not a bare scan
     partial = p.index("partial_sum(cast(l_quantity")
     assert "LeftSemi" in p[partial:], "aggregate input not semi-pruned"
+
+
+def test_dedup_pipeline_ladder_shape(spark, sf_dir):
+    """corpus_dedup_pipeline: the fused ladder's final mapping must be
+    cheap — its live prefix (everything above the first cached leaf) is a
+    broadcast join plus ONE presentation range-sort, no key shuffle and no
+    sort-merge join of its own. The expensive rungs (SSJoin, CC) execute
+    once behind materialized leaves, and the SSJoin's scale-pinned
+    ShuffledHashJoin verify (never a corpus broadcast) must survive this
+    composition. The whole plan — cached subtrees included — stays free of
+    cartesian products."""
+    from opencode_hive_archon_spark.operators import dedup as D
+
+    p = plan(D.corpus_dedup_pipeline(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange rangepartitioning") == 1, "one presentation sort"
+    live_prefix = p.split("InMemoryRelation")[0]
+    assert "BroadcastHashJoin" in live_prefix
+    assert "SortMergeJoin" not in live_prefix
+    assert "Exchange hashpartitioning" not in live_prefix
+    assert "ShuffledHashJoin" in p, "SSJoin verify join lost its pinned shape"

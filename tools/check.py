@@ -144,6 +144,30 @@ def _oracle_graph_khop(con):
     return df.astype({"vec_id": "int64", "hop": "int64"})
 
 
+def _oracle_dedup_pipeline(con):
+    """Iterative-fixpoint oracle for corpus_dedup_pipeline: exact map SQL +
+    survivor pairs SQL (both non-recursive, shared with the registry
+    oracle) + union-find over the fetched survivor edges."""
+    import pandas as pd
+
+    from opencode_hive_archon_spark.operators.dedup import (
+        ORACLE_LADDER_EDGES_SQL,
+        ORACLE_LADDER_EXACT_SQL,
+    )
+
+    exact = dict(con.execute(ORACLE_LADDER_EXACT_SQL).fetchall())
+    label = _union_find_labels(con.execute(ORACLE_LADDER_EDGES_SQL).fetchall())
+    rows = []
+    for doc_id, rep in sorted(exact.items()):
+        canonical = label.get(rep, rep)
+        status = (
+            "exact_dup" if doc_id != rep
+            else ("near_dup" if doc_id != canonical else "kept")
+        )
+        rows.append((doc_id, canonical, status))
+    return pd.DataFrame(rows, columns=["doc_id", "canonical_id", "status"])
+
+
 # Queries whose registry oracle is a recursive CTE DuckDB cannot evaluate
 # past sf0.01: this harness swaps in the fixpoint equivalents above (same
 # pairs SQL, same converged labels). The driver's own sf0.01 gate still
@@ -151,6 +175,7 @@ def _oracle_graph_khop(con):
 ITER_ORACLES = {
     "dedup_clusters": _oracle_dedup_clusters,
     "recall_graph_khop": _oracle_graph_khop,
+    "corpus_dedup_pipeline": _oracle_dedup_pipeline,
 }
 
 
