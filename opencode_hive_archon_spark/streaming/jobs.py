@@ -30,9 +30,34 @@ from opencode_hive_archon_spark.spec import QuerySpec
 
 WATERMARK_DELAY = "10 minutes"
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _ensure_rocksdb(spark: SparkSession) -> None:
+    """Pin the RocksDB state-store provider on the CALLER's session.
+
+    session.get_spark sets this at build time, but the registered queries
+    must also run correctly under a session the harness built itself (the
+    driver contract passes its own SparkSession). The provider conf is read
+    when a streaming query STARTS, so a runtime set here puts every
+    stateful operator below — stream-stream join, session windows, dedup,
+    transformWithState — on the spillable, incrementally-checkpointed
+    RocksDB store regardless of who built the session.
+    tests/test_streaming_state.py asserts the provider actually carries
+    multi-batch state and that watermark eviction keeps it bounded."""
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    except Exception:
+        pass  # conf locked down: the session keeps its configured provider
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nanos->micros fix."""
+    _ensure_rocksdb(spark)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

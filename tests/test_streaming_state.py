@@ -98,6 +98,25 @@ def test_rocksdb_provider_in_effect(spark):
     )
 
 
+def test_registered_queries_pin_rocksdb_on_foreign_sessions(spark, sf_dir):
+    """The driver contract hands the queries a session IT built (no RocksDB
+    conf). The registered streaming jobs must pin the provider themselves:
+    simulate by unsetting the conf on this session and running a registered
+    stateful query end-to-end — the conf must be back in force (and the
+    query green) without get_spark's help."""
+    from opencode_hive_archon_spark.streaming import jobs as J
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.unset(key)
+    try:
+        assert "RocksDB" not in spark.conf.get(key)  # default provider
+        out = J.stream_tumbling_counts(spark, sf_dir)
+        assert out.count() > 0
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+    finally:
+        spark.conf.set(key, J._ROCKSDB_PROVIDER)
+
+
 def test_stream_stream_join_state_bounded(spark, sf_dir, sliced_events):
     joined = J.funnel_join(
         _stream_src(spark, sliced_events, 1), _stream_src(spark, sliced_events, 1)
