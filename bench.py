@@ -321,18 +321,21 @@ def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SCALING_SF1.json"
     )
-    try:
-        with open(scaling_path) as fh:
-            sc = json.load(fh)
-        summary["sf1_precomputed"] = {
-            "tier1_total_sf0.1": sc["tier1_total_sf0.1"],
-            "tier1_total_sf1": sc["tier1_total_sf1"],
-            "n_queries": sc["n_queries"],
-            "n_fail": sc["n_fail"],
-            "superlinear": sc["superlinear"],
-        }
-    except (OSError, KeyError, ValueError):
-        pass  # no scaling artifact committed — omit the section
+    if os.path.exists(scaling_path):
+        # File present: a malformed/partially-keyed artifact must be VISIBLE
+        # in the bench record, not silently omitted.
+        try:
+            with open(scaling_path) as fh:
+                sc = json.load(fh)
+            summary["sf1_precomputed"] = {
+                "tier1_total_sf0.1": sc["tier1_total_sf0.1"],
+                "tier1_total_sf1": sc["tier1_total_sf1"],
+                "n_queries": sc["n_queries"],
+                "n_fail": sc["n_fail"],
+                "superlinear": sc["superlinear"],
+            }
+        except (OSError, KeyError, ValueError) as exc:
+            summary["sf1_precomputed_error"] = f"{type(exc).__name__}: {exc}"[:120]
     if tier1_missing:
         summary["tier1_missing"] = tier1_missing
     line = json.dumps(summary)

@@ -211,8 +211,10 @@ def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame
     )
     if pair_key:
         # All ordered element pairs (i < j) of the prefix as single join
-        # keys. \x01 cannot occur in a whitespace-normalized gram, so the
-        # concatenated key is unambiguous.
+        # keys. \x01 only delimits here; a \x01 byte surviving inside a
+        # gram could alias two different pairs onto one key, but that only
+        # ADDS candidates — the exact Jaccard verify below filters any
+        # false candidate, so correctness never depends on the delimiter.
         pair_keys = F.flatten(
             F.transform(
                 F.col("p"),

@@ -62,13 +62,13 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
-def test_salted_join_shape(spark):
+def test_salted_join_shape(spark, sf_dir):
     """join_skew_salted must actually exercise the salted shuffle: no
     broadcast join, and the exchange keyed on the composite (flag, salt)
     pair — 48 balanced groups instead of 3 hot ones."""
     from opencode_hive_archon_spark.operators.skew import join_skew_salted
 
-    df = join_skew_salted(spark, "/root/testdata/sf0.001")
+    df = join_skew_salted(spark, sf_dir)
     from tests.test_plan_shapes import plan
 
     p = plan(df)

@@ -104,8 +104,10 @@ def time_at(spark, specs, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
 
 
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata_sf1/sf1"
+    if len(sys.argv) not in (1, 3):
+        sys.exit("usage: scale_bench.py [sf_small_dir sf_big_dir]")
+    small = sys.argv[1] if len(sys.argv) == 3 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) == 3 else "/tmp/testdata_sf1/sf1"
     ratio = 10.0  # row-count ratio between the two scales
     spark = get_spark("scale-bench")
     specs = registry.all_specs()
