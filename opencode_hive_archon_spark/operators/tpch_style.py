@@ -428,6 +428,417 @@ WHERE p_brand = 'Brand#3' AND p_size < 20
 """
 
 
+# --- round-9 batch: the remaining TPC-H shapes expressible without a
+# partsupp table (Q2/Q11/Q16/Q20 need it; everything else is here or above).
+# Adaptations to this schema are noted per query.
+
+Q6_YEAR = "1996"
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (forecast revenue change): a pure scan-filter-aggregate —
+    the canonical predicate-pushdown probe. All three filters reach the
+    parquet scan (shipdate range, discount band, quantity cap) and the sum
+    is a partial+final aggregate over the surviving rows; at 100 TB this is
+    a single pruned pass with no shuffle beyond one row per partition.
+    Discount compares in DECIMAL(8,2) on both sides — double literals parse
+    differently across engines, 2-dp decimals don't."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{int(Q6_YEAR)+1}-01-01").cast("timestamp"))
+            & (disc >= F.lit("0.03").cast("decimal(8,2)"))
+            & (disc <= F.lit("0.05").cast("decimal(8,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * disc)
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_ORACLE_Q6 = f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS forecast_revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate <  TIMESTAMP '{int(Q6_YEAR)+1}-01-01'
+  AND CAST(l_discount AS DECIMAL(8,2)) BETWEEN CAST('0.03' AS DECIMAL(8,2))
+                                           AND CAST('0.05' AS DECIMAL(8,2))
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking): count orders per priority that
+    had at least one LATE lineitem (l_shipdate > o_orderdate — the schema
+    has no commit/receipt dates). The EXISTS is a left-semi join with a
+    non-equi residual; the orderdate quarter filter pushes to the orders
+    scan, and at scale both legs shuffle once on orderkey."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+Q8_TARGET_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+Q8_PTYPE = "ECONOMY"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): of all ECONOMY-part revenue sold
+    to customers in one region, what fraction was supplied from the target
+    nation, per order year. Two nation legs (customer side filters the
+    region, supplier side tags the origin) — both broadcast; the share is
+    a conditional-over-total aggregate in DECIMAL, divided once in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == Q8_PTYPE)
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    vol = _revenue()
+    target_vol = F.sum(
+        F.when(F.col("supp_nation") == Q8_TARGET_NATION, vol).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total_vol = F.sum(vol)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (target_vol.cast("double") / total_vol.cast("double")).alias("mkt_share"),
+            total_vol.cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = '{Q8_TARGET_NATION}' THEN {_REVENUE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS mkt_share,
+       CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = '{Q8_PTYPE}' AND r_name = '{Q8_REGION}'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+Q9_PART_WORD = "red"  # present in every sf's part-name vocabulary
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year), adapted: with no
+    partsupp table, supply cost is stood in by p_retailprice · quantity, so
+    profit = revenue − retailprice·qty, exact in DECIMAL. The part-name
+    word filter prunes the broadcast part dim; supplier nation groups the
+    result. One lineitem-orders shuffle, everything else broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_PART_WORD)
+    )
+    profit = _revenue() - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_ORACLE_Q9 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_REVENUE_SQL}
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_PART_WORD}%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-mode priority split), adapted: the schema has no
+    l_shipmode, so the split groups by l_returnflag instead; the essence —
+    join orders to a year of lineitem, CASE-count critical vs non-critical
+    priorities per group — is intact. The priority CASE folds into the
+    partial aggregate, so the shuffle carries two counters per group."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution): LEFT join customers
+    to a filtered orders set (priority exclusion stands in for the comment
+    NOT LIKE), count per customer — zero-order customers kept by the outer
+    join — then histogram the counts. Two aggregates, the second over one
+    row per customer; the histogram shuffle is tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_ORACLE_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): quarterly revenue per supplier, keep the
+    supplier(s) whose revenue equals the maximum. Revenue stays DECIMAL
+    through the max-equality comparison (exact — a double max would be
+    summation-order sensitive), cast to double only for presentation. The
+    1-row max broadcasts back against the per-supplier aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_rev_dec"))
+    )
+    top = rev.agg(F.max("total_rev_dec").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev_dec == F.col("max_rev"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, sum({_REVENUE_SQL}) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue, disjunctive predicates): an OR of
+    three brand/size/quantity conjunct bands over the part join — the
+    classic optimizer probe for pushing a disjunction through a join. The
+    common p_partkey equi-key keeps it a hash join (never a cartesian);
+    the bands evaluate as a residual filter on the joined row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_ORACLE_Q19 = f"""
+SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+Q22_SEGMENTS = ("AUTOMOBILE", "MACHINERY")
+Q22_LAPSE_CUTOFF = "1999-01-01"
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity), adapted: market segment stands
+    in for the phone country code, and "no orders" becomes "no orders since
+    the lapse cutoff" (every testdata customer has SOME order — lapsed
+    customers are the non-degenerate analogue). Rich customers (balance
+    above the positive-balance average of the segment set) who lapsed,
+    counted per segment. The average enters the comparison MULTIPLIED OUT
+    (bal · n > total, exact in decimal — no float division), the 1-row
+    aggregate broadcasts, and the lapse test is a left-anti join against
+    the date-filtered orders scan."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(*Q22_SEGMENTS)
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(bal > 0)
+    avg_frame = pos.agg(
+        F.sum(bal).alias("bal_total"), F.count(F.lit(1)).alias("bal_n")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_LAPSE_CUTOFF).cast("timestamp")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_frame))
+        .filter(bal * F.col("bal_n") > F.col("bal_total"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_Q22 = f"""
+WITH seg AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN ({", ".join(repr(s) for s in Q22_SEGMENTS)})
+),
+avg_frame AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_total,
+         count(*) AS bal_n
+  FROM seg WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM seg, avg_frame
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_LAPSE_CUTOFF}')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 SPECS = [
     QuerySpec("q7_volume_shipping", q7_volume_shipping, _ORACLE_Q7,
               "relational", "Q7-shape bidirectional nation-pair shipping "
@@ -452,4 +863,33 @@ SPECS = [
     QuerySpec("q3_shipping_priority", q3_shipping_priority, _ORACLE_Q3,
               "relational", "Q3-shape segment revenue top-10 (pushdown + "
               "broadcast dims + TakeOrdered)"),
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _ORACLE_Q6,
+              "relational", "Q6-shape scan-filter-aggregate (full predicate "
+              "pushdown, decimal-exact discount band)"),
+    QuerySpec("q4_order_priority", q4_order_priority, _ORACLE_Q4,
+              "relational", "Q4-shape EXISTS late-lineitem priority counts "
+              "(non-equi left-semi join)"),
+    QuerySpec("q8_market_share", q8_market_share, _ORACLE_Q8,
+              "relational", "Q8-shape national market share per year "
+              "(double nation leg, conditional/total aggregate)"),
+    QuerySpec("q9_product_profit", q9_product_profit, _ORACLE_Q9,
+              "relational", "Q9-shape product profit by nation and year "
+              "(retailprice cost stand-in, decimal-exact)"),
+    QuerySpec("q12_shipmode_priority", q12_shipmode_priority, _ORACLE_Q12,
+              "relational", "Q12-shape priority split per returnflag "
+              "(CASE-count folded into partial agg)"),
+    QuerySpec("q13_customer_distribution", q13_customer_distribution,
+              _ORACLE_Q13,
+              "relational", "Q13-shape customer order-count histogram "
+              "(outer join keeps zero-order customers)"),
+    QuerySpec("q15_top_supplier", q15_top_supplier, _ORACLE_Q15,
+              "relational", "Q15-shape top supplier by quarterly revenue "
+              "(decimal-exact max-equality)"),
+    QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, _ORACLE_Q19,
+              "relational", "Q19-shape disjunctive brand/size/quantity bands "
+              "over the part join"),
+    QuerySpec("q22_global_sales_opportunity", q22_global_sales_opportunity,
+              _ORACLE_Q22,
+              "relational", "Q22-shape rich no-order customers per segment "
+              "(multiplied-out avg, anti join)"),
 ]

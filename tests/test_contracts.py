@@ -170,7 +170,19 @@ _R9_MUST_GATE = _R8_ADDED | {"multimodal_frame_sample"} | {
 # Queries ADDED in round 9, after the r9 rotation window was fixed: they
 # register after the window (sweep + pytest verified) and rotate into the
 # round-10 window.
-_R9_ADDED: set[str] = {"corpus_dedup_pipeline"}
+_R9_ADDED: set[str] = {
+    "corpus_dedup_pipeline",
+    # round-9 TPC-H batch (every shape expressible without partsupp)
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+}
 
 
 def test_priority_window_contents():
@@ -208,7 +220,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 117, sorted(specs)
+    assert len(specs) == 126, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -218,7 +230,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 117 - len(rows_only)
+    assert len(oracle_sql()) == 126 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):
