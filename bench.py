@@ -182,6 +182,37 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work machine-speed probe (best of 3 each): one single-thread
+    numpy matmul and one 32-thread Spark codegen aggregate. Identical work
+    every round, so the ratio between two rounds' calibrations is the
+    host-speed factor to divide out of headline comparisons."""
+    import numpy as np
+
+    mat = np.random.default_rng(0).standard_normal((1024, 1024))
+    best_np = min(
+        _timed(lambda: mat @ mat) for _ in range(3)
+    )
+    best_spark = min(
+        _timed(
+            lambda: spark.range(100_000_000)
+            .selectExpr("sum(id * 3) AS s")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return {
+        "numpy_matmul_1024_ms": round(best_np * 1000, 1),
+        "spark_range_sum_1e8_ms": round(best_spark * 1000, 1),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def try_run(specs, name, spark, sf_dir, failures) -> float | None:
     """Run one query to completion; return elapsed seconds or None on error.
 
@@ -223,6 +254,12 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).count()
+
+    # Fixed-work machine probe BEFORE the workload: round-over-round headline
+    # drift has twice been traced to host speed, not plan changes (SCALE.md
+    # machine-noise caveat; VERDICT r8 regression note). Recording absolute
+    # CPU speed per run makes that attribution checkable instead of argued.
+    calib = _calibrate(spark)
 
     # Untimed warm-up pass: the first execution of each query absorbs
     # whole-stage-codegen compilation and shared-intermediate cache fills.
@@ -310,6 +347,7 @@ def main() -> None:
         "value_all_queries": total_all,
         "unit": "sec",
         "sf": sf,
+        "calibration": calib,
         "queries": timings,
         "n_queries": len(all_timings),
         "n_fail": len(failures),

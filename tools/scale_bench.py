@@ -71,6 +71,17 @@ EXTRA = [
     "q17_small_quantity_revenue",
     "events_path_analysis",
     "corpus_bpe_pair_stats",
+    # round-9 additions
+    "corpus_dedup_pipeline",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
@@ -108,7 +119,11 @@ def main() -> None:
         sys.exit("usage: scale_bench.py [sf_small_dir sf_big_dir]")
     small = sys.argv[1] if len(sys.argv) == 3 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) == 3 else "/tmp/testdata_sf1/sf1"
-    ratio = 10.0  # row-count ratio between the two scales
+    # row-count ratio between the two scales (10 for sf0.1->sf1; e.g. 3 for
+    # the sf1->sf3 second decade step); output path overridable so the
+    # committed SCALING_SF1.json is never clobbered by auxiliary runs
+    ratio = float(os.environ.get("SPARK_GRAFT_SCALE_RATIO", "10"))
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALING_SF1.json")
     spark = get_spark("scale-bench")
     specs = registry.all_specs()
     spark.range(1000).count()
@@ -145,7 +160,7 @@ def main() -> None:
             n for n, r in rows.items() if r["exponent"] > 1.1),
         "queries": rows,
     }
-    path = os.path.join(REPO, "SCALING_SF1.json")
+    path = os.path.join(REPO, out_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {path}", file=sys.stderr)
