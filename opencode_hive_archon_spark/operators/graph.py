@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 from opencode_hive_archon_spark.operators.similarity import (
     LSH_CAND_CTES,
     NEAR_DUP_COSINE,
-    _cos_sql,
     dedup_embedding_cosine,
+    qcos_sql,
 )
 from opencode_hive_archon_spark.session import materialize as _materialize
 from opencode_hive_archon_spark.session import materialize_keyed as _materialize_keyed
@@ -104,9 +104,9 @@ _ORACLE_EDGE_CTES = f"""{LSH_CAND_CTES},
 pairs AS (
   SELECT c.vec_a, c.vec_b
   FROM cand c
-  JOIN embeddings a ON a.vec_id = c.vec_a
-  JOIN embeddings b ON b.vec_id = c.vec_b
-  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
+  JOIN qemb a ON a.vec_id = c.vec_a
+  JOIN qemb b ON b.vec_id = c.vec_b
+  WHERE {qcos_sql('a.q', 'b.q')} >= {NEAR_DUP_COSINE}
 )"""
 
 ORACLE_GRAPH_EDGES_SQL = f"WITH {_ORACLE_EDGE_CTES} SELECT vec_a, vec_b FROM pairs"

@@ -104,27 +104,66 @@ def _all_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantized_cosine_pudf():
+    """double pandas UDF: cosine over QUANTIZED-INTEGER vectors, one numpy
+    einsum per Arrow batch instead of an interpreted 64-element fold per
+    pair. Exactness contract (mirrored by the oracle's ``qcos_sql``):
+    every term is ⌊x·2^20⌋ int64, the three dots (a·b, a·a, b·b) are exact
+    integer sums (≤ 2^50 — float64-exact and associative, so numpy's
+    summation order is irrelevant), and the single double expression
+    dot/(sqrt(a²)·sqrt(b²)) is the same IEEE ops in the same order on both
+    engines. The candidate-verify pass is millions of pairs at scale — this
+    is the vectorized slot for it."""
+
+    @F.pandas_udf("double")
+    def qcos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.floor(
+            np.vstack([np.asarray(v, dtype=np.float64) for v in ea]) * QUANT_SCALE
+        ).astype(np.int64)
+        b = np.floor(
+            np.vstack([np.asarray(v, dtype=np.float64) for v in eb]) * QUANT_SCALE
+        ).astype(np.int64)
+        dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
+        denom = np.sqrt(np.einsum("ij,ij->i", a, a).astype(np.float64)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b).astype(np.float64)
+        )
+        out = pd.Series(np.divide(dots, denom, out=np.full(len(ea), np.nan),
+                                  where=denom != 0.0))
+        return out.mask(denom == 0.0, None)
+
+    return qcos
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH candidates + exact-cosine verify.
+    """Embedding-cosine near-dup pairs: LSH candidates + quantized-cosine
+    verify.
 
     The scale path end to end: random-hyperplane bucketing (lsh_bucketed)
     generates candidates via an equi-join on the (table, signature) bucket
-    key — a hash shuffle, no O(n²) nested loop — then the exact cosine
-    re-check runs once per distinct candidate pair. Because the hyperplanes
-    are table-derived and the signature dot is quantized-integer (no engine
-    hash functions, no float summation-order dependence), the WHOLE
-    pipeline is deterministic and mirrored exactly by the DuckDB oracle —
-    the approximate algorithm itself is hash-verified, not just row-counted.
-    The exhaustive baseline lives in `_all_pairs_cosine` (tests assert
-    recall of this plan against it).
+    key — a hash shuffle, no O(n²) nested loop — then the cosine re-check
+    runs once per distinct candidate pair. The ENTIRE pipeline is
+    integer-deterministic: signatures AND the verify cosine compute over
+    ⌊x·2^20⌋ int64 terms (no engine hash functions, no float
+    summation-order dependence), so the DuckDB oracle mirrors it exactly —
+    the approximate algorithm itself is hash-verified, not just
+    row-counted. The verify is a vectorized pandas UDF (one numpy einsum
+    per Arrow batch — see ``quantized_cosine_pudf``): with occupancy-ruled
+    buckets the candidate set grows ~linearly with the corpus, so the
+    per-pair constant IS the scale cost of this operator. The exhaustive
+    baseline lives in `_all_pairs_cosine` (tests assert recall of this
+    plan against it).
     """
     # Materialize the signatures once: the candidate generator self-joins the
     # bucketed frame, and without a persist BOTH join sides recompute the
-    # full 40-hyperplane signature pipeline (2x the dominant cost). The
-    # persisted frame is (vec_id, table, sig) — tiny relative to the
-    # embeddings themselves. Session-keyed so every consumer of the near-dup
-    # pipeline (graph khop, recall gates, repeated bench passes) shares ONE
-    # signature computation per sf_dir.
+    # full signature pipeline (2x the dominant cost). The persisted frame is
+    # (vec_id, table, sig) — tiny relative to the embeddings themselves.
+    # Session-keyed so every consumer of the near-dup pipeline (graph khop,
+    # recall gates, repeated bench passes) shares ONE signature computation
+    # per sf_dir.
     bits = lsh_bits_for(sf_dir)
     sigs = _materialize_keyed(
         spark,
@@ -141,25 +180,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Verify joins keyed on vec_id: SHUFFLE_HASH pins the shuffle join so a
-    # size-estimate can never broadcast the corpus-wide embedding map. Norms
-    # are precomputed once per VECTOR (not per pair) — the candidate set is
-    # O(n²/2^bits) so per-pair work dominates; factoring the norm out of the
-    # cosine is bit-identical (same fold, same doubles) and cuts 2/3 of the
-    # per-pair flops, which is why the oracle's recomputed form still
-    # hash-matches.
-    from opencode_hive_archon_spark.functions.vector import l2_norm
-
+    # size-estimate can never broadcast the corpus-wide embedding map.
     emb = _t(spark, sf_dir, "embeddings")
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("label").alias("label_a"), l2_norm("embedding").alias("na"),
+        F.col("label").alias("label_a"),
     )
     eb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("label").alias("label_b"), l2_norm("embedding").alias("nb"),
+        F.col("label").alias("label_b"),
     )
-    denom = F.col("na") * F.col("nb")
-    sim = F.when(denom != 0.0, dot_product(F.col("ea"), F.col("eb")) / denom)
+    sim = quantized_cosine_pudf()(F.col("ea"), F.col("eb"))
     return (
         cand.join(ea.hint("shuffle_hash"), "vec_a")
         .join(eb.hint("shuffle_hash"), "vec_b")
@@ -492,7 +523,7 @@ planes AS (
   WHERE vec_id BETWEEN 1 AND {LSH_TABLES} * bits
 ),
 qemb AS (
-  SELECT vec_id, {_QUANT.format(v='embedding')} AS q FROM embeddings
+  SELECT vec_id, label, {_QUANT.format(v='embedding')} AS q FROM embeddings
 ),
 sigs AS (
   SELECT e.vec_id, CAST((p.pid - 1) // b.bits AS INT) AS tbl,
@@ -507,15 +538,30 @@ cand AS (
     ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
 )"""
 
+def qcos_sql(qa: str, qb: str) -> str:
+    """Quantized-cosine SQL over pre-quantized BIGINT list columns (the
+    ``qemb.q`` column of LSH_CAND_CTES) — the exact mirror of
+    ``quantized_cosine_pudf``: integer dots (associative ⇒ any summation
+    order), then one double divide of the same IEEE shape."""
+    dot = _IDOT.format(a=qa, b=qb)
+    na2 = _IDOT.format(a=qa, b=qa)
+    nb2 = _IDOT.format(a=qb, b=qb)
+    return (
+        f"CASE WHEN sqrt(CAST({na2} AS DOUBLE)) * sqrt(CAST({nb2} AS DOUBLE)) <> 0.0 "
+        f"THEN CAST({dot} AS DOUBLE) "
+        f"/ (sqrt(CAST({na2} AS DOUBLE)) * sqrt(CAST({nb2} AS DOUBLE))) END"
+    )
+
+
 _ORACLE_DEDUP_COSINE = f"""
 WITH {LSH_CAND_CTES}
 SELECT c.vec_a, c.vec_b,
        a.label = b.label AS same_label,
-       {_cos_sql('a.embedding', 'b.embedding')} AS sim
+       {qcos_sql('a.q', 'b.q')} AS sim
 FROM cand c
-JOIN embeddings a ON a.vec_id = c.vec_a
-JOIN embeddings b ON b.vec_id = c.vec_b
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
+JOIN qemb a ON a.vec_id = c.vec_a
+JOIN qemb b ON b.vec_id = c.vec_b
+WHERE {qcos_sql('a.q', 'b.q')} >= {NEAR_DUP_COSINE}
 """
 
 # --- IVF scale path (coarse k-means quantizer; rows-only) ------------------
