@@ -233,15 +233,34 @@ def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame
     # Candidate pairs carry ONLY ids through the prefix join — the shingle
     # arrays are joined in afterwards, once per deduplicated pair. (Carrying
     # the arrays through the join multiplies shuffle volume by |A|.)
+    #
+    # LENGTH-BANDED join key (round 9): the length-band filter moves INTO
+    # the equi-join key. A valid pair has |len_a − len_b| ≤ LENGTH_BAND, so
+    # floor(len/LENGTH_BAND) bands differ by at most 1: side A emits each
+    # prefix element under bands {b−1, b, b+1}, side B under its own band,
+    # and the join keys on (element, B's band) — every valid pair still
+    # meets on exactly ONE key (B's band is unique per pair ⇒ no duplicate
+    # matches), while a saturated element bucket fragments across the
+    # corpus's length spread. Lossless by construction (the exact length
+    # filter below is unchanged); this removed the residual near-quadratic
+    # candidate blow-up of the saturated char-gram vocabulary at sf1
+    # (10.4M candidates → band-fragmented).
     lens = docs.select("doc_id", "n_chars")
+    band = (F.col("n_chars") / F.lit(LENGTH_BAND)).cast("long")
     pa = prefixes.join(lens, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"), "shingle"
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("len_a"),
+        "shingle",
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
     )
     pb = prefixes.join(lens, "doc_id").select(
-        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"), "shingle"
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("len_b"),
+        "shingle",
+        band.alias("band"),
     )
     cand = (
-        pa.join(pb, ["shingle"])
+        pa.join(pb, ["shingle", "band"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= LENGTH_BAND)
@@ -255,13 +274,19 @@ def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame
             "doc_id", F.col("sh")[0].alias("g"), "n_chars"
         )
         sa = singles.select(
-            F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"), "g"
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_chars").alias("len_a"),
+            "g",
+            F.explode(F.array(band - 1, band, band + 1)).alias("band"),
         )
         sb = singles.select(
-            F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"), "g"
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_chars").alias("len_b"),
+            "g",
+            band.alias("band"),
         )
         cand_singles = (
-            sa.join(sb, ["g"])
+            sa.join(sb, ["g", "band"])
             .filter(
                 (F.col("doc_a") < F.col("doc_b"))
                 & (F.abs(F.col("len_a") - F.col("len_b")) <= LENGTH_BAND)

@@ -803,7 +803,85 @@ LIMIT 20
 """
 
 
+# Vocabulary size for the rarity score. The synthetic corpus has ~31
+# distinct tokens, so 16 keeps OOV non-degenerate; a production corpus
+# turns this to 10^5-10^6 — the plan shape (TakeOrdered vocab + broadcast
+# membership) is unchanged by the value.
+RARITY_VOCAB_K = 16
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted document scoring — the unigram-LM quality proxy
+    of pretraining curation (rare-token density / out-of-vocabulary rate
+    against a corpus-derived top-K vocabulary), engineered log-free so the
+    oracle comparison is exact: every emitted value is an exact integer or
+    ONE double division of two exact integers (no float summation, no
+    cross-engine `ln` ulp risk).
+
+    Per document: n_tokens, n_oov (token instances outside the top-K
+    vocab), sum_freq (sum of each instance's corpus frequency),
+    oov_rate = n_oov/n_tokens, mean_token_freq = sum_freq/n_tokens.
+
+    Scale shape: one explode + token-keyed aggregate builds the frequency
+    relation (vocab-sized output); the top-K vocab is TakeOrdered (never a
+    single-partition window) and broadcasts back as a membership
+    annotation; the exploded instances join the frequency relation
+    token-partitioned (the BPE-stats shuffle) and roll up doc-keyed."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        freq.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(RARITY_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    annotated = ex.join(freq.hint("shuffle_hash"), "token").join(
+        F.broadcast(vocab), "token", "left"
+    )
+    per_doc = annotated.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.sum("freq").alias("sum_freq"),
+    )
+    return per_doc.select(
+        "doc_id", "lang", "n_tokens", "n_oov", "sum_freq",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+        (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_token_freq"
+        ),
+    ).orderBy("doc_id")
+
+
+_ORACLE_RARITY = f"""
+WITH ex AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents),
+freq AS (SELECT token, count(*) AS freq FROM ex GROUP BY token),
+vocab AS (SELECT token FROM freq ORDER BY freq DESC, token ASC
+          LIMIT {RARITY_VOCAB_K}),
+per_doc AS (
+  SELECT e.doc_id, e.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(sum(f.freq) AS BIGINT) AS sum_freq
+  FROM ex e
+  JOIN freq f USING (token)
+  LEFT JOIN vocab v ON v.token = e.token
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens, n_oov, sum_freq,
+       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate,
+       CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_freq
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("text_rarity_score", text_rarity_score, _ORACLE_RARITY, "text",
+              "unigram-frequency document rarity/OOV scoring against a "
+              "corpus-derived top-K vocabulary (log-free, integer-exact)"),
     QuerySpec("corpus_bpe_pair_stats", corpus_bpe_pair_stats, _ORACLE_BPE_PAIRS,
               "text",
               "BPE tokenizer-training iteration statistic: top-20 adjacent "

@@ -182,6 +182,7 @@ _R9_ADDED: set[str] = {
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    "text_rarity_score",
 }
 
 
@@ -220,7 +221,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 126, sorted(specs)
+    assert len(specs) == 127, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -230,7 +231,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 126 - len(rows_only)
+    assert len(oracle_sql()) == 127 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):
