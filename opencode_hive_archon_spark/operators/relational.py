@@ -294,6 +294,13 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact double sequence Spark's timestamp->double cast uses — so this
     variant, the window variant, and the DuckDB ASOF oracle all agree
     bit-for-bit.
+
+    Bench note: this is deliberately the STRATEGY-B demo, not the scale
+    path — per-user grouped pandas pays Arrow serialization + per-group
+    Python dispatch and measures ~19× slower than its window-formulation
+    sibling ``join_asof_event_order`` at sf0.1 (~7 s vs ~0.4 s). Reach for
+    it only when the semantics genuinely exceed window expressiveness; at
+    100× the window variant is the one to scale.
     """
     import pandas as pd
 
