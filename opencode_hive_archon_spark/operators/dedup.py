@@ -156,42 +156,45 @@ FROM groups
 """
 
 
-def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame:
+def _prefix_filtered_pairs(docs: DataFrame, t: int = 1) -> DataFrame:
     """Generic prefix-filtered set-similarity join (SSJoin/PPJoin family —
     Chaudhuri et al. ICDE'06, Xiao et al. WWW'08 — exact, no LSH miss
     probability) over a (doc_id, n_chars, sh: array<string>) relation:
 
     1. canonical order: set elements ranked by (global frequency asc,
        value) — rare elements first, so indexed prefixes collide rarely;
-    2. each doc indexes only its first L = |A| - ceil(0.8|A|) + 1 elements
-       in that order; the prefix-filter theorem guarantees every pair with
-       J >= 0.8 shares at least one indexed prefix element;
-    3. candidates = equi-join on the prefix element (+ length-band filter),
-       then ONE exact array_intersect verify per distinct candidate pair.
+    2. each doc indexes only its first L = |A| - ceil(0.8|A|) + t elements
+       in that order; the ORDER-t prefix-filter theorem guarantees every
+       pair with J >= 0.8 and |A∩B| >= t shares at least t of those
+       indexed elements;
+    3. candidates = equi-join on a prefix key (+ length-banded key, see
+       below), then ONE exact array_intersect verify per distinct pair.
 
     Shuffle profile: two key-partitioned shuffles (frequency count, prefix
-    join) over ~0.2 of the element instances — the verify set is tiny, so
-    cost tracks true near-duplicates, not n². Returns (doc_a, doc_b,
-    jaccard) pairs at JACCARD_THRESHOLD.
+    join) — the verify set tracks true near-duplicates, not n². Returns
+    (doc_a, doc_b, jaccard) pairs at JACCARD_THRESHOLD.
 
-    ``pair_key=True`` switches candidate generation to the t=2 prefix
-    principle (the generalized prefix filter of the PPJoin line of work): a
-    pair with J >= 0.8 and set sizes >= 2 must share at least TWO elements
-    of the (one-longer) prefixes, so the equi-join key becomes an ordered
-    PAIR of prefix elements. This is the exact-join answer to a SATURATED
-    element vocabulary: when the corpus far outgrows the distinct-element
-    space (winnowed char-grams: ~230 distinct grams vs 50k docs at sf1),
-    single-element buckets hold O(corpus/vocab) docs and the join output
-    grows quadratically — measured 273M candidate rows / 170 s at sf1.
-    Keying on element pairs squares the effective vocabulary and collapses
-    the join output while remaining provably lossless: J >= 0.8 forces
-    |A∩B| >= ceil(0.8·max(|A|,|B|)) >= 2 whenever |A| >= 2, and the
-    first-(|X| − ceil(0.8|X|) + 2) prefixes of both sets must then share
-    two elements. Sets of size 1 can only pair as exact equals (J >= 0.8
-    with |A| = 1 forces |B| = 1 and A = B) and are routed through a
-    separate equality join on their single element; size-0 sets never pair.
+    ``t`` is the PREFIX ORDER — the exact-join answer to a SATURATED
+    element vocabulary. When the corpus far outgrows the distinct-element
+    space (winnowed char-grams: ~230 distinct grams at ANY corpus size),
+    order-1 buckets hold O(corpus/vocab) docs and the join output grows
+    quadratically (measured: 273M candidate rows / 170 s at sf1). Each
+    +1 of t multiplies the effective vocabulary by another vocab factor:
+    the join key becomes the ordered t-COMBINATION of prefix elements
+    (C(L, t) keys per doc — a small constant, since L ≈ 0.2|A| + t),
+    provably lossless because J >= 0.8 forces |A∩B| >=
+    ceil(0.8·max(|A|,|B|)) >= t whenever max(|A|,|B|) >= ceil(t/0.8).
+    Sets too small for that bound (|A| <= t−1 after the algebra below)
+    can only reach J >= 0.8 as EXACT set equals — for |A| <= 3,
+    J >= 0.8 with |B| > |A| is impossible (|∩| <= |A| < 0.8·|∪|) — and
+    route through a sorted-set equality join instead; size-0 sets never
+    pair. t is therefore a pure cost knob with bit-identical output —
+    the oracle (all-pairs exact Jaccard) never sees it. Grow t with
+    log_vocab(corpus): ``chargram_prefix_t`` executes that rule for the
+    char-gram family, mirroring how ``lsh_bits_for`` scales LSH width.
     """
-    t = 2 if pair_key else 1
+    if t not in (1, 2, 3):
+        raise ValueError(f"prefix order t must be 1, 2 or 3, got {t}")
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ranked = ex.join(freq, "shingle").select(
@@ -209,26 +212,43 @@ def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame
             ).alias("p"),
         )
     )
-    if pair_key:
-        # All ordered element pairs (i < j) of the prefix as single join
-        # keys. \x01 only delimits here; a \x01 byte surviving inside a
-        # gram could alias two different pairs onto one key, but that only
-        # ADDS candidates — the exact Jaccard verify below filters any
-        # false candidate, so correctness never depends on the delimiter.
-        pair_keys = F.flatten(
+    # Ordered t-combinations of the prefix as single join keys. \x01 only
+    # delimits; a \x01 byte surviving inside a gram could alias two
+    # different combinations onto one key, but that only ADDS candidates —
+    # the exact Jaccard verify below filters any false candidate, so
+    # correctness never depends on the delimiter.
+    p = F.col("p")
+    sep = F.lit("\x01")
+    if t == 1:
+        comb_keys = p
+    elif t == 2:
+        comb_keys = F.flatten(
             F.transform(
-                F.col("p"),
+                p,
                 lambda x, i: F.transform(
-                    F.slice(F.col("p"), i + F.lit(2), F.size(F.col("p"))),
-                    lambda y: F.concat(x, F.lit("\x01"), y),
+                    F.slice(p, i + F.lit(2), F.size(p)),
+                    lambda y: F.concat(x, sep, y),
                 ),
             )
         )
-        prefixes = pref_arr.filter(F.size("p") >= 2).select(
-            "doc_id", F.explode(pair_keys).alias("shingle")
+    else:  # t == 3: i < j < k triples
+        comb_keys = F.flatten(
+            F.transform(
+                p,
+                lambda x, i: F.flatten(
+                    F.transform(
+                        F.slice(p, i + F.lit(2), F.size(p)),
+                        lambda y, j: F.transform(
+                            F.slice(p, i + j + F.lit(3), F.size(p)),
+                            lambda z: F.concat(x, sep, y, sep, z),
+                        ),
+                    )
+                ),
+            )
         )
-    else:
-        prefixes = pref_arr.select("doc_id", F.explode("p").alias("shingle"))
+    prefixes = pref_arr.filter(F.size("p") >= t).select(
+        "doc_id", F.explode(comb_keys).alias("shingle")
+    )
     prefixes = _materialize(prefixes)  # reused by both join sides
     # Candidate pairs carry ONLY ids through the prefix join — the shingle
     # arrays are joined in afterwards, once per deduplicated pair. (Carrying
@@ -268,24 +288,29 @@ def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame
         .select("doc_a", "doc_b")
         .distinct()
     )
-    if pair_key:
-        # size-1 winnowed sets: exact-equality path (see docstring)
-        singles = docs.filter(F.size("sh") == 1).select(
-            "doc_id", F.col("sh")[0].alias("g"), "n_chars"
+    if t >= 2:
+        # sets of size 1..t-1: exact-set-equality path (see docstring —
+        # such sets can only reach J >= 0.8 as identical sets)
+        small = docs.filter(
+            (F.size("sh") >= 1) & (F.size("sh") <= t - 1)
+        ).select(
+            "doc_id",
+            F.concat_ws("\x01", F.array_sort("sh")).alias("g"),
+            "n_chars",
         )
-        sa = singles.select(
+        sa = small.select(
             F.col("doc_id").alias("doc_a"),
             F.col("n_chars").alias("len_a"),
             "g",
             F.explode(F.array(band - 1, band, band + 1)).alias("band"),
         )
-        sb = singles.select(
+        sb = small.select(
             F.col("doc_id").alias("doc_b"),
             F.col("n_chars").alias("len_b"),
             "g",
             band.alias("band"),
         )
-        cand_singles = (
+        cand_small = (
             sa.join(sb, ["g", "band"])
             .filter(
                 (F.col("doc_a") < F.col("doc_b"))
@@ -293,7 +318,7 @@ def _prefix_filtered_pairs(docs: DataFrame, pair_key: bool = False) -> DataFrame
             )
             .select("doc_a", "doc_b")
         )
-        cand = cand.unionAll(cand_singles).distinct()
+        cand = cand.unionAll(cand_small).distinct()
     verified = _attach_pair_shingles(cand, docs.select("doc_id", "sh"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -313,11 +338,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression re-evaluates per branch (and per exploded row in some
     # collapsed plan shapes), turning a 2 s pass into minutes. At cluster
     # scale this is the persist() of the shared intermediate.
-    # pair_key: the t=2 prefix filter wins here too — token-3-gram buckets
+    # t=2: the order-2 prefix filter wins here too — token-3-gram buckets
     # are less saturated than char-grams but still hold O(100) docs each at
     # sf1; keying on gram pairs cut the candidate join 14.2 s → 3.5 s at
-    # sf1 (identical 128k output pairs, measured round 8).
-    return _prefix_filtered_pairs(_shingled_docs(spark, sf_dir), pair_key=True)
+    # sf1 (identical 128k output pairs, measured round 8). The token-gram
+    # vocabulary grows with the corpus, so t stays fixed at 2 (unlike the
+    # char-gram family's adaptive ``chargram_prefix_t``).
+    return _prefix_filtered_pairs(_shingled_docs(spark, sf_dir), t=2)
 
 
 _ORACLE_DEDUP_NEAR = f"""
@@ -376,15 +403,38 @@ def _chargram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHARGRAM_T_DOCS_STEP = 100_000
+
+
+def chargram_prefix_t(sf_dir: str) -> int:
+    """Adaptive prefix order for the char-gram SSJoin. The winnowed
+    char-gram vocabulary is ~CONSTANT in corpus size (~230 grams at every
+    shipped sf — the gram space is bounded by the token vocabulary), so
+    candidate volume at fixed prefix order t grows ~n²/vocab^t: holding it
+    bounded means t must grow ~log_vocab(n). Executed as a footer-metadata
+    doc-count threshold (the same driver-side peek as ``lsh_bits_for``):
+    order 2 through ~100k docs (measured 135k candidate pairs at 50k
+    docs), order 3 beyond (the sf3 run at fixed t=2 measured exponent 1.85
+    — the second saturation; t only changes the candidate key, never the
+    output, so the knob is oracle-free)."""
+    from opencode_hive_archon_spark.operators.similarity import corpus_rows
+
+    return 2 if corpus_rows(sf_dir, "documents") <= CHARGRAM_T_DOCS_STEP else 3
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowed character-5-gram Jaccard >= 0.8 within a
     length band — the tokenization-free rung of the dedup ladder, running
     through the SAME prefix-filtered SSJoin as ``dedup_near`` (only the set
     definition changes; the scale posture — rare-first prefixes, id-only
-    candidate shuffle, SHUFFLE_HASH verify — is inherited). Docs whose
-    winnowed set is empty (very short texts) cannot pair — the estimator
-    property tests pin planted-dup recovery."""
-    return _prefix_filtered_pairs(_chargram_docs(spark, sf_dir), pair_key=True)
+    candidate shuffle, SHUFFLE_HASH verify — is inherited). The prefix
+    order adapts to corpus size (``chargram_prefix_t``) because the
+    winnowed gram vocabulary saturates. Docs whose winnowed set is empty
+    (very short texts) cannot pair — the estimator property tests pin
+    planted-dup recovery."""
+    return _prefix_filtered_pairs(
+        _chargram_docs(spark, sf_dir), t=chargram_prefix_t(sf_dir)
+    )
 
 
 _CHARGRAM_CTE = f"""
@@ -765,7 +815,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", _shingles(F.col("toks")).alias("sh"))
     )
     pairs = _materialize(
-        _prefix_filtered_pairs(sh, pair_key=True).select("doc_a", "doc_b")
+        _prefix_filtered_pairs(sh, t=2).select("doc_a", "doc_b")
     )
     labels = cc_alternating_star(pairs)  # only nodes that appear in pairs
     surv_canon = (

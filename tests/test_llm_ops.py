@@ -310,3 +310,32 @@ def test_graph_khop_invariants(spark, sf_dir):
         assert any(hop.get(n) == h - 1 for n in nbrs.get(v, ())), (
             f"node {v} at hop {h} has no hop-{h-1} neighbor"
         )
+
+
+def test_dedup_pipeline_invariants(spark, sf_dir):
+    """corpus_dedup_pipeline: the canonical mapping must be internally
+    consistent — kept iff self-canonical, every canonical id is itself a
+    kept doc, exact-duplicate groups collapse onto ONE canonical, and the
+    ladder's kept set can only shrink relative to the exact-dedup stage."""
+    rows = D.corpus_dedup_pipeline(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    kept = {r["doc_id"] for r in rows if r["status"] == "kept"}
+    for r in rows:
+        assert (r["status"] == "kept") == (r["doc_id"] == r["canonical_id"])
+        # the canonical target must itself survive the whole ladder
+        assert by_id[r["canonical_id"]]["status"] == "kept", r
+        # canonical is the minimum of its group by construction
+        assert r["canonical_id"] <= r["doc_id"]
+    # exact duplicates (same normalized text) map to one canonical
+    docs = {
+        d["doc_id"]: " ".join(d["text"].strip().lower().split())
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    groups: dict = {}
+    for doc_id, norm in docs.items():
+        groups.setdefault(norm, []).append(doc_id)
+    for ids in groups.values():
+        canon = {by_id[i]["canonical_id"] for i in ids}
+        assert len(canon) == 1, f"exact group {ids} split across {canon}"
+    # ladder keeps at most as many docs as exact dedup alone
+    assert len(kept) <= len(groups)
