@@ -36,6 +36,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.sampling",
     "opencode_hive_archon_spark.operators.funnel",
     "opencode_hive_archon_spark.operators.decontaminate",
+    "opencode_hive_archon_spark.operators.spandedup",
     "opencode_hive_archon_spark.plans.scenarios",
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",
@@ -56,12 +57,14 @@ _SPEC_MODULES = [
 # driver; now serialized — a green row here retires the last red cell),
 # (c) all 9 streaming queries, whose registered sessions gained the RocksDB
 # state-store conf this round and therefore need fresh post-change driver
-# evidence, and (d) flagship re-seats for second-snapshot regression
-# coverage (incl. q17_small_quantity_revenue's sibling shapes — q17 itself
-# is in (a) and was re-planned this round). Queries ADDED during round 9
-# (tests/test_contracts.py::_R9_ADDED) register after the window by design
-# and rotate into round 10's window; until then they carry full-sweep +
-# pytest evidence.
+# evidence, (e) the 11 queries ADDED during round 9 (nine TPC-H shapes,
+# text_rarity_score, corpus_dedup_pipeline — tests/test_contracts.py::
+# _R9_ADDED), pulled into the window by the second rotation pass so they
+# reach the driver this round rather than next, and (d) re-gates for the
+# code paths round 9 rewrote (adaptive prefix-t SSJoin, quantized LSH
+# matmul + verify, factored curation/rarity) plus a few flagship re-seats.
+# Everything displaced from the earlier (d) list already carries r7/r8
+# driver-green evidence.
 _PRIORITY = [
     # (a) round-8 additions, never driver-snapshotted
     "window_analytics", "q7_volume_shipping", "q10_returned_items",
@@ -80,17 +83,21 @@ _PRIORITY = [
     "stream_sliding_avg", "stream_session_windows", "stream_dedup",
     "stream_late_data", "stream_stateful_user_stats",
     "stream_foreachbatch_sink",
-    # (d) flagship re-seats: dedup / similarity / corpus / recall /
-    # relational cores carry their claims through a second snapshot
-    "dedup_exact", "dedup_near", "dedup_clusters", "dedup_embedding_cosine",
-    "ann_quantized_topk", "similarity_topk",
-    "corpus_curation", "corpus_pretraining_pipeline",
-    "recall_score_topk", "recall_envelope_reranked",
-    "recall_multi_provider_merge", "scenario_replay", "plan_diff_extract",
-    "q21_waiting_suppliers", "q18_large_orders", "pricing_summary",
-    "join_broadcast", "join_asof_event_order", "events_sessionize",
-    "window_rank_topk_per_group", "udaf_grouped_normalize",
-    "multimodal_decode", "agg_skew_salted",
+    # (e) round-9 additions, never driver-snapshotted: nine TPC-H shapes,
+    # the unigram rarity score, and the fused dedup ladder
+    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q12_shipmode_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
+    "text_rarity_score", "corpus_dedup_pipeline",
+    # (d) re-gates for round-9-changed code paths: the adaptive prefix-t
+    # SSJoin (dedup.py), the quantized LSH signature matmul + verify
+    # (similarity.py), and the factored curation/rarity stages (textops.py)
+    "dedup_ngram_jaccard", "dedup_near", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "ann_lsh_recall",
+    "ann_lsh_topk", "corpus_curation", "corpus_pretraining_pipeline",
+    # flagship re-seats, plus the round-9 span-dedup addition
+    "recall_score_topk", "pricing_summary", "corpus_span_dedup",
 ]
 
 
