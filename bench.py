@@ -86,96 +86,15 @@ BENCH_QUERIES = [
 # Tier 2: every registered query outside the frozen tier-1 set gets a
 # timed single pass after warm-up — 99/99 coverage so a perf regression
 # anywhere in the registry is visible round over round.
-BENCH_TIER2 = [
-    "recall_multi_provider_merge",
-    "recall_compat",
-    "scenario_replay",
-    "scenario_forced_branches",
-    "plan_diff_metrics",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_simhash",
-    "text_langid",
-    "text_rolling_fingerprint",
-    "udf_scalar_clamp",
-    "udtf_explode_tokens",
-    "multimodal_meta_profile",
-    "multimodal_decode",
-    "multimodal_decode_arrow",
-    "agg_skew_salted",
-    "sql_pricing_summary",
-    "unpivot_lineitem_status",
-    "grouping_sets_orders",
-    "source_roundtrip_formats",
-    "source_partitioned_pruning",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "q3_shipping_priority",
-    "events_sessionize",
-    "corpus_domain_cap",
-    "ann_batch_topk",
-    "ann_quantized_topk",
-    "corpus_curation",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "stream_dedup",
-    "stream_late_data",
-    "stream_stateful_user_stats",
-    "recall_graph_khop",
-    "catalog_roundtrip",
-    "corpus_train_val_split",
-    "agg_approx_quantile_error",
-    "text_repetition_stats",
-    "source_bucketed_join",
-    "plan_diff_extract",
-    "corpus_pretraining_pipeline",
-    "dedup_ngram_jaccard",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    # r8: the 19 queries never timed in any prior round — full-registry
-    # timing visibility so a perf regression anywhere is visible in
-    # BENCH_DETAIL.json, including the quality gates (they run exact +
-    # approximate back to back, so their cost is real pipeline cost).
-    "join_asof_pandas",
-    "cube_events",
-    "scalar_subquery_orders",
-    "set_ops",
-    "scalar_string_date_math",
-    "array_ops_embeddings",
-    "text_lang_profile",
-    "text_token_count",
-    "text_fingerprint",
-    "plan_diff_extracted_metrics",
-    "stream_foreachbatch_sink",
-    "agg_approx_distinct",
-    "dedup_clusters",
-    "agg_approx_distinct_error",
-    "dedup_minhash_lsh_recall",
-    "dedup_simhash_recall",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "scenario_tag_filter",
-    # r8 additions
-    "source_schema_evolution",
-    "multimodal_frame_table",
-    "window_analytics",
-    "source_upsert_pattern",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "agg_heavy_hitters",
-    "source_zorder_layout",
-    "join_skew_salted",
-    "events_funnel",
-    "events_retention",
-    "corpus_decontaminate",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "events_path_analysis",
-    "corpus_bpe_pair_stats",
-]
+def _tier2_names() -> list[str]:
+    """Tier 2 is DERIVED, not frozen: every registered query outside the
+    tier-1 headline set, in registration order. Registry growth can never
+    silently fall out of the bench again (round 9's 11 additions did,
+    because this used to be a literal list)."""
+    from opencode_hive_archon_spark import registry
+
+    t1 = set(BENCH_QUERIES)
+    return [n for n in registry.all_specs() if n not in t1]
 
 
 def run_query(df) -> None:
@@ -280,10 +199,11 @@ def main() -> None:
     }
 
     # Tier 2: warm-up + one timed pass per query.
-    for name in BENCH_TIER2:
+    tier2_names = _tier2_names()
+    for name in tier2_names:
         try_run(specs, name, spark, sf_dir, warmup_failures)
     tier2_timings: dict[str, float] = {}
-    for name in BENCH_TIER2:
+    for name in tier2_names:
         elapsed = try_run(specs, name, spark, sf_dir, failures)
         if elapsed is not None:
             tier2_timings[name] = round(elapsed, 3)
