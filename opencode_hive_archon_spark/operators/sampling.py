@@ -366,6 +366,100 @@ ORDER BY n_events DESC, hot_key
 """
 
 
+# --- importance sampling ----------------------------------------------------
+
+# Quality-proportional resampling (the importance-weighting step of corpus
+# assembly, DSIR/DoReMi-adjacent in spirit): each document is kept with
+# probability equal to its composite quality score — which is in [0, 1] by
+# construction (textops.quality_score_col) — so the kept corpus's quality
+# distribution shifts up without any hard cutoff. Membership is the same
+# deterministic md5-uniform device as the stratified sampler (salt ':imp'
+# decorrelates it from both the strata hash and the train/val split): a
+# pure per-row predicate, no RNG state, reproducible under any
+# partitioning, pushed into the scan at 100 TB. The per-lang report
+# carries mean quality before/after via ⌊q·2^20⌋ integer sums (exact,
+# associative — summation order cannot differ across engines) divided
+# once at the end.
+IMP_HASH_HEX = 6
+_IMP_SPACE = 1 << (4 * IMP_HASH_HEX)
+Q20 = 1 << 20
+
+
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance sample + per-lang shift report."""
+    from opencode_hive_archon_spark.operators.textops import (
+        _docs,
+        quality_score_col,
+    )
+
+    q = quality_score_col()
+    h = md5_prefix_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":imp")), IMP_HASH_HEX
+    )
+    kept = (h.cast("double") < q * F.lit(float(_IMP_SPACE))).cast("long")
+    qq = F.floor(q * F.lit(float(Q20))).cast("long")
+    flagged = _docs(spark, sf_dir).select(
+        "lang", "n_chars", kept.alias("kept"), qq.alias("qq")
+    )
+    n = F.count(F.lit(1))
+    n_kept = F.sum("kept")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            n.alias("n_total"),
+            n_kept.alias("n_kept"),
+            (n_kept / n).alias("achieved_rate"),
+            (F.sum("qq").cast("double") / (n * Q20)).alias("mean_quality_all"),
+            F.when(
+                n_kept > 0,
+                F.sum(F.col("qq") * F.col("kept")).cast("double")
+                / (n_kept * Q20),
+            ).alias("mean_quality_kept"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_chars") * F.col("kept")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _imp_oracle() -> str:
+    from opencode_hive_archon_spark.operators.textops import (
+        _QUALITY_EXPR_SQL,
+        _TOKS_SQL,
+    )
+
+    h = md5_prefix_long_sql("(CAST(doc_id AS VARCHAR) || ':imp')", IMP_HASH_HEX)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+),
+feat AS (
+  SELECT lang, n_chars, {_QUALITY_EXPR_SQL} AS q,
+         {h} AS h
+  FROM base
+),
+flagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN CAST(h AS DOUBLE) < q * {float(_IMP_SPACE)} THEN 1 ELSE 0 END AS kept,
+         CAST(floor(q * {float(Q20)}) AS BIGINT) AS qq
+  FROM feat
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(kept) AS DOUBLE) / count(*) AS achieved_rate,
+       CAST(sum(qq) AS DOUBLE) / (count(*) * {Q20}) AS mean_quality_all,
+       CASE WHEN sum(kept) > 0
+            THEN CAST(sum(qq * kept) AS DOUBLE) / (sum(kept) * {Q20})
+            ELSE NULL END AS mean_quality_kept,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars * kept) AS BIGINT) AS kept_chars
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec(
         "corpus_stratified_sample", corpus_stratified_sample,
@@ -382,4 +476,10 @@ SPECS = [
         "φ-heavy hitters: Misra-Gries partition summaries prune candidates, "
         "exact verify pass reports keys > 1% of events — bounded shuffle at "
         "any key cardinality"),
+    QuerySpec(
+        "corpus_importance_sample", corpus_importance_sample, _imp_oracle(),
+        "text",
+        "quality-proportional importance resampling: keep probability = "
+        "composite quality score via deterministic md5-uniform; per-lang "
+        "before/after quality-shift report with integer-exact means"),
 ]

@@ -158,6 +158,28 @@ FROM scored GROUP BY 1, 2
 """
 
 
+def quality_score_col() -> F.Column:
+    """The composite quality expression over (text, n_chars) columns, in
+    [0, 1] by construction (0.5 + 0.3 + 0.2 component weights). Shared by
+    `text_quality_score` and `sampling.corpus_importance_sample` so the
+    filter feature and the sampling weight can never drift apart; its SQL
+    mirror is `_QUALITY_EXPR_SQL` (assumes a `toks` token-array column
+    beside `text`)."""
+    toks = _toks()
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    stop_ratio = stop_hits.cast("double") / n_toks
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    return (
+        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(10.0)) * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+    )
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: token counts, stopword/punct ratios, mean
     token length, composite score — the standard pre-training quality
@@ -174,11 +196,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_tok_len = (F.col("n_chars").cast("double") - (n_toks - 1)) / n_toks
     stop_ratio = stop_hits.cast("double") / n_toks
     punct_ratio = n_punct.cast("double") / F.length("text")
-    quality = (
-        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * F.lit(0.5)
-        + F.least(F.lit(1.0), stop_ratio * F.lit(10.0)) * F.lit(0.3)
-        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
-    )
+    quality = quality_score_col()
     return docs.select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
@@ -191,6 +209,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+# DuckDB mirror of quality_score_col(); assumes `toks` ({_TOKS_SQL}) and
+# `text` columns in scope. Same IEEE ops in the same order as the Spark
+# expression, so the value is bit-identical across engines.
+_QUALITY_EXPR_SQL = (
+    "least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5"
+    " + least(1.0, (CAST(len(list_filter(toks, t -> t IN ({stops}))) AS DOUBLE)"
+    " / len(toks)) * 10.0) * 0.3"
+    " + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
+    " AS DOUBLE) / length(text)) * 0.2"
+).format(stops=_STOPS_SQL)
 
 _ORACLE_QUALITY = f"""
 WITH base AS (

@@ -96,8 +96,8 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_near", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_exact", "ann_lsh_recall",
     "ann_lsh_topk", "corpus_curation", "corpus_pretraining_pipeline",
-    # flagship re-seats, plus the round-9 span-dedup addition
-    "recall_score_topk", "pricing_summary", "corpus_span_dedup",
+    # flagship re-seat, plus the round-9 span-dedup / importance-sample additions
+    "recall_score_topk", "corpus_importance_sample", "corpus_span_dedup",
 ]
 
 

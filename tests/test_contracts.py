@@ -184,6 +184,7 @@ _R9_ADDED: set[str] = {
     "q22_global_sales_opportunity",
     "text_rarity_score",
     "corpus_span_dedup",
+    "corpus_importance_sample",
 }
 
 
@@ -223,7 +224,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 128, sorted(specs)
+    assert len(specs) == 129, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -233,7 +234,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 128 - len(rows_only)
+    assert len(oracle_sql()) == 129 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):
