@@ -203,3 +203,25 @@ def test_mg_reduce_bound_property():
                 assert key in counts, (key, f, bound)
 
     check()
+
+
+def test_importance_sample_unbiased_and_deterministic(spark, sf_dir):
+    """The md5-uniform device makes keep-probability equal the quality
+    score: per language, the achieved rate must track mean quality within
+    binomial tolerance, the kept subset's mean quality must sit at or
+    above the population's, and the report must be bit-identical across
+    runs (no RNG state anywhere)."""
+    from opencode_hive_archon_spark.operators.sampling import (
+        corpus_importance_sample,
+    )
+
+    a = corpus_importance_sample(spark, sf_dir).collect()
+    b = corpus_importance_sample(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) > 0
+    for r in a:
+        assert 0 < r.n_kept <= r.n_total
+        assert abs(r.achieved_rate - r.mean_quality_all) < 0.2, (
+            r.lang, r.achieved_rate, r.mean_quality_all,
+        )
+        assert r.mean_quality_kept >= r.mean_quality_all - 1e-9, r.lang
