@@ -460,6 +460,70 @@ ORDER BY lang
 """
 
 
+# --- shard planning ---------------------------------------------------------
+
+# The shuffle-and-shard step of corpus assembly: before training, documents
+# get a pseudo-random total order (so batches are i.i.d.-ish without a
+# stateful shuffle) and a shard file assignment. Both come from one
+# md5-uniform value (salt ':shard'): shard = h mod N_SHARDS — and because
+# N_SHARDS divides the 2^24 hash space exactly, the modulo has ZERO bias —
+# while ordering within a shard by h itself IS the deterministic shuffle.
+# At 100 TB the physical write is `repartitionByRange(shard, h)` +
+# `partitionBy(shard)`: a single range shuffle, balanced by construction;
+# this query is the planning/evidence side — per-shard doc and char mass
+# balance plus each shard's ordered stream head.
+N_SHARDS = 32
+SHARD_HASH_HEX = 6
+_SHARD_SPACE = 1 << (4 * SHARD_HASH_HEX)
+assert _SHARD_SPACE % N_SHARDS == 0  # exact uniformity of h mod N_SHARDS
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard plan + balance report (one scan)."""
+    h = md5_prefix_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":shard")),
+        SHARD_HASH_HEX,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (h % N_SHARDS).alias("shard"),
+        # stream order = (h, doc_id) packed into one int64 so hash
+        # collisions can't make the arg-min nondeterministic (h < 2^24,
+        # doc_id < 2^32 -> the packed key is unique and < 2^56)
+        (h * F.lit(1 << 32) + F.col("doc_id")).alias("ord"),
+    )
+    return (
+        docs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", "ord").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_oracle() -> str:
+    h = md5_prefix_long_sql(
+        "(CAST(doc_id AS VARCHAR) || ':shard')", SHARD_HASH_HEX
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars, {h} % {N_SHARDS} AS shard,
+         {h} * {1 << 32} + doc_id AS ord
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       arg_min(doc_id, ord) AS first_doc
+FROM hashed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 SPECS = [
     QuerySpec(
         "corpus_stratified_sample", corpus_stratified_sample,
@@ -482,4 +546,9 @@ SPECS = [
         "quality-proportional importance resampling: keep probability = "
         "composite quality score via deterministic md5-uniform; per-lang "
         "before/after quality-shift report with integer-exact means"),
+    QuerySpec(
+        "corpus_shard_plan", corpus_shard_plan, _shard_oracle(), "text",
+        "deterministic shuffle-shard plan: bias-free h mod N shard "
+        "assignment + collision-proof stream order, per-shard balance "
+        "report with each shard's ordered head"),
 ]

@@ -187,6 +187,9 @@ _R9_ADDED: set[str] = {
     "corpus_importance_sample",
 }
 
+# Registered after the r9 window filled (rotates into round 10):
+_R10_PENDING: set[str] = {"corpus_shard_plan"}
+
 
 def test_priority_window_contents():
     """Round-9 rotation pin: the window is exactly 50 deep, registration
@@ -224,7 +227,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 129, sorted(specs)
+    assert len(specs) == 130, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -234,7 +237,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 129 - len(rows_only)
+    assert len(oracle_sql()) == 130 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

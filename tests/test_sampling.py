@@ -225,3 +225,24 @@ def test_importance_sample_unbiased_and_deterministic(spark, sf_dir):
             r.lang, r.achieved_rate, r.mean_quality_all,
         )
         assert r.mean_quality_kept >= r.mean_quality_all - 1e-9, r.lang
+
+
+def test_shard_plan_balance_and_coverage(spark, sf_dir):
+    """Shard assignment must cover every document exactly once, stay
+    balanced within binomial noise (the zero-modulo-bias claim), and be
+    bit-identical across runs."""
+    from opencode_hive_archon_spark.operators.sampling import (
+        N_SHARDS,
+        corpus_shard_plan,
+    )
+    from opencode_hive_archon_spark.session import read_table
+
+    a = corpus_shard_plan(spark, sf_dir).collect()
+    assert a == corpus_shard_plan(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in a) == n_docs
+    assert sorted(r.shard for r in a) == list(range(N_SHARDS))
+    mean = n_docs / N_SHARDS
+    for r in a:
+        # 5-sigma binomial bound on per-shard occupancy
+        assert abs(r.n_docs - mean) < 5 * mean ** 0.5 + 3, (r.shard, r.n_docs)
