@@ -217,6 +217,10 @@ def test_priority_window_contents():
     assert outside & (_R8_ADDED | _R9_ADDED) == set(), (
         "never-snapshotted query left outside the window"
     )
+    # _R10_PENDING: registered after the r9 window filled — must exist in
+    # the registry and sit outside this window (it is round 10's rotation
+    # debt; everything else outside the window carries r7/r8 evidence).
+    assert _R10_PENDING <= set(specs) - set(window)
 
 
 def test_registry_census():
