@@ -211,7 +211,120 @@ ORDER BY from_type, to_type
 """
 
 
+# --- ingest drift / anomaly monitor -----------------------------------------
+
+# Trailing window length (observed daily buckets per event_type) and the
+# z threshold. The anomaly predicate is INTEGER-EXACT: with k trailing
+# counts of sum S and sum-of-squares Q, |z| > 3 for today's count x iff
+#     (k·x − S)² > 9·(k·Q − S²)
+# (multiply z² = (x−S/k)² / ((kQ−S²)/k²) through by k²) — no float mean,
+# no float variance, no sqrt; both engines compare the same BIGINTs. The
+# reported z² itself is then ONE double division of those exact integers,
+# per the engine's exactness convention. BIGINT bounds the per-bucket
+# count at ~4·10⁸ (the square must fit int64); at 100 TB widen the three
+# terms to DECIMAL(38,0) — both engines carry 128-bit exact decimals —
+# without touching the plan shape.
+DRIFT_TRAIL = 7
+DRIFT_Z = 3
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest drift monitor: daily event-type volumes vs their trailing
+    week, |z| > 3 flagged — the data-quality gate a pipeline runs on every
+    ingest batch before letting it into the corpus.
+
+    Plan: ONE hash exchange on event_type feeds the daily aggregate and
+    the trailing window (they share the partitioning); the trailing frame
+    is the previous ``DRIFT_TRAIL`` OBSERVED buckets (ROWS frame — gap
+    days shrink the window and ``trail_n`` reports it; a flag only fires
+    on a full window). At 100 TB, parallelism is per event_type × day via
+    the partial agg; the window stage is per-type sequential but runs on
+    ~365 rows per type per year — nothing."""
+    return anomaly_report(_t(spark, sf_dir, "events"))
+
+
+def anomaly_report(ev: DataFrame) -> DataFrame:
+    """Drift report over an (event_type, ts) frame — factored so tests can
+    feed planted spike corpora (tests/test_sampling.py)."""
+    daily = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-DRIFT_TRAIL, -1)
+    )
+    k = F.col("trail_n")
+    x = F.col("n_events")
+    s = F.col("trail_sum")
+    q = F.col("trail_sumsq")
+    lhs = (k * x - s) * (k * x - s)
+    rhs = F.lit(DRIFT_Z * DRIFT_Z) * (k * q - s * s)
+    full = k == DRIFT_TRAIL
+    return (
+        daily.withColumn("trail_n", F.count("n_events").over(w))
+        .withColumn("trail_sum", F.coalesce(F.sum("n_events").over(w), F.lit(0)))
+        .withColumn(
+            "trail_sumsq",
+            F.coalesce(F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "trail_n",
+            "trail_sum",
+            (full & (lhs > rhs)).alias("is_anomaly"),
+            F.when(full & (k * q - s * s > 0), lhs.cast("double") / (k * q - s * s))
+            .alias("z2"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_ORACLE_DRIFT = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts)
+),
+trailed AS (
+  SELECT event_type, day, n_events,
+         count(n_events) OVER w AS trail_n,
+         coalesce(sum(n_events) OVER w, 0) AS trail_sum,
+         coalesce(sum(n_events * n_events) OVER w, 0) AS trail_sumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {DRIFT_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events, trail_n,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       trail_n = {DRIFT_TRAIL}
+         AND (trail_n * n_events - trail_sum) * (trail_n * n_events - trail_sum)
+             > {DRIFT_Z * DRIFT_Z} * (trail_n * trail_sumsq - trail_sum * trail_sum)
+         AS is_anomaly,
+       CASE WHEN trail_n = {DRIFT_TRAIL}
+                 AND trail_n * trail_sumsq - trail_sum * trail_sum > 0
+            THEN CAST((trail_n * n_events - trail_sum)
+                      * (trail_n * n_events - trail_sum) AS DOUBLE)
+                 / (trail_n * trail_sumsq - trail_sum * trail_sum)
+            ELSE NULL END AS z2
+FROM trailed
+ORDER BY event_type, day
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_anomaly_zscore", events_anomaly_zscore, _ORACLE_DRIFT,
+        "relational",
+        "ingest drift monitor: daily event-type volume vs trailing-week "
+        "z-score, integer-exact |z|>3 flag ((kx-S)^2 > 9(kQ-S^2)), one "
+        "event_type exchange shared by aggregate and window"),
     QuerySpec(
         "events_path_analysis", events_path_analysis, _ORACLE_PATHS,
         "relational",

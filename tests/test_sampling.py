@@ -246,3 +246,47 @@ def test_shard_plan_balance_and_coverage(spark, sf_dir):
     for r in a:
         # 5-sigma binomial bound on per-shard occupancy
         assert abs(r.n_docs - mean) < 5 * mean ** 0.5 + 3, (r.shard, r.n_docs)
+
+
+def test_anomaly_zscore_planted_spike(spark):
+    """A 10x spike after a steady week must flag; partial trailing windows
+    must never flag; z2 must equal (kx-S)^2/(kQ-S^2) exactly."""
+    from datetime import datetime
+
+    from opencode_hive_archon_spark.operators.funnel import (
+        DRIFT_TRAIL,
+        anomaly_report,
+    )
+
+    counts = [10, 11, 9, 10, 10, 11, 9, 100]  # 7 steady days, then a spike
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(datetime(2024, 3, d, 12, 0, 0), "a")] * c
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.day.day: r for r in anomaly_report(ev).collect()}
+    # days 1..7: trailing window not yet full -> never flagged
+    for d in range(1, DRIFT_TRAIL + 1):
+        assert out[d].trail_n == d - 1
+        assert out[d].is_anomaly is False
+    spike = out[8]
+    assert spike.trail_n == DRIFT_TRAIL and spike.trail_sum == sum(counts[:7])
+    assert spike.is_anomaly is True
+    k, x, s = DRIFT_TRAIL, counts[7], sum(counts[:7])
+    q = sum(c * c for c in counts[:7])
+    assert spike.z2 == (k * x - s) ** 2 / (k * q - s * s)
+
+
+def test_anomaly_zscore_zero_variance_spike(spark):
+    """Constant week then any deviation: var=0 -> z2 is NULL but the
+    integer predicate still flags (RHS is exactly 0)."""
+    from datetime import datetime
+
+    from opencode_hive_archon_spark.operators.funnel import anomaly_report
+
+    rows = []
+    for d in range(1, 8):
+        rows += [(datetime(2024, 3, d), "a")] * 10
+    rows += [(datetime(2024, 3, 8), "a")] * 11
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    last = [r for r in anomaly_report(ev).collect() if r.day.day == 8][0]
+    assert last.is_anomaly is True and last.z2 is None
