@@ -766,6 +766,156 @@ ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 10
 """
 
 
+# --- PQ (product quantization) path — exact-oracle approximate scoring -----
+
+PQ_M = 8  # subspaces (64 dims -> 8 dims each)
+PQ_SUBDIM = 8
+PQ_K = 16  # codewords per subspace (codes are 4 bits/subspace -> 4B/vector)
+PQ_GRID = 1024  # global fixed-point grid: qx = round(x · 1024), BIGINT
+PQ_POOL = 50  # ADC pool that gets the exact cosine rescore
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, m, subq): each vector quantized onto the global
+    integer grid and split into PQ_M contiguous subvectors. The global
+    (not per-vector) grid is what makes inter-vector distances meaningful
+    integers."""
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * PQ_GRID).cast("long"),
+    )
+    slices = F.array(
+        *[F.slice(q, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    return emb.select(
+        "vec_id", "label", F.posexplode(slices).alias("m", "subq")
+    )
+
+
+_PQ_IDIST = F.aggregate  # alias kept local; expression built inline below
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) ANN: 64-dim vectors → PQ_M=8 subspace
+    codes (4 bits each — a 64× smaller index than float32), scored by
+    asymmetric distance computation (ADC: per-subspace lookup of the
+    query-to-codeword distance, summed), exact cosine rescore of the
+    top-``PQ_POOL`` pool.
+
+    Codebooks are DETERMINISTIC: the quantized subvectors of the first
+    PQ_K corpus vectors seed each subspace's codewords, and assignment is
+    integer-L2 argmin with a (distance, cid) tie-break — so codes, ADC
+    scores, the pool cut, and the rescore are ALL exactly reproducible and
+    the whole pipeline is hash-verified against DuckDB (the SQ8 discipline;
+    a k-means-trained codebook is the production upgrade and is already
+    demonstrated by ann_ivf_topk's Lloyd's loop — swapping it in changes
+    only the codebook CTE). Scale shape: the corpus-sized work is ONE
+    groupBy(vec_id, m) argmin over an (id, m, 8-int) stream joined to the
+    broadcast 128-row codebook; ADC scoring then touches only (vec_id, m,
+    cid) codes joined to a broadcast 128-row lookup table — the float
+    corpus is read again only for the PQ_POOL rescore rows.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    subs = _pq_subvectors(emb)
+    book = F.broadcast(
+        _materialize(
+            subs.filter(F.col("vec_id") < PQ_K).select(
+                F.col("vec_id").alias("cid"), "m", F.col("subq").alias("cvec")
+            )
+        )
+    )
+    idist = F.aggregate(
+        F.zip_with(F.col("subq"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = subs.join(book, "m").select(
+        "vec_id", "m", "cid", idist.alias("d")
+    )
+    codes = dist.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "cid")).getField("cid").alias("cid")
+    )
+    qadc = F.broadcast(
+        dist.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            "m", "cid", F.col("d").alias("qd")
+        )
+    )
+    pool = (
+        codes.join(qadc, ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("approx_d"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("approx_d").asc(), F.col("vec_id").asc())
+        .limit(PQ_POOL)
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        emb.join(F.broadcast(pool), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "approx_d",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_PQ_IDIST_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), t -> (t[1] - t[2]) * (t[1] - t[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+# Exact mirror of the PQ pipeline: same global grid, same seeded codebooks,
+# same integer-L2 argmin with (d, cid) tie-break, same ADC sum and pool cut.
+_ORACLE_PQ = f"""
+WITH qv AS (
+  SELECT vec_id, label, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {PQ_GRID}) AS BIGINT)) AS q
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, label, m,
+         q[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS subq
+  FROM qv, (SELECT unnest(range({PQ_M})) AS m)
+),
+book AS (
+  SELECT vec_id AS cid, m, subq AS cvec FROM subs WHERE vec_id < {PQ_K}
+),
+dist AS (
+  SELECT s.vec_id, s.m, b.cid,
+         {_PQ_IDIST_SQL.format(a="s.subq", b="b.cvec")} AS d
+  FROM subs s JOIN book b ON b.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+    FROM dist)
+  WHERE rn = 1
+),
+qadc AS (SELECT m, cid, d AS qd FROM dist WHERE vec_id = {QUERY_VEC_ID}),
+pool AS (
+  SELECT c.vec_id, CAST(sum(a.qd) AS BIGINT) AS approx_d
+  FROM codes c JOIN qadc a ON a.m = c.m AND a.cid = c.cid
+  GROUP BY c.vec_id
+  HAVING c.vec_id <> {QUERY_VEC_ID}
+  ORDER BY approx_d ASC, c.vec_id ASC LIMIT {PQ_POOL}
+),
+q1 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT p.vec_id, e.label, p.approx_d,
+       {_cos_sql("e.embedding", "q1.qvec")} AS sim
+FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id CROSS JOIN q1
+ORDER BY sim DESC NULLS LAST, p.vec_id ASC LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec("similarity_topk", similarity_topk, _ORACLE_SIM_TOPK, "similarity",
               "brute-force cosine top-10 (exact ANN baseline)"),
@@ -783,4 +933,7 @@ SPECS = [
               "batch exact ANN: per-query top-10 for 5 query vectors in one plan"),
     QuerySpec("ann_quantized_topk", ann_quantized_topk, _ORACLE_QUANTIZED, "similarity",
               "SQ8 int8-quantized ANN with exact rescore pool (exact oracle)"),
+    QuerySpec("ann_pq_topk", ann_pq_topk, _ORACLE_PQ, "similarity",
+              "product-quantization ANN: seeded integer codebooks, ADC "
+              "scoring, exact rescore pool (exact oracle end-to-end)"),
 ]

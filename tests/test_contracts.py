@@ -200,6 +200,7 @@ _R10_PENDING: set[str] = {
     "corpus_gopher_rules",
     "corpus_tfidf_topterms",
     "graph_pagerank",
+    "ann_pq_topk",
 }
 
 
@@ -243,7 +244,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 138, sorted(specs)
+    assert len(specs) == 139, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -253,7 +254,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 138 - len(rows_only)
+    assert len(oracle_sql()) == 139 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

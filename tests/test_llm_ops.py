@@ -73,6 +73,19 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert overlap >= 3, f"ANN recall too low: {overlap}/10 (brute={brute}, ann={approx})"
 
 
+def test_ann_pq_recall_and_code_shape(spark, sf_dir):
+    """PQ's ADC pool must recall most of the brute-force top-10 (the pool
+    is 50 of ~500, so chance overlap would be ~1), and the returned sims
+    must be the exact cosine (rescored), matching brute-force values."""
+    brute = {r["vec_id"]: r["sim"] for r in S.similarity_topk(spark, sf_dir).collect()}
+    pq = {r["vec_id"]: r["sim"] for r in S.ann_pq_topk(spark, sf_dir).collect()}
+    assert len(pq) == 10
+    overlap = set(brute) & set(pq)
+    assert len(overlap) >= 5, f"PQ recall too low: {len(overlap)}/10"
+    for vid in overlap:
+        assert pq[vid] == brute[vid], f"rescore not exact for {vid}"
+
+
 def test_similarity_topk_bounds(spark, sf_dir):
     rows = S.similarity_topk(spark, sf_dir).collect()
     assert len(rows) == 10
