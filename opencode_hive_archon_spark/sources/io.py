@@ -303,6 +303,93 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+COMPACT_TARGET_ROWS = 1000  # compaction bin quota (rows per output file)
+
+
+def source_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/maintenance pass every
+    long-lived table needs: a streaming ingest that commits one file per
+    (year, month) micro-batch leaves the table fragmented into files far
+    below the efficient scan size; this op plans the rewrite that packs
+    them into ~COMPACT_TARGET_ROWS-row output files WITHOUT breaking the
+    year partitioning.
+
+    The simulated ingest ledger derives deterministically from the data
+    (file = one (o_year, month) micro-batch, size = its row count), so the
+    whole plan is oracle-exact; the pytest side actually WRITES the
+    fragmented layout and rehearses the planned rewrite. Packing is the
+    fixed-quota rule shared with corpus_pack_sequences: files ordered by
+    month within their year, bin = (exclusive running row sum) div TARGET —
+    one window over a ledger that is files-count sized, not row sized.
+    Returns the per-partition before/after report a maintenance scheduler
+    acts on (skip years already compacted: files_before == files_after).
+
+    Scale notes: the ONLY corpus-sized work is the (year, month) count
+    aggregate (map-side combined, |years·months| output rows); planning
+    runs on the ledger. The physical rewrite this plan drives is
+    ``repartitionByRange(bin)`` within each year directory — never a full
+    table shuffle, and partition pruning is preserved because bins never
+    cross years.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    files = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("o_year")
+        .orderBy("o_month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_rows").over(w), F.lit(0).cast("long"))
+    planned = files.withColumn(
+        "bin", F.floor(cum_before / COMPACT_TARGET_ROWS).cast("long")
+    )
+    per_bin = planned.groupBy("o_year", "bin").agg(
+        F.count(F.lit(1)).alias("files_in_bin"),
+        F.sum("n_rows").alias("bin_rows"),
+    )
+    return (
+        per_bin.groupBy("o_year")
+        .agg(
+            F.sum("files_in_bin").alias("files_before"),
+            F.count(F.lit(1)).alias("files_after"),
+            F.sum("bin_rows").alias("total_rows"),
+            F.max("bin_rows").alias("max_bin_rows"),
+            F.min("bin_rows").alias("min_bin_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_COMPACTION = f"""
+WITH files AS (
+  SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+         count(*) AS n_rows
+  FROM orders GROUP BY 1, 2
+),
+planned AS (
+  SELECT o_year, n_rows,
+         CAST(COALESCE(sum(n_rows) OVER (PARTITION BY o_year ORDER BY o_month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) // {COMPACT_TARGET_ROWS} AS bin
+  FROM files
+),
+per_bin AS (
+  SELECT o_year, bin, count(*) AS files_in_bin, sum(n_rows) AS bin_rows
+  FROM planned GROUP BY 1, 2
+)
+SELECT o_year, CAST(sum(files_in_bin) AS BIGINT) AS files_before,
+       count(*) AS files_after,
+       CAST(sum(bin_rows) AS BIGINT) AS total_rows,
+       CAST(max(bin_rows) AS BIGINT) AS max_bin_rows,
+       CAST(min(bin_rows) AS BIGINT) AS min_bin_rows
+FROM per_bin GROUP BY o_year ORDER BY o_year
+"""
+
+
 def _oracle() -> str:
     per_fmt = " UNION ALL ".join(
         f"SELECT '{fmt}' AS format, count(*) AS n_rows, "
@@ -326,4 +413,9 @@ SPECS = [
               "sources",
               "MERGE INTO / SCD-1 upsert pattern: update-override join + "
               "delete anti-filter + insert union in one plan"),
+    QuerySpec("source_compaction_plan", source_compaction_plan,
+              _ORACLE_COMPACTION, "sources",
+              "small-file compaction planning: fixed-quota packing of "
+              "(year, month) micro-batch files into target-row bins, "
+              "per-partition before/after report"),
 ]
