@@ -310,3 +310,74 @@ def test_dedup_pipeline_ladder_shape(spark, sf_dir):
     assert "SortMergeJoin" not in live_prefix
     assert "Exchange hashpartitioning" not in live_prefix
     assert "ShuffledHashJoin" in p, "SSJoin verify join lost its pinned shape"
+
+
+def test_gopher_rules_single_pass(spark, sf_dir):
+    """corpus_gopher_rules is ONE projection + one lang-keyed aggregate:
+    exactly the deliberate repartition of the single-row-group scan, the
+    agg's hash exchange, and the presentation sort — no join, no extra
+    shuffle, and the rule arithmetic stays inside codegen."""
+    from opencode_hive_archon_spark.operators import quality_rules as QR
+
+    p = plan(QR.corpus_gopher_rules(spark, sf_dir))
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange rangepartitioning") == 1, p
+    assert p.count("Exchange RoundRobinPartitioning") == 1, p  # _docs re-split
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """corpus_tfidf_topterms: tf and df both read the MATERIALIZED
+    incidence table (one corpus explode total); the live plan above the
+    cached leaf carries only vocabulary-sized exchanges, the 1-row total is
+    a broadcast, and no sort-merge join forms."""
+    from opencode_hive_archon_spark.operators import quality_rules as QR
+
+    df = QR.corpus_tfidf_topterms(spark, sf_dir)
+    p = plan(df)
+    live = p.split("InMemoryRelation")[0]
+    assert "BroadcastNestedLoopJoin" in live or "BroadcastHashJoin" in live
+    assert "SortMergeJoin" not in live
+    # the token explode appears only inside the cached incidence subtree
+    assert "Generate explode" not in live
+
+
+def test_pq_broadcast_only_joins(spark, sf_dir):
+    """ann_pq_topk: every join in the live plan is broadcast (codebook,
+    ADC table, pool, query vector) — corpus-sized data is never the build
+    side and never shuffles for a join; the only hash exchanges are the
+    argmin/ADC aggregates."""
+    from opencode_hive_archon_spark.operators import similarity as SIM
+
+    p = plan(SIM.ann_pq_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p  # top-k never global-sorts
+
+
+def test_pagerank_iteration_state_narrow(spark, sf_dir):
+    """graph_pagerank's live plan (above the final checkpointed ranks) is
+    a join to the label dim plus the top-k — the per-round work is behind
+    lineage cuts, and the final top-50 uses TakeOrderedAndProject, not a
+    global sort."""
+    from opencode_hive_archon_spark.operators import graph as G
+
+    p = plan(G.graph_pagerank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_compaction_plan_ledger_sized(spark, sf_dir):
+    """source_compaction_plan: the only corpus-sized stage is the
+    (year, month) count aggregate — everything after (packing window,
+    report) runs on the ledger. Pin: exactly one partial/final count pair
+    over the scan, no join anywhere."""
+    from opencode_hive_archon_spark.sources import io as IO
+
+    p = plan(IO.source_compaction_plan(spark, sf_dir))
+    assert "Join" not in p, p
+    assert "partial_count" in p, "ledger aggregate lost map-side combine"
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" not in read_schema  # only the date column is read

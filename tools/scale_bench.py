@@ -82,8 +82,33 @@ EXTRA = [
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    # round-9 late additions (post-window)
+    "corpus_span_dedup",
+    "corpus_importance_sample",
+    "corpus_shard_plan",
+    "events_anomaly_zscore",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
+    "graph_pagerank",
+    "corpus_gopher_rules",
+    "corpus_tfidf_topterms",
+    "ann_pq_topk",
+    "source_compaction_plan",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
+
+# Auxiliary runs can restrict to a subset (comma-separated names) so new
+# queries get decade evidence without re-timing the whole fleet; pair with
+# SPARK_GRAFT_SCALE_OUT so the main artifact is never clobbered.
+_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+if _only:
+    _only_set = {n.strip() for n in _only.split(",") if n.strip()}
+    unknown = _only_set - set(QUERIES)
+    if unknown:
+        sys.exit(f"SPARK_GRAFT_SCALE_ONLY names not in QUERIES: {sorted(unknown)}")
+    QUERIES = [q for q in QUERIES if q in _only_set]
 
 ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
 
