@@ -318,7 +318,104 @@ ORDER BY event_type, day
 """
 
 
+RFM_BUCKETS = 5
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse marketing aggregate: per customer, days since their
+    last order, order count, and total spend, each quintiled 1 (best) to 5,
+    reported as segment-cell counts with exact spend totals.
+
+    Determinism: every ntile window orders by (metric, c_custkey) so equal
+    metrics cannot flap cells across partitionings/engines; spend stays
+    DECIMAL through the aggregate (one double cast at presentation).
+
+    Scale shape: one customer-keyed aggregate over orders (map-side
+    combined), then three UNPARTITIONED ntile windows over the CUSTOMER
+    dimension — deliberate: RFM quintiles are global by definition and the
+    window input is dimension-sized (|customers|, ~1/10 of orders rows
+    here and ~1/1000 of facts in a real warehouse), not fact-sized. At the
+    scale where even the dimension overwhelms one sort, the swap is
+    approx-quantile thresholds (exercised by agg_approx_quantile_error)
+    against the same per-customer aggregate — cell boundaries then come
+    from 5 numbers, not a global sort; the shipped formulation is the
+    exact one so the oracle stays bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_dec",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary_dec").desc(), F.col("o_custkey").asc())
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_dec",
+        F.ntile(RFM_BUCKETS).over(wr).cast("long").alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(wf).cast("long").alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(wm).cast("long").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_dec").cast("double").alias("segment_spend"),
+            F.min("o_custkey").alias("example_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_ORACLE_RFM = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate),
+                        (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+           AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary_dec,
+         CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+              AS BIGINT) AS r_score,
+         CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC)
+              AS BIGINT) AS f_score,
+         CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary_dec DESC, o_custkey ASC)
+              AS BIGINT) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(sum(monetary_dec) AS DOUBLE) AS segment_spend,
+       min(o_custkey) AS example_custkey
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "orders_rfm_segmentation", orders_rfm_segmentation, _ORACLE_RFM,
+        "relational",
+        "RFM customer segmentation: per-customer recency/frequency/spend "
+        "quintiles (deterministic ntile tie-breaks), segment-cell report"),
     QuerySpec(
         "events_anomaly_zscore", events_anomaly_zscore, _ORACLE_DRIFT,
         "relational",

@@ -231,6 +231,102 @@ ORDER BY lang, term_rank
 """
 
 
+BIGRAM_VOCAB_K = 32
+
+
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang bigram-LM fluency proxy: what fraction of each language's
+    adjacent-token bigram instances fall inside the corpus-wide top-K
+    bigram vocabulary. The contextual (order-sensitive) sibling of
+    text_rarity_score's unigram OOV rate — repetitive or shuffled text
+    scores high, token-salad scores low — and like it engineered log-free:
+    counts are exact integers, the coverage ratio is ONE double division.
+
+    Scale shape: adjacent pairs come from one index-sequence transform (no
+    self-join); the corpus is exploded ONCE into a materialized per-doc
+    bigram incidence table (bigram, lang, c) that feeds both the vocabulary
+    aggregate and the scoring pass; the top-K vocab is TakeOrdered, never a
+    single-partition window, and returns as a broadcast membership flag.
+    """
+    from opencode_hive_archon_spark.session import materialize as _materialize
+
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    bigrams = F.when(
+        F.size(toks) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bigram")
+    )
+    incidence = _materialize(
+        ex.groupBy("bigram", "lang").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        incidence.groupBy("bigram")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(BIGRAM_VOCAB_K)
+        .select("bigram", F.lit(1).alias("in_vocab"))
+    )
+    per_lang = (
+        incidence.join(F.broadcast(vocab), "bigram", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("total_bigrams"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), F.col("c")).otherwise(0)
+            ).alias("covered_bigrams"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "total_bigrams",
+        "covered_bigrams",
+        (
+            F.col("covered_bigrams").cast("double")
+            / F.col("total_bigrams").cast("double")
+        ).alias("coverage_ratio"),
+    ).orderBy("lang")
+
+
+_ORACLE_BIGRAMS = f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(toks) > 1
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS bigram
+  FROM base
+),
+incidence AS (
+  SELECT bigram, lang, count(*) AS c FROM ex GROUP BY 1, 2
+),
+vocab AS (
+  SELECT bigram FROM incidence GROUP BY bigram
+  ORDER BY sum(c) DESC, bigram ASC LIMIT {BIGRAM_VOCAB_K}
+),
+per_lang AS (
+  SELECT i.lang,
+         CAST(sum(i.c) AS BIGINT) AS total_bigrams,
+         CAST(sum(CASE WHEN v.bigram IS NOT NULL THEN i.c ELSE 0 END)
+              AS BIGINT) AS covered_bigrams
+  FROM incidence i LEFT JOIN vocab v ON v.bigram = i.bigram
+  GROUP BY 1
+)
+SELECT lang, total_bigrams, covered_bigrams,
+       CAST(covered_bigrams AS DOUBLE) / CAST(total_bigrams AS DOUBLE)
+         AS coverage_ratio
+FROM per_lang ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec(
         "corpus_gopher_rules",
@@ -248,5 +344,13 @@ SPECS = [
         "text",
         "per-lang top-10 terms by log-free tf·idf (idf = N/df, one double "
         "division of exact integers; deterministic tie-break)",
+    ),
+    QuerySpec(
+        "text_bigram_coverage",
+        text_bigram_coverage,
+        _ORACLE_BIGRAMS,
+        "text",
+        "per-lang bigram-vocabulary coverage (order-sensitive fluency "
+        "proxy; integer counts + one double division)",
     ),
 ]

@@ -106,3 +106,42 @@ def test_pagerank_star_graph_exact():
 def test_tfidf_integer_inputs_positive(spark, sf_dir, col):
     bad = corpus_tfidf_topterms(spark, sf_dir).filter(F.col(col) < 1).count()
     assert bad == 0
+
+
+def test_bigram_coverage_bounds(spark, sf_dir):
+    from opencode_hive_archon_spark.operators.quality_rules import (
+        text_bigram_coverage,
+    )
+
+    rows = text_bigram_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["covered_bigrams"] <= r["total_bigrams"]
+        assert 0.0 <= r["coverage_ratio"] <= 1.0
+        assert r["coverage_ratio"] == r["covered_bigrams"] / r["total_bigrams"]
+    # the top-32 vocab must cover a nonzero slice somewhere
+    assert sum(r["covered_bigrams"] for r in rows) > 0
+
+
+def test_rfm_quintiles_balanced_and_complete(spark, sf_dir):
+    """Every cell score is in 1..5, the cells partition the customer base
+    (sum == distinct ordering customers), and each quintile's total size
+    differs by at most 1 from the others (ntile's balance guarantee)."""
+    from opencode_hive_archon_spark.operators.funnel import (
+        RFM_BUCKETS,
+        orders_rfm_segmentation,
+    )
+    from opencode_hive_archon_spark.session import read_table
+
+    rows = orders_rfm_segmentation(spark, sf_dir).collect()
+    n_cust = (
+        read_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        per_q: dict[int, int] = {}
+        for r in rows:
+            assert 1 <= r[axis] <= RFM_BUCKETS
+            per_q[r[axis]] = per_q.get(r[axis], 0) + r["n_customers"]
+        sizes = list(per_q.values())
+        assert max(sizes) - min(sizes) <= 1, (axis, per_q)
