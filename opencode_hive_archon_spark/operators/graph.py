@@ -247,6 +247,117 @@ LIMIT {PR_TOPK}
 """
 
 
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup edge graph — the graph-quality
+    statistic (clustering structure) a dedup/retrieval layer reports: one
+    row of (n_nodes, n_edges, n_wedges, n_triangles, closure_ratio).
+
+    Distributed-triangle discipline (the public MapReduce-era
+    degree-orientation trick): orient every undirected edge from its
+    lower (degree, id) endpoint to its higher one, so each node's
+    out-degree is bounded by O(√m) no matter how skewed the raw degrees —
+    the wedge self-join's output is bounded ~m^1.5 instead of Σdeg² (a
+    single celebrity node cannot explode it). Wedges (u→v, u→w) with
+    k(v) < k(w) are closed by a LEFT SEMI join against the oriented edge
+    set — ids only, never payloads. Every count is an exact integer; the
+    closure ratio (triangles/wedges) is ONE double division, so the whole
+    report is hash-exact. Edge table shared with khop/PageRank (one
+    computation per sf_dir); at 100 TB it is written bucketed by src once
+    and both the wedge join and the closure semi-join become bucket-local.
+    """
+    from opencode_hive_archon_spark.operators.similarity import (
+        LSH_TABLES,
+        lsh_bits_for,
+    )
+
+    pairs = _materialize_keyed(
+        spark,
+        ("near_dup_pairs", sf_dir, NEAR_DUP_COSINE, LSH_TABLES, lsh_bits_for(sf_dir)),
+        lambda: dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b"),
+    )
+    und = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).union(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # orientation key: (degree, id) packed collision-free into one int64
+    key = (F.col("d") * F.lit(1 << 32) + F.col("src")).alias("k")
+    keyed = deg.select("src", key)
+    ek = (
+        und.join(keyed, "src")
+        .withColumnRenamed("k", "ks")
+        .join(
+            keyed.select(F.col("src").alias("dst"), F.col("k").alias("kd")),
+            "dst",
+        )
+    )
+    oe = _materialize(
+        ek.filter(F.col("ks") < F.col("kd")).select("src", "dst", "kd")
+    )
+    a = oe.select("src", F.col("dst").alias("v"), F.col("kd").alias("kv"))
+    b = oe.select("src", F.col("dst").alias("w"), F.col("kd").alias("kw"))
+    wedges = a.join(b, "src").filter(F.col("kv") < F.col("kw"))
+    closed = wedges.join(
+        oe.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    n_nodes = _t(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    stats = (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(
+            F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+        )
+        .crossJoin(F.broadcast(n_nodes))
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double"),
+        ).alias("closure_ratio"),
+    )
+
+
+_ORACLE_TRIANGLES = f"""
+WITH {_ORACLE_EDGE_CTES},
+und AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+keyed AS (SELECT src, d * {1 << 32} + src AS k FROM deg),
+oe AS (
+  SELECT u.src, u.dst, kd.k AS kd
+  FROM und u
+  JOIN keyed ks ON ks.src = u.src
+  JOIN keyed kd ON kd.src = u.dst
+  WHERE ks.k < kd.k
+),
+wedges AS (
+  SELECT a.src, a.dst AS v, b.dst AS w
+  FROM oe a JOIN oe b ON a.src = b.src AND a.kd < b.kd
+),
+tri AS (
+  SELECT count(*) AS n_triangles FROM wedges
+  WHERE EXISTS (SELECT 1 FROM oe e WHERE e.src = wedges.v AND e.dst = wedges.w)
+),
+wc AS (SELECT count(*) AS n_wedges FROM wedges),
+ec AS (SELECT count(*) AS n_edges FROM pairs),
+nc AS (SELECT count(*) AS n_nodes FROM embeddings)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) END
+         AS closure_ratio
+FROM nc CROSS JOIN ec CROSS JOIN wc CROSS JOIN tri
+"""
+
+
 SPECS = [
     QuerySpec(
         "recall_graph_khop",
@@ -264,5 +375,14 @@ SPECS = [
         "fixed-iteration quantized-integer PageRank over the near-dup edge "
         "graph — float-free fixed-point update, bit-identical under any "
         "partitioning (unrolled-CTE oracle)",
+    ),
+    QuerySpec(
+        "graph_triangle_stats",
+        graph_triangle_stats,
+        _ORACLE_TRIANGLES,
+        "recall",
+        "triangle census of the near-dup graph via degree-ordered "
+        "orientation (skew-bounded wedge join + semi-join closure), "
+        "integer-exact counts + closure ratio",
     ),
 ]

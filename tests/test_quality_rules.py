@@ -145,3 +145,17 @@ def test_rfm_quintiles_balanced_and_complete(spark, sf_dir):
             per_q[r[axis]] = per_q.get(r[axis], 0) + r["n_customers"]
         sizes = list(per_q.values())
         assert max(sizes) - min(sizes) <= 1, (axis, per_q)
+
+
+def test_triangle_stats_invariants(spark, sf_dir):
+    from opencode_hive_archon_spark.operators.graph import graph_triangle_stats
+
+    r = graph_triangle_stats(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n_nodes"] > 0 and r["n_edges"] >= 0
+    assert 0 <= r["n_triangles"] <= r["n_wedges"]
+    if r["n_wedges"]:
+        assert r["closure_ratio"] == r["n_triangles"] / r["n_wedges"]
+    # every triangle needs 3 wedge-forming edges: triangles bounded by edges
+    assert r["n_triangles"] <= max(r["n_edges"], 1) ** 2
