@@ -96,6 +96,9 @@ EXTRA = [
     "corpus_tfidf_topterms",
     "ann_pq_topk",
     "source_compaction_plan",
+    "text_bigram_coverage",
+    "orders_rfm_segmentation",
+    "graph_triangle_stats",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
