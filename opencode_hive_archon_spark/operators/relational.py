@@ -285,6 +285,115 @@ def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-either-side as-of join (pandas ``merge_asof
+    direction='nearest'``), expressed with WINDOWS — for each purchase, the
+    click by the same user closest in time on EITHER side, equidistant ties
+    to the earlier (backward) click.
+
+    This deliberately disproves the 'nearest exceeds window expressiveness'
+    escape hatch: a backward running-max and a forward running-min over the
+    SAME (user_id, ts, kind, event_id) ordering resolve both candidates in
+    ONE user-keyed exchange (Catalyst plans one Window node pair over one
+    sort), and the winner is a pure projection on integer microsecond
+    deltas — no per-group pandas, no second shuffle. Same-ts clicks sort
+    before purchases (the existing as-of convention), so they land on the
+    backward side in both engines; max/min aggregation makes the intra-tie
+    click order irrelevant, keeping NULL-ordering differences harmless.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("is_purchase"),
+        "event_id",
+    )
+    order = ["ev_ts", "is_purchase", "event_id"]
+    wb = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("ev_ts"))
+    tagged = (
+        clicks.unionByName(purchases)
+        .withColumn("prev_ts", F.max(click_ts).over(wb))
+        .withColumn("next_ts", F.min(click_ts).over(wf))
+    )
+    prev_d = F.unix_micros("ev_ts") - F.unix_micros("prev_ts")
+    next_d = F.unix_micros("next_ts") - F.unix_micros("ev_ts")
+    backward = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (prev_d <= next_d)
+    )
+    return (
+        tagged.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ev_ts").alias("purchase_ts"),
+            F.when(backward, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("nearest_click_ts"),
+            F.when(
+                F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+                F.lit(None).cast("string"),
+            )
+            .when(backward, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.when(backward, prev_d)
+            .otherwise(next_d)
+            .cast("long")
+            .alias("diff_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ORACLE_ASOF_NEAREST = """
+WITH tagged AS (
+  SELECT user_id, ts AS ev_ts, 0 AS is_purchase,
+         CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, event_id FROM events WHERE event_type = 'purchase'
+),
+win AS (
+  SELECT *,
+         max(CASE WHEN is_purchase = 0 THEN ev_ts END) OVER
+           (PARTITION BY user_id ORDER BY ev_ts, is_purchase, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         min(CASE WHEN is_purchase = 0 THEN ev_ts END) OVER
+           (PARTITION BY user_id ORDER BY ev_ts, is_purchase, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM tagged
+),
+purch AS (
+  SELECT event_id, user_id, ev_ts,
+         prev_ts, next_ts,
+         epoch_us(ev_ts) - epoch_us(prev_ts) AS prev_d,
+         epoch_us(next_ts) - epoch_us(ev_ts) AS next_d,
+         prev_ts IS NOT NULL
+           AND (next_ts IS NULL
+                OR epoch_us(ev_ts) - epoch_us(prev_ts)
+                   <= epoch_us(next_ts) - epoch_us(ev_ts)) AS backward
+  FROM win WHERE is_purchase = 1
+)
+SELECT event_id, user_id, ev_ts AS purchase_ts,
+       CASE WHEN backward THEN prev_ts ELSE next_ts END AS nearest_click_ts,
+       CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+            WHEN backward THEN 'backward' ELSE 'forward' END AS direction,
+       CAST(CASE WHEN backward THEN prev_d ELSE next_d END AS BIGINT)
+         AS diff_us
+FROM purch ORDER BY event_id
+"""
+
+
 def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same as-of join via applyInPandas + pd.merge_asof per user group
     (the guide's alternative strategy for when the window formulation can't
@@ -917,6 +1026,11 @@ SPECS = [
               "as-of join via union+running-max (oracle: DuckDB ASOF JOIN)"),
     QuerySpec("join_asof_pandas", join_asof_pandas, _ORACLE_ASOF, "relational",
               "same as-of via applyInPandas + merge_asof (strategy B)"),
+    QuerySpec("join_asof_nearest", join_asof_nearest, _ORACLE_ASOF_NEAREST,
+              "relational",
+              "nearest-either-side as-of join as pure windows: backward "
+              "max + forward min in one user-keyed exchange, integer-"
+              "microsecond winner"),
     QuerySpec("agg_distinct", agg_distinct, _ORACLE_AGG_DISTINCT, "relational",
               "exact distinct counts per group"),
     QuerySpec("agg_approx_distinct", agg_approx_distinct, None, "relational",

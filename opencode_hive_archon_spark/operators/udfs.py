@@ -167,7 +167,78 @@ SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token AS token FROM ex
 """
 
 
+EMBED_DIMS = 4
+EMBED_HEX_CHARS = 6  # 24 bits/dim: squares sum < 2^50, exact in BIGINT
+
+
+def udf_embed_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-INFERENCE slot of an LLM data pipeline — text → embedding
+    via Arrow ``mapInPandas`` — with a deterministic stand-in model so the
+    plumbing is oracle-exact: dim k = int64 of md5(text) hex chars
+    [6k, 6k+6) (the cross-engine md5 device, CONVENTIONS.md), plus the
+    exact integer norm². A real sentence-transformer drops into the same
+    iterator-of-batches body (load the model ONCE per partition outside the
+    batch loop, exactly where ``hashlib`` sits here); schema, batch shape,
+    and partitioning are what GPU inference needs: the repartitioned scan
+    spreads docs across workers, each Arrow batch amortizes model-call
+    overhead, and the output is flat int64 columns (never a top-level
+    array — the driver-hasher lesson from multimodal_frame_sample)."""
+
+    def infer(batches):
+        import hashlib
+
+        # model-load site: a real codec/model initializes HERE, once per
+        # partition, and is reused across every Arrow batch below
+        for pdf in batches:
+            hexes = [
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in pdf["text"]
+            ]
+            out = {"doc_id": pdf["doc_id"]}
+            dims = []
+            for k in range(EMBED_DIMS):
+                col = [
+                    int(h[k * EMBED_HEX_CHARS : (k + 1) * EMBED_HEX_CHARS], 16)
+                    for h in hexes
+                ]
+                out[f"e{k}"] = col
+                dims.append(col)
+            out["norm2"] = [
+                sum(v * v for v in vec) for vec in zip(*dims)
+            ]
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    schema = "doc_id long, " + ", ".join(
+        f"e{k} long" for k in range(EMBED_DIMS)
+    ) + ", norm2 long"
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(infer, schema=schema)
+        .orderBy("doc_id")
+    )
+
+
+_EMBED_DIM_SQL = ", ".join(
+    f"('0x' || substr(md5(text), {k * EMBED_HEX_CHARS + 1}, {EMBED_HEX_CHARS}))"
+    f"::BIGINT AS e{k}"
+    for k in range(EMBED_DIMS)
+)
+
+_ORACLE_EMBED = f"""
+WITH emb AS (SELECT doc_id, {_EMBED_DIM_SQL} FROM documents)
+SELECT doc_id, {", ".join(f"e{k}" for k in range(EMBED_DIMS))},
+       {" + ".join(f"e{k} * e{k}" for k in range(EMBED_DIMS))} AS norm2
+FROM emb ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("udf_embed_batch_inference", udf_embed_batch_inference,
+              _ORACLE_EMBED, "udf",
+              "Arrow mapInPandas batch-inference slot: text -> int64 "
+              "embedding dims via the md5 stand-in model, norm2 exact"),
     QuerySpec("udf_scalar_clamp", udf_scalar_clamp, _ORACLE_CLAMP, "udf",
               "vectorized pandas UDF scalar clamp (rerank formula)"),
     QuerySpec("udaf_grouped_normalize", udaf_grouped_normalize, _ORACLE_NORMALIZE, "udf",

@@ -159,3 +159,57 @@ def test_triangle_stats_invariants(spark, sf_dir):
         assert r["closure_ratio"] == r["n_triangles"] / r["n_wedges"]
     # every triangle needs 3 wedge-forming edges: triangles bounded by edges
     assert r["n_triangles"] <= max(r["n_edges"], 1) ** 2
+
+
+def test_embed_inference_exact_and_bounded(spark, sf_dir):
+    """Dims are 24-bit non-negative ints, norm2 is exactly the sum of
+    squares, and the stand-in model is deterministic across runs."""
+    from opencode_hive_archon_spark.operators.udfs import (
+        EMBED_DIMS,
+        udf_embed_batch_inference,
+    )
+
+    rows = udf_embed_batch_inference(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        dims = [r[f"e{k}"] for k in range(EMBED_DIMS)]
+        assert all(0 <= v < (1 << 24) for v in dims), r
+        assert r["norm2"] == sum(v * v for v in dims), r
+    again = udf_embed_batch_inference(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_asof_nearest_agrees_with_backward_sibling(spark, sf_dir):
+    """When the nearest click is on the backward side, it must be exactly
+    the sibling operator's last_click_ts for the same purchase; diffs are
+    non-negative and the direction matches the sign of the gap."""
+    from opencode_hive_archon_spark.operators.relational import (
+        join_asof_event_order,
+        join_asof_nearest,
+    )
+
+    near = {r["event_id"]: r for r in join_asof_nearest(spark, sf_dir).collect()}
+    back = {
+        r["event_id"]: r for r in join_asof_event_order(spark, sf_dir).collect()
+    }
+    assert set(near) == set(back)
+    checked_backward = 0
+    for eid, n in near.items():
+        b = back[eid]
+        if n["direction"] is None:
+            assert b["last_click_ts"] is None
+            continue
+        assert n["diff_us"] >= 0
+        if n["direction"] == "backward":
+            assert n["nearest_click_ts"] == b["last_click_ts"], eid
+            checked_backward += 1
+        else:
+            # forward wins only by being STRICTLY closer than any prior
+            # click (equidistant ties go backward)
+            assert n["nearest_click_ts"] >= n["purchase_ts"]
+            if b["last_click_ts"] is not None:
+                prev_gap = (
+                    n["purchase_ts"] - b["last_click_ts"]
+                ).total_seconds()
+                assert n["diff_us"] / 1e6 < prev_gap, eid
+    assert checked_backward > 0
