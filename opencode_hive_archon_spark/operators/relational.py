@@ -396,8 +396,9 @@ FROM purch ORDER BY event_id
 
 def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same as-of join via applyInPandas + pd.merge_asof per user group
-    (the guide's alternative strategy for when the window formulation can't
-    express the semantics, e.g. tolerance bands or nearest-either-side).
+    (the guide's alternative strategy for semantics beyond a single window
+    pass — though the bar is higher than it looks: ``join_asof_nearest``
+    shows even nearest-either-side fits in one dual-direction window).
 
     Seconds are derived as micros/1e6 per timestamp before subtraction —
     the exact double sequence Spark's timestamp->double cast uses — so this
