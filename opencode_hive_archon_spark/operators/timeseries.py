@@ -1,0 +1,348 @@
+"""Time-series / hypertable operators over the events stream (round 9).
+
+The reference engine has no time-series surface (events exist only as the
+driver's stream table); these extend the engine's relational family with
+the three operators a hypertable-style store serves constantly, plus the
+exact ordered-set aggregate:
+
+``events_ohlc_bars``
+    The continuous-aggregate rollup: per (event_type, hour), open / high /
+    low / close of ``value``. First/last are resolved with TWO row_number
+    windows over one (event_type, bucket) partitioning ordered by
+    (ts, event_id) — event_id is unique, so both engines pick the same
+    row and the bars are oracle-exact (DuckDB cannot key arg_min/arg_max
+    by a composite, so the window formulation IS the portable one).
+
+``events_gapfill_locf``
+    time_bucket_gapfill + locf: per event_type, the dense hourly grid
+    between that series' first and last observed bucket, missing buckets
+    0-filled for counts and last-observation-carried-forward for the
+    value metric. The grid is CALENDAR-sized (buckets × types), not
+    data-sized — at 100 TB the sequence explode emits the same ~10⁴ rows
+    per series-year it emits here.
+
+``events_state_intervals``
+    The SCD-2 interval build: per user, consecutive same-type runs
+    collapse into [valid_from, valid_to) validity intervals with an
+    is_current flag — lag-change flag → running-sum island id → per-island
+    aggregate → lead for the exclusive upper bound, ALL inside one
+    user_id exchange (window, group-by, and second window share the
+    partitioning, so Catalyst plans a single hash exchange).
+
+``agg_percentile_disc``
+    Exact ordered-set aggregate: percentile_disc(0.5/0.9/0.99) WITHIN
+    GROUP per order priority. percentile_disc returns an ELEMENT of the
+    group (no interpolation arithmetic), so double equality is exact in
+    both engines. Exact percentiles materialize per-group value
+    multisets; at 100 TB the swap is approx_percentile against the same
+    grouping (its error is gated by agg_approx_quantile_error,
+    operators/quality.py) — shipped exact so the oracle is bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+__all__ = [
+    "events_ohlc_bars",
+    "events_gapfill_locf",
+    "events_state_intervals",
+    "agg_percentile_disc",
+    "SPECS",
+]
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the hypertable continuous
+    aggregate.
+
+    Plan: ONE hash exchange on (event_type, bucket); the two row_number
+    sorts (asc/desc on (ts, event_id)) and the final aggregate all run
+    inside it. open/high/low/close are value PASSTHROUGHS (no float
+    arithmetic), so every cell is oracle-exact. Parallelism at 100 TB is
+    types × buckets — the natural hypertable chunking."""
+    return ohlc_bars(_t(spark, sf_dir, "events"))
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """OHLC rollup over an (event_type, ts, event_id, value) frame —
+    factored so tests can feed planted tick corpora."""
+    ev = events.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_ORACLE_OHLC = """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events
+),
+rn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM rn
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event_type with gap-filled metrics: counts
+    0-filled, the hourly max value carried forward (LOCF).
+
+    The grid derives from each series' own [first, last] observed bucket
+    via sequence() + explode — calendar-sized, never data-sized. The LOCF
+    window (last ignoreNulls over buckets) shares the event_type
+    partitioning with the grid join, so the fill adds no exchange beyond
+    the hourly aggregate's."""
+    return gapfill_locf(_t(spark, sf_dir, "events"))
+
+
+def gapfill_locf(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly grid over an (event_type, ts, value) frame —
+    factored so tests can plant series with known holes."""
+    hourly = (
+        events
+        .select("event_type", F.date_trunc("hour", "ts").alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("t0"), F.max("bucket").alias("t1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_obs").isNull().alias("is_gap"),
+            F.last("max_value", ignorenulls=True).over(w).alias("locf_max_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_ORACLE_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_obs, max(value) AS max_value
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS t0, max(bucket) AS t1
+  FROM hourly GROUP BY event_type
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.event_type, g.bucket,
+       CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_events,
+       h.n_obs IS NULL AS is_gap,
+       last_value(h.max_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_max_value
+FROM grid g
+LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+ORDER BY g.event_type, g.bucket
+"""
+
+
+def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval build: collapse each user's consecutive same-type
+    event runs into [valid_from, valid_to) validity intervals.
+
+    lag-change flag → running-sum island id → per-island aggregate →
+    lead(valid_from) for the exclusive upper bound. Every stage partitions
+    by user_id, so the whole history build is ONE hash exchange
+    regardless of how long the per-user timelines grow."""
+    return state_intervals(_t(spark, sf_dir, "events"))
+
+
+def state_intervals(events: DataFrame) -> DataFrame:
+    """Interval collapse over a (user_id, ts, event_id, event_type) frame
+    — factored so tests can plant known run timelines."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    run = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    nxt = Window.partitionBy("user_id").orderBy("seq_no")
+    prev_type = F.lag("event_type").over(w)
+    chg = F.when(prev_type == F.col("event_type"), F.lit(0)).otherwise(F.lit(1))
+    return (
+        events
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("chg", chg)
+        .withColumn("seq_no", F.sum("chg").over(run).cast("long"))
+        .groupBy("user_id", "seq_no", F.col("event_type").alias("state"))
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "state",
+            "seq_no",
+            "valid_from",
+            F.lead("valid_from").over(nxt).alias("valid_to"),
+            "n_events",
+            F.lead("valid_from").over(nxt).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "seq_no")
+    )
+
+
+_ORACLE_INTERVALS = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+isl AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq_no
+  FROM seq
+),
+grp AS (
+  SELECT user_id, seq_no, event_type AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, seq_no, event_type
+)
+SELECT user_id, state, seq_no, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM grp
+WINDOW w2 AS (PARTITION BY user_id ORDER BY seq_no)
+ORDER BY user_id, seq_no
+"""
+
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of order value per priority class.
+
+    percentile_disc picks the smallest group element whose cume_dist
+    reaches the fraction — a value PASSTHROUGH, no interpolation, so the
+    doubles hash identically in both engines."""
+    pct_aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias(f"p{int(p * 100)}")
+        for p in PCTS
+    ]
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            *pct_aggs,
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_PDISC = f"""
+SELECT o_orderpriority,
+       {", ".join(
+           f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+           f" AS p{int(p * 100)}" for p in PCTS
+       )},
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "events_ohlc_bars", events_ohlc_bars, _ORACLE_OHLC, "relational",
+        "hypertable continuous aggregate: hourly OHLC bars per event_type, "
+        "first/last via two row_number windows in one (type, bucket) "
+        "exchange — every cell a value passthrough, oracle-exact"),
+    QuerySpec(
+        "events_gapfill_locf", events_gapfill_locf, _ORACLE_GAPFILL,
+        "relational",
+        "time_bucket_gapfill + LOCF: per-series dense hourly grid "
+        "(calendar-sized sequence explode), counts 0-filled, hourly max "
+        "carried forward with an ignoreNulls window"),
+    QuerySpec(
+        "events_state_intervals", events_state_intervals, _ORACLE_INTERVALS,
+        "relational",
+        "SCD-2 interval build: per-user consecutive-run collapse to "
+        "[valid_from, valid_to) with is_current, one user_id exchange for "
+        "the whole lag->island->aggregate->lead cascade"),
+    QuerySpec(
+        "agg_percentile_disc", agg_percentile_disc, _ORACLE_PDISC,
+        "relational",
+        "exact ordered-set aggregate: percentile_disc(0.5/0.9/0.99) "
+        "WITHIN GROUP per order priority — element passthrough, no "
+        "interpolation arithmetic; approx_percentile is the 100 TB swap"),
+]

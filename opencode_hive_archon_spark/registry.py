@@ -38,6 +38,8 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.decontaminate",
     "opencode_hive_archon_spark.operators.spandedup",
     "opencode_hive_archon_spark.operators.quality_rules",
+    "opencode_hive_archon_spark.operators.timeseries",
+    "opencode_hive_archon_spark.operators.linkage",
     "opencode_hive_archon_spark.plans.scenarios",
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",

@@ -381,3 +381,66 @@ def test_compaction_plan_ledger_sized(spark, sf_dir):
     assert "partial_count" in p, "ledger aggregate lost map-side combine"
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "o_totalprice" not in read_schema  # only the date column is read
+
+
+def test_ohlc_single_bucket_shuffle(spark, sf_dir):
+    """events_ohlc_bars: both row_number windows and the bar aggregate run
+    inside ONE (event_type, bucket) hash exchange; only the presentation
+    sort adds a range exchange. The scan reads only the four used columns
+    (props/user_id pruned)."""
+    from opencode_hive_archon_spark.operators import timeseries as TS
+
+    p = plan(TS.events_ohlc_bars(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "CartesianProduct" not in p and "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_state_intervals_single_user_shuffle(spark, sf_dir):
+    """events_state_intervals: the lag window, the running-sum window, the
+    island aggregate, and the lead window all share the user_id
+    partitioning — one hash exchange total (plus the presentation sort)."""
+    from opencode_hive_archon_spark.operators import timeseries as TS
+
+    p = plan(TS.events_state_intervals(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_gapfill_grid_is_calendar_sized(spark, sf_dir):
+    """events_gapfill_locf: the dense grid comes from sequence+explode over
+    per-series bounds (one Generate node), never from a join against a
+    data-sized frame; the grid join stays broadcast (both sides are
+    bucket-cardinality)."""
+    from opencode_hive_archon_spark.operators import timeseries as TS
+
+    p = plan(TS.events_gapfill_locf(spark, sf_dir))
+    assert "Generate explode" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_percentile_disc_partial_count(spark, sf_dir):
+    """agg_percentile_disc: the companion count/min/max still partial-agg;
+    the scan reads only the two used columns."""
+    from opencode_hive_archon_spark.operators import timeseries as TS
+
+    p = plan(TS.agg_percentile_disc(spark, sf_dir))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+    assert "Join" not in p
+
+
+def test_linkage_dimension_broadcast(spark, sf_dir):
+    """part_name_linkage: the self-join of the vocabulary-sized name
+    dimension is a broadcast join on the block key — no shuffle keyed on
+    the pair, no cartesian product."""
+    from opencode_hive_archon_spark.operators import linkage as LK
+
+    p = plan(LK.part_name_linkage(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_retailprice" not in read_schema and "p_type" not in read_schema
