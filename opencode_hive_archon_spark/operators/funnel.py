@@ -410,7 +410,97 @@ ORDER BY 1, 2, 3
 """
 
 
+# --- last-touch attribution --------------------------------------------------
+
+ATTRIB_LOOKBACK_US = 7 * 86_400 * 1_000_000  # 7-day window, integer µs
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent PRECEDING non-purchase event within a 7-day lookback, or
+    the 'direct' channel when none qualifies.
+
+    The carried (type, ts) pair uses the same-row-consistent LOCF device:
+    both columns null out under the identical CASE condition, so
+    last(ignoreNulls) picks fields of the SAME preceding event. The
+    lookback compares integer microseconds (unix_micros), never interval
+    arithmetic. Whole pipeline — LOCF window, purchase filter, channel
+    CASE, aggregate — runs inside ONE user_id exchange; the channel
+    aggregate on top is partial-agged. Counts only (no float sums), so
+    every cell is exact."""
+    return attribution_report(_t(spark, sf_dir, "events"))
+
+
+def attribution_report(ev: DataFrame) -> DataFrame:
+    """Attribution over a (user_id, ts, event_id, event_type) frame —
+    factored so tests can plant known touch sequences."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touch_type = F.when(non_purchase, F.col("event_type"))
+    touch_ts = F.when(non_purchase, F.col("ts"))
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    ) <= ATTRIB_LOOKBACK_US
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.last(touch_type, ignorenulls=True).over(w))
+        .withColumn("prev_ts", F.last(touch_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(F.col("prev_ts").isNotNull() & within, F.col("prev_type"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ORACLE_ATTRIB = f"""
+WITH carried AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS prev_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+attributed AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(prev_ts) <= {ATTRIB_LOOKBACK_US}
+              THEN prev_type ELSE 'direct' END AS channel
+  FROM carried
+  WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM attributed
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_attribution", events_attribution, _ORACLE_ATTRIB,
+        "relational",
+        "last-touch attribution: purchases credit the most recent "
+        "preceding non-purchase touch within a 7-day integer-us lookback "
+        "(same-row-consistent LOCF pair), else 'direct'; one user_id "
+        "exchange end to end"),
     QuerySpec(
         "orders_rfm_segmentation", orders_rfm_segmentation, _ORACLE_RFM,
         "relational",

@@ -1,0 +1,220 @@
+"""Deterministic sketch + binning aggregates (round 9).
+
+``agg_countmin_sketch``
+    A Count-Min sketch built and probed entirely as DataFrame algebra,
+    ORACLE-EXACT because the hash functions are the engine's canonical
+    md5-prefix device (functions/hashing.py) — deterministic, so DuckDB
+    rebuilds the identical sketch cell-for-cell. The construction follows
+    the scale rule the heavy-hitter family established
+    (operators/sampling.py): the depth-d explode multiplies the KEY
+    DIMENSION, never the fact rows — facts are first collapsed to exact
+    per-key counts (one map-side-combined exchange), and the d hash rows
+    fan out over that vocabulary-sized frame. The sketch itself is
+    d × w = 1024 cells, broadcast to the probes. The report checks the
+    CMS guarantee (estimate ≥ true) per probe key and surfaces the
+    overestimate, turning the sketch's accuracy into driver evidence the
+    same way the quality family gates HLL/GK.
+
+``agg_histogram``
+    Fixed-width histogram of order totals per priority class with
+    INTEGER-EXACT bin assignment: prices are first lifted to exact cents
+    (round(x·100) — o_totalprice carries 2 decimals), bins come from
+    integer division, and the bin edges are reported back in cents, so no
+    float boundary ever decides a bucket. The classic width_bucket
+    operator without width_bucket's float-edge hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
+from opencode_hive_archon_spark.session import read_table as _t
+from opencode_hive_archon_spark.spec import QuerySpec
+
+__all__ = ["agg_countmin_sketch", "agg_histogram", "SPECS"]
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBES = 10
+
+
+def _cms_bucket(depth_col, key_col) -> "F.Column":
+    """Row ``depth``'s hash of ``key``: md5-prefix of 'cms<d>:<key>' mod
+    width — the canonical cross-engine device, one salt per depth."""
+    payload = F.concat(
+        F.lit("cms"), depth_col.cast("string"), F.lit(":"), key_col.cast("string")
+    )
+    return (md5_prefix_long(payload, 8) % CMS_WIDTH).cast("long")
+
+
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the ten heaviest suppliers in
+    lineitem, with the exact counts beside them.
+
+    Stages: exact per-key counts (the only fact-sized exchange) → d-way
+    explode over the KEY dimension → (depth, bucket) sum = the sketch →
+    top-10 probes re-hashed and joined against the broadcast 1024-cell
+    sketch → min over depths. ``cms_ok`` asserts the one-sided CMS
+    guarantee estimate ≥ true; ``overestimate`` is the collision mass."""
+    per_key = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("depth")
+    hashed = per_key.select("l_suppkey", "true_count", depths).select(
+        "l_suppkey",
+        "true_count",
+        "depth",
+        _cms_bucket(F.col("depth"), F.col("l_suppkey")).alias("bucket"),
+    )
+    sketch = hashed.groupBy("depth", "bucket").agg(
+        F.sum("true_count").cast("long").alias("cell_count")
+    )
+    probes = (
+        per_key.orderBy(F.col("true_count").desc(), F.col("l_suppkey").asc())
+        .limit(CMS_PROBES)
+        .select("l_suppkey", "true_count", depths)
+        .select(
+            "l_suppkey",
+            "true_count",
+            "depth",
+            _cms_bucket(F.col("depth"), F.col("l_suppkey")).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("l_suppkey", "true_count")
+        .agg(F.min("cell_count").cast("long").alias("cms_estimate"))
+        .select(
+            "l_suppkey",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+            (F.col("cms_estimate") >= F.col("true_count")).alias("cms_ok"),
+        )
+        .orderBy(F.col("true_count").desc(), F.col("l_suppkey").asc())
+    )
+
+
+def _cms_bucket_sql(depth_expr: str, key_expr: str) -> str:
+    return (
+        md5_prefix_long_sql(
+            f"'cms' || CAST({depth_expr} AS VARCHAR) || ':' || "
+            f"CAST({key_expr} AS VARCHAR)",
+            8,
+        )
+        + f" % {CMS_WIDTH}"
+    )
+
+
+_ORACLE_CMS = f"""
+WITH per_key AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS true_count
+  FROM lineitem GROUP BY l_suppkey
+),
+hashed AS (
+  SELECT l_suppkey, true_count, d.depth,
+         CAST({_cms_bucket_sql("d.depth", "l_suppkey")} AS BIGINT) AS bucket
+  FROM per_key, (SELECT unnest(range({CMS_DEPTH})) AS depth) d
+),
+sketch AS (
+  SELECT depth, bucket, CAST(sum(true_count) AS BIGINT) AS cell_count
+  FROM hashed GROUP BY depth, bucket
+),
+probes AS (
+  SELECT l_suppkey, true_count FROM per_key
+  ORDER BY true_count DESC, l_suppkey ASC LIMIT {CMS_PROBES}
+),
+probe_cells AS (
+  SELECT p.l_suppkey, p.true_count, d.depth,
+         CAST({_cms_bucket_sql("d.depth", "p.l_suppkey")} AS BIGINT) AS bucket
+  FROM probes p, (SELECT unnest(range({CMS_DEPTH})) AS depth) d
+),
+est AS (
+  SELECT pc.l_suppkey, pc.true_count,
+         CAST(min(s.cell_count) AS BIGINT) AS cms_estimate
+  FROM probe_cells pc
+  JOIN sketch s ON s.depth = pc.depth AND s.bucket = pc.bucket
+  GROUP BY pc.l_suppkey, pc.true_count
+)
+SELECT l_suppkey, true_count, cms_estimate,
+       cms_estimate - true_count AS overestimate,
+       cms_estimate >= true_count AS cms_ok
+FROM est
+ORDER BY true_count DESC, l_suppkey ASC
+"""
+
+
+HIST_BIN_CENTS = 50_000_00  # 50k-currency-unit bins over exact cents
+HIST_MAX_BIN = 9            # bins 0..8 plus a clamp bin for the tail
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width order-value histogram per priority class.
+
+    Prices lift to exact cents (round(x·100) — both engines round the
+    same 2-decimal doubles to the same integers), bins are integer
+    division by ``HIST_BIN_CENTS`` clamped to ``HIST_MAX_BIN``, and the
+    reported edges are integers — no float ever decides a boundary.
+    One partial-agged exchange on (priority, bin)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bin_id = F.least(
+        F.floor(cents / HIST_BIN_CENTS).cast("long"), F.lit(HIST_MAX_BIN)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", bin_id.alias("bin_id"))
+        .groupBy("o_orderpriority", "bin_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            "bin_id",
+            (F.col("bin_id") * HIST_BIN_CENTS).alias("bin_lo_cents"),
+            F.when(F.col("bin_id") < HIST_MAX_BIN,
+                   (F.col("bin_id") + 1) * HIST_BIN_CENTS)
+            .alias("bin_hi_cents"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority", "bin_id")
+    )
+
+
+_ORACLE_HIST = f"""
+WITH binned AS (
+  SELECT o_orderpriority,
+         least(CAST(round(o_totalprice * 100) AS BIGINT)
+                 // {HIST_BIN_CENTS}, {HIST_MAX_BIN}) AS bin_id
+  FROM orders
+)
+SELECT o_orderpriority, bin_id,
+       bin_id * {HIST_BIN_CENTS} AS bin_lo_cents,
+       CASE WHEN bin_id < {HIST_MAX_BIN}
+            THEN (bin_id + 1) * {HIST_BIN_CENTS} END AS bin_hi_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM binned
+GROUP BY o_orderpriority, bin_id
+ORDER BY o_orderpriority, bin_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "agg_countmin_sketch", agg_countmin_sketch, _ORACLE_CMS, "relational",
+        "Count-Min sketch as DataFrame algebra, oracle-exact via the md5 "
+        "hash device: depth explode over the key DIMENSION (never fact "
+        "rows), 1024-cell broadcast sketch, top-10 probes with the "
+        "estimate>=true guarantee surfaced"),
+    QuerySpec(
+        "agg_histogram", agg_histogram, _ORACLE_HIST, "relational",
+        "fixed-width order-value histogram per priority: exact-cents "
+        "lift, integer-division bins with a clamp bin, integer edges — "
+        "width_bucket without float boundaries"),
+]

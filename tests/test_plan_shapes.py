@@ -444,3 +444,45 @@ def test_linkage_dimension_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "p_retailprice" not in read_schema and "p_type" not in read_schema
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """events_attribution: LOCF windows, purchase filter, and channel
+    derivation share the user_id partitioning; only the channel aggregate
+    adds its exchange. The scan never reads props/value."""
+    from opencode_hive_archon_spark.operators import funnel as FN
+
+    p = plan(FN.events_attribution(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 2, p  # user_id + channel agg
+    assert "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_countmin_explodes_dimension_not_facts(spark, sf_dir):
+    """agg_countmin_sketch: the depth-d Generate sits ABOVE the per-key
+    aggregate — fact rows are collapsed before any fan-out — and the
+    1024-cell sketch reaches the probes via broadcast."""
+    from opencode_hive_archon_spark.operators import sketches as SK
+
+    p = plan(SK.agg_countmin_sketch(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    # the explode consumes the aggregated (key, count) frame, so in the
+    # bottom-up physical plan the per-key HashAggregate appears BEFORE the
+    # first Generate
+    first_gen = p.index("Generate")
+    assert "HashAggregate" in p[:first_gen], p[:first_gen]
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(",") == 0 and "l_suppkey" in read_schema
+
+
+def test_histogram_partial_agg_and_pruned(spark, sf_dir):
+    """agg_histogram: map-side combine on (priority, bin); only the two
+    used columns are read."""
+    from opencode_hive_archon_spark.operators import sketches as SK
+
+    p = plan(SK.agg_histogram(spark, sf_dir))
+    assert "partial_count" in p, p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema and "o_comment" not in read_schema

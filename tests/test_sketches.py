@@ -1,0 +1,100 @@
+"""Behavioral tests: count-min sketch, histogram, last-touch attribution."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from opencode_hive_archon_spark.operators.funnel import attribution_report
+from opencode_hive_archon_spark.operators.sketches import (
+    CMS_PROBES,
+    HIST_BIN_CENTS,
+    HIST_MAX_BIN,
+    agg_countmin_sketch,
+    agg_histogram,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+
+
+def test_countmin_one_sided_guarantee(spark, sf_dir):
+    """CMS never underestimates; overestimate is the reported delta; the
+    probe set is exactly the top-heaviest keys."""
+    out = agg_countmin_sketch(spark, sf_dir).collect()
+    assert len(out) == CMS_PROBES
+    for r in out:
+        assert r.cms_ok is True
+        assert r.cms_estimate >= r.true_count
+        assert r.overestimate == r.cms_estimate - r.true_count
+    # descending true counts (the probe ordering)
+    trues = [r.true_count for r in out]
+    assert trues == sorted(trues, reverse=True)
+
+
+def test_histogram_bins_partition_the_orders(spark, sf_dir):
+    """Bin edges are exact-cent integers, the clamp bin has no upper
+    edge, and bin counts per priority sum to the priority's order count."""
+    from opencode_hive_archon_spark.session import read_table
+
+    out = agg_histogram(spark, sf_dir).collect()
+    totals: dict[str, int] = {}
+    for r in out:
+        assert 0 <= r.bin_id <= HIST_MAX_BIN
+        assert r.bin_lo_cents == r.bin_id * HIST_BIN_CENTS
+        if r.bin_id < HIST_MAX_BIN:
+            assert r.bin_hi_cents == (r.bin_id + 1) * HIST_BIN_CENTS
+        else:
+            assert r.bin_hi_cents is None
+        totals[r.o_orderpriority] = totals.get(r.o_orderpriority, 0) + r.n_orders
+    counts = {
+        r.o_orderpriority: r.n
+        for r in read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert totals == counts
+
+
+def test_attribution_last_touch_semantics(spark):
+    """The most RECENT preceding touch wins; a purchase with no prior
+    touch, or only a stale one, is 'direct'; purchases never credit
+    other purchases."""
+    t0 = datetime(2024, 5, 10, 12, 0, 0)
+    ev = _ev(spark, [
+        # user 1: view then click then purchase -> click wins (recency)
+        (1, datetime(2024, 5, 10, 9, 0), 1, "view", 0.0),
+        (2, datetime(2024, 5, 10, 10, 0), 1, "click", 0.0),
+        (3, t0, 1, "purchase", 1.0),
+        # user 2: purchase with no prior event -> direct
+        (4, t0, 2, "purchase", 1.0),
+        # user 3: touch 8 days before -> outside lookback -> direct
+        (5, datetime(2024, 5, 2, 11, 0), 3, "view", 0.0),
+        (6, t0, 3, "purchase", 1.0),
+        # user 4: purchase then purchase -> second must NOT credit the
+        # first purchase; its last non-purchase touch is the view
+        (7, datetime(2024, 5, 10, 8, 0), 4, "view", 0.0),
+        (8, datetime(2024, 5, 10, 9, 0), 4, "purchase", 1.0),
+        (9, t0, 4, "purchase", 1.0),
+    ])
+    out = {r.channel: r for r in attribution_report(ev).collect()}
+    assert out["click"].n_purchases == 1 and out["click"].n_users == 1
+    assert out["direct"].n_purchases == 2 and out["direct"].n_users == 2
+    assert out["view"].n_purchases == 2  # users 4 (twice)
+    assert out["view"].n_users == 1
+
+
+def test_attribution_exact_boundary_inclusive(spark):
+    """A touch exactly 7 days before the purchase still attributes (the
+    bound is <=, integer microseconds)."""
+    ev = _ev(spark, [
+        (1, datetime(2024, 5, 3, 12, 0, 0), 1, "click", 0.0),
+        (2, datetime(2024, 5, 10, 12, 0, 0), 1, "purchase", 1.0),
+    ])
+    out = {r.channel: r.n_purchases for r in attribution_report(ev).collect()}
+    assert out == {"click": 1}

@@ -99,6 +99,17 @@ EXTRA = [
     "text_bigram_coverage",
     "orders_rfm_segmentation",
     "graph_triangle_stats",
+    "join_asof_nearest",
+    "udf_embed_batch_inference",
+    # round-9 time-series / linkage / ordered-set batch
+    "events_ohlc_bars",
+    "events_gapfill_locf",
+    "events_state_intervals",
+    "agg_percentile_disc",
+    "part_name_linkage",
+    "events_attribution",
+    "agg_countmin_sketch",
+    "agg_histogram",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
