@@ -205,7 +205,134 @@ ORDER BY o_orderpriority, bin_id
 """
 
 
+KMV_K = 64
+KMV_HEX = 6                     # hash space M = 16^6; keeps every ok-band
+KMV_M = 16 ** KMV_HEX           # product in int64 at sandbox cardinalities
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type, ORACLE-EXACT
+    because the hash is the canonical md5 device: both engines keep the
+    same k smallest hashes and compute the same single division
+    est = (k−1)·M / h_k.
+
+    The ok-band check is MULTIPLIED OUT to integers — est within
+    [0.7, 1.3]·exact iff 7·h_k·exact ≤ (k−1)·M·10 ≤ 13·h_k·exact — so no
+    float enters the verdict. Groups with fewer than k distinct hashes
+    fall back to the observed hash count (exact up to hash collisions).
+    Unlike HLL (agg_approx_distinct, rows-only), KMV's determinism makes
+    the whole sketch driver-hashable; it is also MERGEABLE (union = k
+    smallest of the union), which is what a 100 TB rollup needs. Scale
+    note: the per-type k-th-smallest uses a row_number window over the
+    DEDUPED hash frame — dedup-bounded input; the partial-agg swap at
+    extreme cardinality is slice(sort_array(...), 1, k) per partition
+    then re-merge, same algebra."""
+    return kmv_report(_t(spark, sf_dir, "events"))
+
+
+def kmv_report(ev: DataFrame) -> DataFrame:
+    """KMV sketch over an (event_type, user_id) frame — factored so tests
+    can plant corpora exercising both estimator branches."""
+    from pyspark.sql import Window
+
+    hashes = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            md5_prefix_long(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string")),
+                KMV_HEX,
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth_hash"))
+    )
+    n_hashes = hashes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    numer = F.lit((KMV_K - 1) * KMV_M).cast("long")
+    est = F.when(
+        F.col("kth_hash").isNotNull(),
+        numer.cast("double") / F.col("kth_hash"),
+    ).otherwise(F.col("n_hashes").cast("double"))
+    ok = F.when(
+        F.col("kth_hash").isNotNull(),
+        (F.lit(7) * F.col("kth_hash") * F.col("exact_distinct") <= numer * 10)
+        & (numer * 10 <= F.lit(13) * F.col("kth_hash") * F.col("exact_distinct")),
+    ).otherwise(
+        F.lit(10) * (F.col("exact_distinct") - F.col("n_hashes"))
+        <= F.col("exact_distinct")
+    )
+    return (
+        exact.join(n_hashes, "event_type")
+        .join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "n_hashes",
+            "kth_hash",
+            est.alias("kmv_estimate"),
+            ok.alias("kmv_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_KMV = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         {md5_prefix_long_sql("'kmv:' || CAST(user_id AS VARCHAR)", KMV_HEX)} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+kth AS (
+  SELECT event_type, h AS kth_hash FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+    FROM hashes
+  ) WHERE rn = {KMV_K}
+),
+nh AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes
+  FROM hashes GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.exact_distinct, nh.n_hashes, kth.kth_hash,
+       CASE WHEN kth.kth_hash IS NOT NULL
+            THEN CAST({(KMV_K - 1) * KMV_M} AS DOUBLE) / kth.kth_hash
+            ELSE CAST(nh.n_hashes AS DOUBLE) END AS kmv_estimate,
+       CASE WHEN kth.kth_hash IS NOT NULL
+            THEN 7 * kth.kth_hash * ex.exact_distinct
+                   <= {(KMV_K - 1) * KMV_M * 10}
+                 AND {(KMV_K - 1) * KMV_M * 10}
+                   <= 13 * kth.kth_hash * ex.exact_distinct
+            ELSE 10 * (ex.exact_distinct - nh.n_hashes) <= ex.exact_distinct
+       END AS kmv_ok
+FROM ex
+JOIN nh ON nh.event_type = ex.event_type
+LEFT JOIN kth ON kth.event_type = ex.event_type
+ORDER BY ex.event_type
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "agg_kmv_distinct", agg_kmv_distinct, _ORACLE_KMV, "relational",
+        "K-minimum-values distinct sketch per event_type, oracle-exact "
+        "via the md5 device: k smallest deduped hashes, one double "
+        "division estimator, integer-exact 0.7-1.3x ok band, mergeable "
+        "(union = k smallest of the union) unlike rows-only HLL"),
     QuerySpec(
         "agg_countmin_sketch", agg_countmin_sketch, _ORACLE_CMS, "relational",
         "Count-Min sketch as DataFrame algebra, oracle-exact via the md5 "

@@ -604,7 +604,76 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC: hourly tumbling bars per event_type, open/close
+    picked by ``min_by``/``max_by`` over a PACKED ordering key — zero-padded
+    (unix_micros, event_id) concatenated so string order equals event
+    order. min_by/max_by are declarative aggregates, so the bar state per
+    open window is O(1) (current extreme + its key), mergeable across
+    micro-batches — the streaming-native form of the batch operator
+    (operators/timeseries.py::events_ohlc_bars), which resolves the same
+    rows with row_number windows. Append mode => only watermark-closed
+    bars emit; the oracle mirrors the closure and picks open/close by the
+    same (ts, event_id) order."""
+    ev = _stream_events(spark, sf_dir)
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = _run_to_table(spark, agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
+_ORACLE_STREAM_OHLC = """
+WITH bounds AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+rn AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, value,
+         row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 HOUR, ts),
+                            event_type ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 HOUR, ts),
+                            event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+),
+agg AS (
+  SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         count(*) AS n_events
+  FROM rn GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, open, high, low, close, n_events
+FROM agg, bounds WHERE window_end <= wm
+"""
+
+
 SPECS = [
+    QuerySpec("stream_ohlc_bars", stream_ohlc_bars, _ORACLE_STREAM_OHLC,
+              "streaming", "hourly OHLC bars with O(1) min_by/max_by bar "
+              "state over a packed (micros, event_id) order key, "
+              "watermark-closed"),
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, _ORACLE_STATEFUL,
               "streaming", "applyInPandasWithState per-user running profile"),
     QuerySpec("stream_tumbling_counts", stream_tumbling_counts, _ORACLE_TUMBLING,

@@ -216,6 +216,8 @@ _R10_PENDING: set[str] = {
     "events_attribution",
     "agg_countmin_sketch",
     "agg_histogram",
+    "agg_kmv_distinct",
+    "stream_ohlc_bars",
 }
 
 
@@ -259,7 +261,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 153, sorted(specs)
+    assert len(specs) == 155, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -269,7 +271,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 153 - len(rows_only)
+    assert len(oracle_sql()) == 155 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

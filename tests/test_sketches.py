@@ -98,3 +98,70 @@ def test_attribution_exact_boundary_inclusive(spark):
     ])
     out = {r.channel: r.n_purchases for r in attribution_report(ev).collect()}
     assert out == {"click": 1}
+
+
+def test_kmv_small_group_falls_back_to_hash_count(spark, sf_dir):
+    """Groups with < k distinct hashes report the observed hash count as
+    the estimate (no kth hash exists) and stay within the collision band."""
+    from opencode_hive_archon_spark.operators.sketches import (
+        KMV_K,
+        agg_kmv_distinct,
+    )
+
+    out = agg_kmv_distinct(spark, sf_dir).collect()
+    for r in out:
+        assert r.n_hashes <= r.exact_distinct  # collisions only shrink
+        if r.exact_distinct < KMV_K:
+            assert r.kth_hash is None
+            assert r.kmv_estimate == float(r.n_hashes)
+        assert r.kmv_ok is True
+
+
+def test_kmv_estimator_formula_and_band(spark):
+    """A planted 500-distinct-user group exercises the k-th-hash branch:
+    the estimate must equal (k-1)*M/h_k exactly and land in the 0.7-1.3
+    band the integer check asserts."""
+    from opencode_hive_archon_spark.operators.sketches import (
+        KMV_K,
+        KMV_M,
+        kmv_report,
+    )
+
+    ev = spark.createDataFrame(
+        [(i % 500, "a") for i in range(1500)], "user_id bigint, event_type string"
+    )
+    [r] = kmv_report(ev).collect()
+    assert r.exact_distinct == 500 and r.kth_hash is not None
+    assert r.kmv_estimate == (KMV_K - 1) * KMV_M / r.kth_hash
+    assert 0.7 * 500 <= r.kmv_estimate <= 1.3 * 500
+    assert r.kmv_ok is True
+
+
+def test_stream_ohlc_matches_batch_on_closed_windows(spark, sf_dir):
+    """The streaming OHLC (min_by/max_by over the packed key) must agree
+    bar-for-bar with the batch operator (row_number formulation) on every
+    watermark-closed window — two independent formulations, one answer."""
+    from opencode_hive_archon_spark.operators.timeseries import events_ohlc_bars
+    from opencode_hive_archon_spark.session import read_table
+    from opencode_hive_archon_spark.streaming.jobs import stream_ohlc_bars
+
+    import pyspark.sql.functions as F
+
+    wm = (
+        read_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .first()
+        .m
+    )
+    stream = {
+        (r.event_type, r.window_start): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in stream_ohlc_bars(spark, sf_dir).collect()
+    }
+    from datetime import timedelta
+
+    closed = {
+        (r.event_type, r.bucket): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in events_ohlc_bars(spark, sf_dir).collect()
+        if r.bucket + timedelta(hours=1) <= wm - timedelta(minutes=10)
+    }
+    assert stream == closed and len(closed) > 0

@@ -110,6 +110,8 @@ EXTRA = [
     "events_attribution",
     "agg_countmin_sketch",
     "agg_histogram",
+    "agg_kmv_distinct",
+    "stream_ohlc_bars",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
