@@ -218,6 +218,8 @@ _R10_PENDING: set[str] = {
     "agg_histogram",
     "agg_kmv_distinct",
     "stream_ohlc_bars",
+    "orders_market_basket",
+    "corpus_chunk_overlap",
 }
 
 
@@ -261,7 +263,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 155, sorted(specs)
+    assert len(specs) == 157, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -271,7 +273,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 155 - len(rows_only)
+    assert len(oracle_sql()) == 157 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

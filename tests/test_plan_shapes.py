@@ -486,3 +486,29 @@ def test_histogram_partial_agg_and_pruned(spark, sf_dir):
     assert "partial_count" in p, p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderdate" not in read_schema and "o_comment" not in read_schema
+
+
+def test_market_basket_shapes(spark, sf_dir):
+    """orders_market_basket: the part dimension and both marginal frames
+    broadcast; the top-20 is TakeOrdered, not a global sort; no cartesian
+    anywhere (the totals cross-join is a broadcast 1-row side)."""
+    from opencode_hive_archon_spark.operators import affinity as AF
+
+    p = plan(AF.orders_market_basket(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_chunking_is_mapper_only(spark, sf_dir):
+    """corpus_chunk_overlap: sequence+explode fan-out with NO hash
+    exchange before the presentation sort — the chunk cut is a pure
+    mapper stage."""
+    from opencode_hive_archon_spark.operators import chunking as CH
+
+    p = plan(CH.corpus_chunk_overlap(spark, sf_dir))
+    assert "Generate explode" in p, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "source" not in read_schema and "n_chars" not in read_schema

@@ -112,6 +112,8 @@ EXTRA = [
     "agg_histogram",
     "agg_kmv_distinct",
     "stream_ohlc_bars",
+    "orders_market_basket",
+    "corpus_chunk_overlap",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
