@@ -493,7 +493,198 @@ ORDER BY channel
 """
 
 
+# --- rolling active users (WAU/DAU) -----------------------------------------
+
+ROLL_DAYS = 7
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, the trailing-7-day distinct active
+    users (WAU), same-day actives (DAU), and the one-division stickiness
+    ratio DAU/WAU.
+
+    Exact sliding DISTINCT without sliding-window state: the (user, day)
+    incidence frame is deduped FIRST (dimension-sized — users × active
+    days), then each incidence fans out to the ≤7 report days it
+    contributes to via sequence+explode. The ×7 multiplier applies to the
+    deduped frame, never raw events (the factored-fan-out rule), and the
+    report-day countDistinct is the only fact-scale-independent exchange
+    after dedup. ``complete`` flags days whose full trailing window is
+    inside the observed range."""
+    return rolling_active_report(_t(spark, sf_dir, "events"))
+
+
+def rolling_active_report(ev: DataFrame) -> DataFrame:
+    """Rolling actives over a (user_id, ts) frame — factored for planted
+    timelines."""
+    daily = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    bounds = daily.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day",
+                F.col("day") + F.expr(f"INTERVAL {ROLL_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    wau = contrib.groupBy("report_day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dau = daily.groupBy(F.col("day").alias("report_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        wau.join(dau, "report_day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("report_day") <= F.col("max_day"))
+        .select(
+            "report_day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            (F.coalesce("dau", F.lit(0)).cast("double") / F.col("wau")).alias(
+                "stickiness"
+            ),
+            (
+                F.col("report_day")
+                >= F.col("min_day") + F.expr(f"INTERVAL {ROLL_DAYS - 1} DAYS")
+            ).alias("complete"),
+        )
+        .orderBy("report_day")
+    )
+
+
+_ORACLE_ROLLING = f"""
+WITH daily AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+bounds AS (SELECT min(day) AS min_day, max(day) AS max_day FROM daily),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(day, day + INTERVAL {ROLL_DAYS - 1} DAY,
+                                INTERVAL 1 DAY)) AS report_day
+  FROM daily
+),
+wau AS (
+  SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY report_day
+),
+dau AS (
+  SELECT day AS report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM daily GROUP BY day
+)
+SELECT w.report_day,
+       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+       w.wau,
+       CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau AS stickiness,
+       w.report_day >= b.min_day + INTERVAL {ROLL_DAYS - 1} DAY AS complete
+FROM wau w
+LEFT JOIN dau d ON d.report_day = w.report_day
+CROSS JOIN bounds b
+WHERE w.report_day <= b.max_day
+ORDER BY w.report_day
+"""
+
+
+# --- revenue concentration (Pareto deciles) ----------------------------------
+
+CONC_BUCKETS = 10
+
+
+def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked by exact decimal spend,
+    cut into deciles, each decile's share and cumulative share of total
+    revenue — the Pareto (\"which customers drive 80%\") report.
+
+    Spend stays DECIMAL through every aggregate; shares are single
+    divisions of exactly-representable decimals cast to double. The
+    global ntile runs over the customer DIMENSION (same deliberate choice
+    and approx-quantile swap note as orders_rfm_segmentation)."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+        )
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    total = per_cust.agg(F.sum("spend").alias("total_spend"))
+    deciled = per_cust.select(
+        "spend", F.ntile(CONC_BUCKETS).over(w).cast("long").alias("decile")
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("decile_spend_dec"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("decile_spend_dec").cast("double").alias("decile_spend"),
+            (
+                F.col("decile_spend_dec").cast("double")
+                / F.col("total_spend").cast("double")
+            ).alias("share"),
+            (
+                F.sum("decile_spend_dec").over(cum).cast("double")
+                / F.col("total_spend").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+_ORACLE_CONC = f"""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+total AS (SELECT sum(spend) AS total_spend FROM per_cust),
+deciled AS (
+  SELECT spend,
+         CAST(ntile({CONC_BUCKETS}) OVER (ORDER BY spend DESC, o_custkey ASC)
+              AS BIGINT) AS decile
+  FROM per_cust
+),
+per_decile AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(spend) AS decile_spend_dec
+  FROM deciled GROUP BY decile
+)
+SELECT decile, n_customers,
+       CAST(decile_spend_dec AS DOUBLE) AS decile_spend,
+       CAST(decile_spend_dec AS DOUBLE) / CAST(t.total_spend AS DOUBLE)
+         AS share,
+       CAST(sum(decile_spend_dec) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(t.total_spend AS DOUBLE) AS cum_share
+FROM per_decile
+CROSS JOIN total t
+ORDER BY decile
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_rolling_active_users", events_rolling_active_users,
+        _ORACLE_ROLLING, "relational",
+        "rolling WAU/DAU: exact trailing-7-day distinct users via "
+        "dedup-first calendar fan-out (x7 on the incidence DIMENSION, "
+        "never raw events), one-division stickiness, completeness flag"),
+    QuerySpec(
+        "orders_revenue_concentration", orders_revenue_concentration,
+        _ORACLE_CONC, "relational",
+        "Pareto revenue concentration: decimal-exact customer spend "
+        "deciles with per-decile and cumulative shares as single "
+        "divisions of exactly-representable decimals"),
     QuerySpec(
         "events_attribution", events_attribution, _ORACLE_ATTRIB,
         "relational",

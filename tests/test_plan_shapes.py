@@ -512,3 +512,29 @@ def test_chunking_is_mapper_only(spark, sf_dir):
     assert "Join" not in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_rolling_actives_fan_out_after_dedup(spark, sf_dir):
+    """events_rolling_active_users: the x7 calendar Generate consumes the
+    DEDUPED (user, day) frame — an aggregate precedes the first Generate
+    in the bottom-up plan — and raw events are never exploded."""
+    from opencode_hive_archon_spark.operators import funnel as FN
+
+    p = plan(FN.events_rolling_active_users(spark, sf_dir))
+    assert "Generate explode" in p, p
+    first_gen = p.index("Generate")
+    assert "HashAggregate" in p[:first_gen], p[:first_gen]
+    assert "CartesianProduct" not in p
+
+
+def test_revenue_concentration_dimension_window(spark, sf_dir):
+    """orders_revenue_concentration: one fact-sized exchange (the custkey
+    aggregate); the ntile and cumulative windows run over the customer
+    dimension; the total is a broadcast 1-row side."""
+    from opencode_hive_archon_spark.operators import funnel as FN
+
+    p = plan(FN.orders_revenue_concentration(spark, sf_dir))
+    assert "partial_sum" in p, p
+    assert "CartesianProduct" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema and "o_comment" not in read_schema

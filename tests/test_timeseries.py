@@ -157,3 +157,56 @@ def test_linkage_blocks_and_threshold(spark, sf_dir):
     pairs = {(r.name_a, r.name_b): r.edit_dist for r in out}
     cold_old = [(a, b) for (a, b) in pairs if a.startswith("cold ") and b == "old " + a[5:]]
     assert cold_old and all(pairs[p] == 1 for p in cold_old)
+
+
+def test_rolling_active_users_window_semantics(spark):
+    """A user active only on day 1 counts toward WAU for report days 1-7
+    and not day 8; DAU is 0 on their inactive report days; the complete
+    flag turns on exactly when the trailing window fits."""
+    from opencode_hive_archon_spark.operators.funnel import (
+        ROLL_DAYS,
+        rolling_active_report,
+    )
+
+    ev = _ev(spark, [
+        (1, datetime(2024, 5, 1, 10, 0), 1, "view", 0.0),
+        # a second user keeps the observed range open through day 9
+        (2, datetime(2024, 5, 9, 10, 0), 2, "view", 0.0),
+    ])
+    rows = {r.report_day.day: r for r in rolling_active_report(ev).collect()}
+    for d in range(1, 8):
+        assert rows[d].wau >= 1  # user 1 contributes through day 7
+    # day 8: user 1's window expired, user 2's hasn't started — a
+    # zero-active day emits NO row (the frame is contribution-driven;
+    # compose with a gapfill grid for dense reporting)
+    assert 8 not in rows and 9 in rows and rows[9].wau == 1
+    assert rows[1].dau == 1 and rows[2].dau == 0
+    assert rows[1].stickiness == 1.0 and rows[2].stickiness == 0.0
+    # complete iff report_day >= min_day + 6
+    for d, r in rows.items():
+        assert r.complete == (d >= 1 + ROLL_DAYS - 1)
+
+
+def test_revenue_concentration_shares(spark, sf_dir):
+    """Deciles 1..10, balanced cell sizes, shares recompute from the
+    decimal sums, and the cumulative share closes at exactly 1.0."""
+    from opencode_hive_archon_spark.operators.funnel import (
+        CONC_BUCKETS,
+        orders_revenue_concentration,
+    )
+
+    out = sorted(
+        orders_revenue_concentration(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in out] == list(range(1, CONC_BUCKETS + 1))
+    sizes = [r.n_customers for r in out]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    spends = [r.decile_spend for r in out]
+    assert spends == sorted(spends, reverse=True)  # deciles ranked by spend
+    total = sum(spends)
+    running = 0.0
+    for r in out:
+        running += r.decile_spend
+        assert abs(r.share - r.decile_spend / total) < 1e-12
+    assert out[-1].cum_share == 1.0

@@ -114,6 +114,8 @@ EXTRA = [
     "stream_ohlc_bars",
     "orders_market_basket",
     "corpus_chunk_overlap",
+    "events_rolling_active_users",
+    "orders_revenue_concentration",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
