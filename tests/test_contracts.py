@@ -222,6 +222,7 @@ _R10_PENDING: set[str] = {
     "corpus_chunk_overlap",
     "events_rolling_active_users",
     "orders_revenue_concentration",
+    "quality_constraint_suite",
 }
 
 
@@ -265,7 +266,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 159, sorted(specs)
+    assert len(specs) == 160, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -275,7 +276,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 159 - len(rows_only)
+    assert len(oracle_sql()) == 160 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

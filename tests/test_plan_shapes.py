@@ -538,3 +538,17 @@ def test_revenue_concentration_dimension_window(spark, sf_dir):
     assert "CartesianProduct" not in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderdate" not in read_schema and "o_comment" not in read_schema
+
+
+def test_constraint_suite_pruned_scans(spark, sf_dir):
+    """quality_constraint_suite: the referential check stays a LeftAnti
+    join; every scan is pruned to its checked columns (the orders scan
+    for completeness never reads o_comment/o_totalprice)."""
+    from opencode_hive_archon_spark.operators import constraints as CN
+
+    p = plan(CN.quality_constraint_suite(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+    for rs in p.split("ReadSchema:")[1:]:
+        line = rs.splitlines()[0]
+        assert "o_comment" not in line and "props" not in line

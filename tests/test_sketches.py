@@ -165,3 +165,30 @@ def test_stream_ohlc_matches_batch_on_closed_windows(spark, sf_dir):
         if r.bucket + timedelta(hours=1) <= wm - timedelta(minutes=10)
     }
     assert stream == closed and len(closed) > 0
+
+
+def test_constraint_suite_report(spark, sf_dir):
+    """Six checks, one row each; the verdict column is exactly
+    n_violations == 0; the referential count matches an independent
+    anti-join recomputation."""
+    from opencode_hive_archon_spark.operators.constraints import (
+        quality_constraint_suite,
+    )
+    from opencode_hive_archon_spark.session import read_table
+
+    out = quality_constraint_suite(spark, sf_dir).collect()
+    assert len(out) == 6
+    assert {r.check_kind for r in out} == {
+        "completeness", "uniqueness", "referential", "range",
+        "freshness", "non_degenerate",
+    }
+    for r in out:
+        assert r.passed == (r.n_violations == 0)
+        assert r.n_violations >= 0
+    ref = next(r for r in out if r.check_kind == "referential")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey as l_orderkey"
+    )
+    orphans = li.join(orders, "l_orderkey", "left_anti").count()
+    assert ref.n_violations == orphans

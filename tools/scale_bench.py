@@ -116,6 +116,7 @@ EXTRA = [
     "corpus_chunk_overlap",
     "events_rolling_active_users",
     "orders_revenue_concentration",
+    "quality_constraint_suite",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
