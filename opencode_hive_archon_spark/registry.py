@@ -44,6 +44,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.affinity",
     "opencode_hive_archon_spark.operators.chunking",
     "opencode_hive_archon_spark.operators.constraints",
+    "opencode_hive_archon_spark.operators.cdc",
     "opencode_hive_archon_spark.plans.scenarios",
     "opencode_hive_archon_spark.sources.io",
     "opencode_hive_archon_spark.sources.catalog",

@@ -223,6 +223,8 @@ _R10_PENDING: set[str] = {
     "events_rolling_active_users",
     "orders_revenue_concentration",
     "quality_constraint_suite",
+    "source_cdc_diff",
+    "catalog_column_stats",
 }
 
 
@@ -266,7 +268,7 @@ def test_registry_census():
 
     specs = all_specs()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 160, sorted(specs)
+    assert len(specs) == 162, sorted(specs)
     # every rows-only entry is a deliberate, documented exception
     assert rows_only == [
         "agg_approx_distinct",
@@ -276,7 +278,7 @@ def test_registry_census():
         "dedup_simhash",
         "stream_late_data",
     ], rows_only
-    assert len(oracle_sql()) == 160 - len(rows_only)
+    assert len(oracle_sql()) == 162 - len(rows_only)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

@@ -552,3 +552,29 @@ def test_constraint_suite_pruned_scans(spark, sf_dir):
     for rs in p.split("ReadSchema:")[1:]:
         line = rs.splitlines()[0]
         assert "o_comment" not in line and "props" not in line
+
+
+def test_cdc_diff_single_cokeyed_join(spark, sf_dir):
+    """source_cdc_diff: exactly one full-outer join (SortMergeJoin
+    FullOuter) on the key; payload columns pruned to the compared set."""
+    from opencode_hive_archon_spark.operators import cdc as CD
+
+    p = plan(CD.source_cdc_diff(spark, sf_dir))
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_comment" not in read_schema and "o_orderdate" not in read_schema
+
+
+def test_column_stats_single_scan_multiagg(spark, sf_dir):
+    """catalog_column_stats: the profile is ONE multi-aggregate (expand
+    for the distincts) — the union rows reuse it rather than re-scanning
+    per column."""
+    from opencode_hive_archon_spark.operators import cdc as CD
+
+    df = CD.catalog_column_stats(spark, sf_dir)
+    p = plan(df)
+    assert "CartesianProduct" not in p and "Generate" not in p
+    assert [r.column_name for r in df.collect()] == sorted(
+        r.column_name for r in df.collect()
+    )

@@ -192,3 +192,41 @@ def test_constraint_suite_report(spark, sf_dir):
     )
     orphans = li.join(orders, "l_orderkey", "left_anti").count()
     assert ref.n_violations == orphans
+
+
+def test_cdc_diff_classification(spark, sf_dir):
+    """Every emitted op matches its modulus rule; unchanged keys never
+    appear; inserts carry the key offset; update deltas are exactly x2."""
+    from opencode_hive_archon_spark.operators.cdc import (
+        CDC_DEL_MOD,
+        CDC_INS_MOD,
+        CDC_INS_OFFSET,
+        CDC_UPD_MOD,
+        source_cdc_diff,
+    )
+
+    out = source_cdc_diff(spark, sf_dir).collect()
+    assert {r.op for r in out} == {"insert", "update", "delete"}
+    for r in out:
+        if r.op == "delete":
+            assert r.key % CDC_DEL_MOD == 0 and r.new_totalprice is None
+        elif r.op == "insert":
+            base_key = r.key - CDC_INS_OFFSET
+            assert base_key % CDC_INS_MOD == 0 and r.old_totalprice is None
+        else:
+            assert r.key % CDC_UPD_MOD == 0 and r.key % CDC_DEL_MOD != 0
+            assert r.new_totalprice == r.old_totalprice * 2
+
+
+def test_column_stats_profile(spark, sf_dir):
+    """Key column: zero nulls, NDV == row count, min/max span; string
+    columns report NULL numeric bounds but real NDV."""
+    from opencode_hive_archon_spark.operators.cdc import catalog_column_stats
+
+    out = {r.column_name: r for r in catalog_column_stats(spark, sf_dir).collect()}
+    key = out["o_orderkey"]
+    assert key.n_nulls == 0 and key.ndv == key.n_rows
+    assert key.min_num <= key.max_num
+    prio = out["o_orderpriority"]
+    assert prio.min_num is None and prio.max_num is None and prio.ndv > 0
+    assert len({r.n_rows for r in out.values()}) == 1  # one consistent scan

@@ -117,6 +117,8 @@ EXTRA = [
     "events_rolling_active_users",
     "orders_revenue_concentration",
     "quality_constraint_suite",
+    "source_cdc_diff",
+    "catalog_column_stats",
 ]
 QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
 
