@@ -672,7 +672,87 @@ ORDER BY decile
 """
 
 
+# --- consecutive-day streaks --------------------------------------------------
+
+
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as the
+    streak-length distribution (n users per max-streak) plus each
+    length's example user — the engagement metric behind every 'N-day
+    streak' feature.
+
+    Device: the anchor trick on the DEDUPED (user, day) frame —
+    day − row_number·1day is constant within a consecutive run, so
+    grouping by (user, anchor) counts each streak without a self-join.
+    One user-keyed exchange covers the row_number window and both
+    per-user aggregates; the distribution rollup on top is streak-
+    cardinality-sized."""
+    return streak_report(_t(spark, sf_dir, "events"))
+
+
+def streak_report(ev: DataFrame) -> DataFrame:
+    """Streak distribution over a (user_id, ts) frame — factored for
+    planted timelines."""
+    daily = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = daily.withColumn(
+        "anchor",
+        F.col("day")
+        - F.make_interval(days=F.row_number().over(w)),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak")
+    )
+    return (
+        per_user.groupBy("max_streak")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").alias("example_user"),
+        )
+        .orderBy("max_streak")
+    )
+
+
+_ORACLE_STREAKS = """
+WITH daily AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+anchored AS (
+  SELECT user_id, day,
+         day - to_days(CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INTEGER))
+           AS anchor
+  FROM daily
+),
+streaks AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak_len
+  FROM anchored GROUP BY user_id, anchor
+),
+per_user AS (
+  SELECT user_id, max(streak_len) AS max_streak
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users,
+       min(user_id) AS example_user
+FROM per_user
+GROUP BY max_streak
+ORDER BY max_streak
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_user_streaks", events_user_streaks, _ORACLE_STREAKS,
+        "relational",
+        "consecutive-day streak distribution: anchor trick (day - rn) on "
+        "the deduped (user, day) frame — no self-join; one user-keyed "
+        "exchange for window + streak aggregates"),
     QuerySpec(
         "events_rolling_active_users", events_rolling_active_users,
         _ORACLE_ROLLING, "relational",

@@ -210,3 +210,62 @@ def test_revenue_concentration_shares(spark, sf_dir):
         running += r.decile_spend
         assert abs(r.share - r.decile_spend / total) < 1e-12
     assert out[-1].cum_share == 1.0
+
+
+def test_backlog_sweep_line_invariants(spark, sf_dir):
+    """The running count never goes negative, closes at zero (every order
+    eventually ships), and matches a direct interval-stabbing count on a
+    mid-range day — the self-join formulation the operator avoids."""
+    from opencode_hive_archon_spark.operators.timeseries import (
+        orders_open_backlog,
+    )
+    from opencode_hive_archon_spark.session import read_table
+    import pyspark.sql.functions as F
+
+    out = orders_open_backlog(spark, sf_dir).collect()
+    assert all(r.open_orders >= 0 for r in out)
+    assert out[-1].open_orders == 0
+    assert max(r.open_orders for r in out) > 0
+    probe = out[len(out) // 2].day
+    orders = read_table(spark, sf_dir, "orders")
+    closes = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    stab = (
+        orders.join(closes, orders.o_orderkey == closes.l_orderkey)
+        .where(
+            (F.date_trunc("day", "o_orderdate") <= F.lit(probe))
+            & (
+                F.greatest(
+                    F.date_trunc("day", "o_orderdate"),
+                    F.date_trunc("day", "last_ship"),
+                )
+                >= F.lit(probe)
+            )
+        )
+        .count()
+    )
+    probed = next(r for r in out if r.day == probe)
+    assert probed.open_orders == stab
+
+
+def test_streaks_anchor_trick(spark):
+    """Days 1,2,3,5,6 -> max streak 3; a single-day user -> 1; the
+    distribution partitions the users."""
+    from opencode_hive_archon_spark.operators.funnel import streak_report
+
+    ev = _ev(spark, [
+        (1, datetime(2024, 5, 1, 9, 0), 1, "view", 0.0),
+        (2, datetime(2024, 5, 2, 9, 0), 1, "view", 0.0),
+        (3, datetime(2024, 5, 3, 9, 0), 1, "view", 0.0),
+        (4, datetime(2024, 5, 5, 9, 0), 1, "view", 0.0),
+        (5, datetime(2024, 5, 6, 9, 0), 1, "view", 0.0),
+        (6, datetime(2024, 5, 2, 12, 0), 1, "click", 0.0),  # same-day dup
+        (7, datetime(2024, 5, 9, 9, 0), 2, "view", 0.0),
+    ])
+    out = {r.max_streak: r for r in streak_report(ev).collect()}
+    assert set(out) == {1, 3}
+    assert out[3].n_users == 1 and out[3].example_user == 1
+    assert out[1].n_users == 1 and out[1].example_user == 2
