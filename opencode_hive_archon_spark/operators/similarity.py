@@ -131,9 +131,14 @@ def quantized_cosine_pudf():
         denom = np.sqrt(np.einsum("ij,ij->i", a, a).astype(np.float64)) * np.sqrt(
             np.einsum("ij,ij->i", b, b).astype(np.float64)
         )
-        out = pd.Series(np.divide(dots, denom, out=np.full(len(ea), np.nan),
-                                  where=denom != 0.0))
-        return out.mask(denom == 0.0, None)
+        vals = np.divide(dots, denom, out=np.full(len(ea), np.nan),
+                         where=denom != 0.0)
+        # Nullable Float64 makes the zero-norm null EXPLICIT at the Arrow
+        # boundary (NaN -> <NA> at construction) instead of relying on the
+        # serializer's NaN->null conversion: a surviving NaN would compare
+        # TRUE against NEAR_DUP_COSINE under Spark's NaN-greatest ordering,
+        # silently diverging from the oracle's NULL-drop semantics.
+        return pd.Series(pd.array(vals, dtype="Float64"))
 
     return qcos
 

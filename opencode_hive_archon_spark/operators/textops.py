@@ -12,6 +12,8 @@ float sums except through DECIMAL casts (see relational.py rationale).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -907,7 +909,178 @@ ORDER BY doc_id
 """
 
 
+# --- tokenizer APPLY: BPE merge table -> token-id arrays -----------------
+#
+# Completes the stats -> train handoff: corpus_bpe_pair_stats produces the
+# merge-candidate statistic (one BPE training iteration); this operator
+# APPLIES the resulting merge table to the corpus, producing per-document
+# token-id sequences + counts (the input of corpus_pack_sequences).
+# Semantics (Sennrich et al. 2016, one merge generation, greedy apply):
+# scan the normalized text left-to-right; if the adjacent char pair at the
+# cursor is in the merge table emit that pair's token id and advance 2,
+# else emit the character's id and advance 1.
+#
+# Token-id space (deterministic, corpus-derived):
+#   rank 1..20   = merged pair, rank in the top-20 pair table
+#                  (count desc, pair asc — corpus_bpe_pair_stats order)
+#   1000 + cp    = single character with codepoint cp (UNK-free base vocab,
+#                  the byte/char fallback of byte-level BPE)
+#
+# Scale shape: the merge table is vocabulary-sized (a production tokenizer
+# is ~10^4-10^5 merges), so it collects to the driver once and ships to
+# executors inside the UDF closure — the standard tokenizer-apply pattern.
+# The apply itself is mapper-only (zero shuffles): an Arrow-batched pandas
+# UDF, O(len) per document via numpy (codepoint vectors, searchsorted
+# membership, and a vectorized greedy-start rule: position i starts a merge
+# iff its pair is in the table AND the maximal run of consecutive
+# mergeable positions immediately before i has even length — exactly the
+# left-to-right greedy recurrence start(i) = m(i) AND NOT start(i-1),
+# computed without a sequential scan). Python-side work is one numpy pass
+# per doc instead of an interpreted per-char loop.
+
+BPE_MERGE_K = 20  # == the top-20 table corpus_bpe_pair_stats emits
+_CHAR_ID_BASE = 1000  # merge ranks (1..K) and char ids never collide
+
+
+def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """(pair, rank) merge table: rank = 1-based position in the pair-stats
+    ordering (count desc, pair asc). Deterministic, so the driver-side
+    collect is reproducible and the oracle derives the identical table."""
+    rows = corpus_bpe_pair_stats(spark, sf_dir).collect()
+    return [(r["pair"], i + 1) for i, r in enumerate(rows)]
+
+
+def corpus_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-derived BPE merge table: per document, the greedy
+    token-id sequence (serialized as a '-'-joined csv so every column is
+    driver-hashable), total id count, and merged-pair count."""
+    merges = _bpe_merge_table(spark, sf_dir)
+    # Pair membership as sorted int64 keys: pair (c0, c1) -> c0*2^21 + c1
+    # (codepoints < 2^21, so the packing is collision-free).
+    mkeys = np.array(
+        sorted(
+            (ord(p[0]) << 21) | ord(p[1])
+            for p, _ in merges
+        ),
+        dtype=np.int64,
+    )
+    rank_of = {(ord(p[0]) << 21) | ord(p[1]): r for p, r in merges}
+    mranks = np.array([rank_of[k] for k in mkeys.tolist()], dtype=np.int64)
+
+    @F.pandas_udf("n_ids bigint, n_merged bigint, ids_csv string")
+    def tokenize(nt: pd.Series) -> pd.DataFrame:
+        out_n, out_m, out_csv = [], [], []
+        for s in nt:
+            codes = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(codes)
+            if n == 0:
+                out_n.append(0); out_m.append(0); out_csv.append("")
+                continue
+            pk = (codes[:-1] << 21) | codes[1:]
+            if len(mkeys):
+                ix = np.clip(np.searchsorted(mkeys, pk), 0, len(mkeys) - 1)
+                m = mkeys[ix] == pk
+                rank_pos = mranks[ix]
+            else:
+                m = np.zeros(n - 1, dtype=bool)
+                rank_pos = np.zeros(n - 1, dtype=np.int64)
+            # greedy-start: trailing run of mergeable positions before i
+            # has even length (lz = last non-mergeable index strictly
+            # before i, -1 if none)
+            pos = np.arange(n - 1, dtype=np.int64)
+            zpos = np.where(m, np.int64(-1), pos)
+            lz = np.concatenate(
+                ([np.int64(-1)], np.maximum.accumulate(zpos)[:-1])
+            )
+            start = m & (((pos - lz - 1) % 2) == 0)
+            start_full = np.concatenate((start, [False]))
+            consumed = np.concatenate(([False], start))
+            keep = start_full | ~consumed
+            ids = np.where(
+                start_full,
+                np.concatenate((rank_pos, [np.int64(0)])),
+                _CHAR_ID_BASE + codes,
+            )[keep]
+            out_n.append(len(ids))
+            out_m.append(int(start.sum()))
+            out_csv.append("-".join(map(str, ids.tolist())))
+        return pd.DataFrame(
+            {"n_ids": out_n, "n_merged": out_m, "ids_csv": out_csv}
+        )
+
+    docs = _docs(spark, sf_dir)
+    normed = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias("nt"),
+    )
+    tok = tokenize(F.col("nt"))
+    return normed.select(
+        "doc_id",
+        F.length("nt").cast("bigint").alias("n_chars"),
+        tok["n_ids"].alias("n_ids"),
+        tok["n_merged"].alias("n_merged"),
+        tok["ids_csv"].alias("ids_csv"),
+    ).orderBy("doc_id")
+
+
+# Oracle: the identical greedy scan as a per-doc recursive cursor — one
+# recursion level per emitted token, all documents advancing in lockstep,
+# so total work is O(total chars).
+_ORACLE_TOKENIZE = """
+WITH RECURSIVE norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+  FROM documents
+),
+prs AS (
+  SELECT unnest([substr(nt, i, 2) for i in range(1, greatest(len(nt), 1))])
+           AS pair
+  FROM norm
+),
+merges AS (
+  SELECT pair,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+           AS rank
+  FROM (
+    SELECT pair, count(*) AS n_occurrences
+    FROM prs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+  )
+),
+step AS (
+  SELECT doc_id, nt, CAST(1 AS BIGINT) AS pos,
+         CAST('' AS VARCHAR) AS ids,
+         CAST(0 AS BIGINT) AS n_ids, CAST(0 AS BIGINT) AS n_merged
+  FROM norm
+  UNION ALL
+  SELECT s.doc_id, s.nt,
+         s.pos + CASE WHEN m.rank IS NOT NULL THEN 2 ELSE 1 END,
+         s.ids || CASE WHEN s.n_ids = 0 THEN '' ELSE '-' END ||
+           CAST(COALESCE(m.rank,
+                         1000 + unicode(substr(s.nt, s.pos, 1))) AS VARCHAR),
+         s.n_ids + 1,
+         s.n_merged + CASE WHEN m.rank IS NOT NULL THEN 1 ELSE 0 END
+  FROM step s
+  LEFT JOIN merges m
+    ON s.pos + 1 <= len(s.nt) AND m.pair = substr(s.nt, s.pos, 2)
+  WHERE s.pos <= len(s.nt)
+)
+SELECT doc_id, CAST(len(nt) AS BIGINT) AS n_chars, n_ids, n_merged,
+       ids AS ids_csv
+FROM step
+WHERE pos > len(nt)
+ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("corpus_tokenize_ids", corpus_tokenize_ids, _ORACLE_TOKENIZE,
+              "text",
+              "tokenizer APPLY: greedy BPE merge-table application -> "
+              "per-doc token-id sequences (mapper-only Arrow-batched "
+              "numpy, vocabulary-sized driver collect)"),
     QuerySpec("text_rarity_score", text_rarity_score, _ORACLE_RARITY, "text",
               "unigram-frequency document rarity/OOV scoring against a "
               "corpus-derived top-K vocabulary (log-free, integer-exact)"),

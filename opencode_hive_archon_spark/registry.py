@@ -57,55 +57,45 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-9 ROTATION: rounds 1-7 gated the 50 flagships, round 8 gated the 49
-# never-snapshotted remainder. This round the window holds (a) the 17
-# queries ADDED during round 8, which registered after the fixed r8 window
-# and so have never seen a driver snapshot, (b) multimodal_frame_sample —
-# the one r8 ERR row (its array<bigint> column was unhashable for the
-# driver; now serialized — a green row here retires the last red cell),
-# (c) all 9 streaming queries, whose registered sessions gained the RocksDB
-# state-store conf this round and therefore need fresh post-change driver
-# evidence, (e) the 11 queries ADDED during round 9 (nine TPC-H shapes,
-# text_rarity_score, corpus_dedup_pipeline — tests/test_contracts.py::
-# _R9_ADDED), pulled into the window by the second rotation pass so they
-# reach the driver this round rather than next, and (d) re-gates for the
-# code paths round 9 rewrote (adaptive prefix-t SSJoin, quantized LSH
-# matmul + verify, factored curation/rarity) plus a few flagship re-seats.
-# Everything displaced from the earlier (d) list already carries r7/r8
-# driver-green evidence.
+# ROUND-10 ROTATION: after the r9 snapshot the only queries without a
+# driver-green row are (a) the 33 registered after the r9 window filled
+# (tests/test_contracts.py::_R10_PENDING) and (b) the two registered in the
+# final end-of-round commit (events_user_streaks, orders_open_backlog) — 35
+# total, all judge-verified exact at sf0.01 in VERDICT r9 but never inside a
+# driver window. They take the first 35 slots, so after this round the union
+# of driver snapshots covers the entire registry with zero judge-only gaps.
+# The remaining 15 slots are (c) re-gates for code paths round 10 touches —
+# the quantized-cosine verify pudf's explicit-null rewrite (similarity.py:
+# dedup_embedding_cosine, ann_lsh_topk/recall, ann_quantized_topk,
+# recall_graph_khop consume it) and companions of the round-10 additions
+# (corpus_bpe_pair_stats feeds corpus_tokenize_ids; corpus_dedup_pipeline /
+# stream_dedup pair with stream_dedup_ladder) — plus flagship re-seats, all
+# of which already carry r7-r9 driver-green evidence.
 _PRIORITY = [
-    # (a) round-8 additions, never driver-snapshotted
-    "window_analytics", "q7_volume_shipping", "q10_returned_items",
-    "q17_small_quantity_revenue", "events_funnel", "events_retention",
-    "events_path_analysis", "agg_heavy_hitters", "join_skew_salted",
-    "corpus_stratified_sample", "corpus_pack_sequences",
-    "corpus_decontaminate", "corpus_bpe_pair_stats",
-    "multimodal_frame_table", "source_schema_evolution",
-    "source_upsert_pattern", "source_zorder_layout",
-    # (b) the r8 ERR row, re-gated after serializing its array column
-    "multimodal_frame_sample",
-    # (c) streaming family, re-gated after the RocksDB state-store conf
-    # landed in the registered sessions (stream_late_data rows-only by
-    # design; late-arrival assertions live in pytest)
-    "stream_tumbling_counts", "stream_static_join", "stream_stream_join",
-    "stream_sliding_avg", "stream_session_windows", "stream_dedup",
-    "stream_late_data", "stream_stateful_user_stats",
-    "stream_foreachbatch_sink",
-    # (e) round-9 additions, never driver-snapshotted: nine TPC-H shapes,
-    # the unigram rarity score, and the fused dedup ladder
-    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q12_shipmode_priority",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
-    "text_rarity_score", "corpus_dedup_pipeline",
-    # (d) re-gates for round-9-changed code paths: the adaptive prefix-t
-    # SSJoin (dedup.py), the quantized LSH signature matmul + verify
-    # (similarity.py), and the factored curation/rarity stages (textops.py)
-    "dedup_ngram_jaccard", "dedup_near", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact", "ann_lsh_recall",
-    "ann_lsh_topk", "corpus_curation", "corpus_pretraining_pipeline",
-    # flagship re-seat, plus the round-9 span-dedup / importance-sample additions
-    "recall_score_topk", "corpus_importance_sample", "corpus_span_dedup",
+    # (a) registered after the r9 window filled, never driver-snapshotted
+    "corpus_shard_plan", "events_anomaly_zscore",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_potential_promotion",
+    "corpus_gopher_rules", "corpus_tfidf_topterms", "graph_pagerank",
+    "ann_pq_topk", "source_compaction_plan", "text_bigram_coverage",
+    "orders_rfm_segmentation", "graph_triangle_stats",
+    "udf_embed_batch_inference", "join_asof_nearest",
+    "events_ohlc_bars", "events_gapfill_locf", "events_state_intervals",
+    "agg_percentile_disc", "part_name_linkage", "events_attribution",
+    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "stream_ohlc_bars", "orders_market_basket", "corpus_chunk_overlap",
+    "events_rolling_active_users", "orders_revenue_concentration",
+    "quality_constraint_suite", "source_cdc_diff", "catalog_column_stats",
+    # (b) registered in the r9 end-of-round commit, never snapshotted
+    "events_user_streaks", "orders_open_backlog",
+    # (c) re-gates: quantized-cosine explicit-null rewrite consumers ...
+    "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
+    "ann_quantized_topk", "recall_graph_khop",
+    # ... companions of the round-10 additions ...
+    "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
+    # ... and flagship re-seats (all r7-r9 driver-green)
+    "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
+    "dedup_minhash_lsh", "corpus_tokenize_ids", "corpus_curation",
 ]
 
 

@@ -111,153 +111,289 @@ class TestBranchProperties:
         )
 
 
-# The exact 50 queries the driver snapshotted through round 7
-# (CORRECTNESS_r07.json keys). The round-8 window rotates these OUT so the
-# union of the r7+r8 snapshots covers the whole registry.
-_R7_WINDOW = {
-    "recall_multi_provider_merge", "recall_score_topk", "recall_summary_branch",
-    "recall_envelope", "recall_compat", "recall_envelope_reranked",
-    "scenario_tag_filter", "scenario_replay", "scenario_forced_branches",
-    "plan_diff_metrics", "stream_stateful_user_stats", "stream_tumbling_counts",
-    "stream_sliding_avg", "stream_session_windows", "stream_dedup",
-    "stream_static_join", "source_roundtrip_formats", "source_bucketed_join",
-    "local_supplier_volume", "promo_revenue_share", "pivot_lineitem_status",
-    "agg_skew_salted", "join_range_bucketed", "dedup_minhash_lsh_recall",
-    "dedup_simhash_recall", "ann_lsh_recall", "ann_ivf_recall",
-    "agg_approx_distinct_error", "scan_project_filter", "pricing_summary",
-    "join_broadcast", "join_shuffle", "q21_waiting_suppliers",
-    "events_sessionize", "join_asof_event_order", "rollup_orders",
-    "dedup_clusters", "window_rank_topk_per_group", "corpus_curation",
-    "corpus_pretraining_pipeline", "similarity_topk", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_near", "ann_quantized_topk", "udf_scalar_clamp",
-    "udaf_grouped_normalize", "udtf_explode_tokens", "multimodal_decode",
-    "plan_diff_extract",
-}
+# ROTATION HISTORY (driver 50-slot correctness windows):
+#   r1-r7: the 50 flagships (CORRECTNESS_r07 keys)
+#   r8:    the 49 never-snapshotted remainder
+#   r9:    round-8/9 additions + the r8 ERR row + the RocksDB-conf'd
+#          streaming family + re-gates (CORRECTNESS_r09: 48 pass / 2
+#          by-design rows-only)
+#   r10:   the 35 queries below — everything with no driver row anywhere
+#          in r1-r9 — plus 15 re-gates of round-10-touched paths.
+# After r10 the union of driver snapshots covers the entire registry.
 
-# Queries ADDED in round 8, after the r8 rotation window was fixed: they
-# had never seen a driver snapshot going into round 9, so the r9 window
-# MUST gate all of them.
-_R8_ADDED = {
-    "source_schema_evolution",
-    "multimodal_frame_table",
-    "window_analytics",
-    "source_upsert_pattern",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "agg_heavy_hitters",
-    "source_zorder_layout",
-    "join_skew_salted",
-    "events_funnel",
-    "events_retention",
-    "corpus_decontaminate",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "events_path_analysis",
-    "corpus_bpe_pair_stats",
-}
-
-# Queries the round-9 window must gate beyond _R8_ADDED: the one r8 ERR row
-# (array column serialized this round) and the streaming family, whose
-# registered sessions gained the RocksDB state-store conf this round.
-_R9_MUST_GATE = _R8_ADDED | {"multimodal_frame_sample"} | {
-    "stream_tumbling_counts", "stream_static_join", "stream_stream_join",
-    "stream_sliding_avg", "stream_session_windows", "stream_dedup",
-    "stream_late_data", "stream_stateful_user_stats",
-    "stream_foreachbatch_sink",
-}
-
-# Queries ADDED in round 9 after the first rotation pass. The final r9
-# window (second rotation pass) pulls them in so they reach the driver a
-# round early, displacing re-seats that already carry r7/r8 evidence.
-_R9_ADDED: set[str] = {
-    "corpus_dedup_pipeline",
-    # round-9 TPC-H batch (every shape expressible without partsupp)
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "text_rarity_score",
-    "corpus_span_dedup",
-    "corpus_importance_sample",
-}
-
-# Registered after the r9 window filled (rotates into round 10):
+# Queries with NO driver-green row going into round 10: the 33 registered
+# after the r9 window filled plus the two from the r9 end-of-round commit
+# (events_user_streaks, orders_open_backlog — ADVICE r9). All 35 were
+# judge-verified exact at sf0.01 in VERDICT r9; the r10 window turns that
+# into driver evidence.
 _R10_PENDING: set[str] = {
-    "corpus_shard_plan",
-    "events_anomaly_zscore",
-    # partsupp-backed TPC-H batch (derived stand-in table), completing all 22
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_potential_promotion",
-    # rule-based quality + term profiling + quantized PageRank
-    "corpus_gopher_rules",
-    "corpus_tfidf_topterms",
-    "graph_pagerank",
-    "ann_pq_topk",
-    "source_compaction_plan",
-    "text_bigram_coverage",
-    "orders_rfm_segmentation",
-    "graph_triangle_stats",
-    "udf_embed_batch_inference",
-    "join_asof_nearest",
-    # time-series / hypertable family + linkage + ordered-set aggregate
-    "events_ohlc_bars",
-    "events_gapfill_locf",
-    "events_state_intervals",
-    "agg_percentile_disc",
-    "part_name_linkage",
-    "events_attribution",
     "agg_countmin_sketch",
     "agg_histogram",
     "agg_kmv_distinct",
-    "stream_ohlc_bars",
-    "orders_market_basket",
+    "agg_percentile_disc",
+    "ann_pq_topk",
+    "catalog_column_stats",
     "corpus_chunk_overlap",
+    "corpus_gopher_rules",
+    "corpus_shard_plan",
+    "corpus_tfidf_topterms",
+    "events_anomaly_zscore",
+    "events_attribution",
+    "events_gapfill_locf",
+    "events_ohlc_bars",
     "events_rolling_active_users",
+    "events_state_intervals",
+    "events_user_streaks",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "join_asof_nearest",
+    "orders_market_basket",
+    "orders_open_backlog",
     "orders_revenue_concentration",
+    "orders_rfm_segmentation",
+    "part_name_linkage",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
+    "q2_min_cost_supplier",
     "quality_constraint_suite",
     "source_cdc_diff",
-    "catalog_column_stats",
+    "source_compaction_plan",
+    "stream_ohlc_bars",
+    "text_bigram_coverage",
+    "udf_embed_batch_inference",
+}
+
+
+# Queries REGISTERED during round 10: they must occupy window slots so
+# they reach the driver this round instead of becoming rotation debt.
+_R10_ADDED: set[str] = {"corpus_tokenize_ids"}
+
+# The pinned re-gate slots of the r10 window: consumers of the quantized-
+# cosine explicit-null rewrite (similarity.py), companions of the round-10
+# additions, and flagship re-seats — every one carries r1-r9 driver-green
+# evidence already.
+_R10_REGATES: set[str] = {
+    "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
+    "ann_quantized_topk", "recall_graph_khop",
+    "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
+    "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
+    "dedup_minhash_lsh", "corpus_curation",
 }
 
 
 def test_priority_window_contents():
-    """Round-9 rotation pin: the window is exactly 50 deep, registration
-    order leads with it, every must-gate query (round-8 additions + the r8
-    ERR row + the RocksDB-conf'd streaming family) occupies a slot, and the
-    remaining slots are re-seats of already-gated queries — so after this
-    round the union of driver snapshots covers the entire registry."""
+    """Round-10 rotation pin: the window is exactly 50 deep, leads with
+    every query that has never produced a driver correctness row
+    (_R10_PENDING — after this round the union of driver snapshots covers
+    the whole registry), and fills the remaining slots with re-gates of
+    already-gated queries. A query registered during round 10 must be added
+    BOTH here and to the window, or this test fails naming it."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     assert len(_PRIORITY) == 50
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    missing = (_R9_MUST_GATE | _R9_ADDED) - set(window)
-    assert not missing, f"must-gate queries outside the r9 window: {missing}"
-    # Every other slot re-seats a query already driver-gated: going into
-    # round 9, the only never-gated queries are _R8_ADDED, the ERR row, and
-    # _R9_ADDED — all gated above, so nothing in the registry is left
-    # without a path to driver evidence.
-    fresh = set(window) - _R9_MUST_GATE - _R9_ADDED - (
-        set(specs) - _R8_ADDED - _R9_ADDED
+    missing = _R10_PENDING - set(window)
+    assert not missing, f"never-snapshotted queries outside the r10 window: {missing}"
+    # Every non-pending slot is an EXPLICITLY pinned re-gate (round-10-
+    # touched code paths + flagship re-seats, all r1-r9 driver-green) or a
+    # query registered during round 10 (_R10_ADDED — must reach the driver
+    # this round, not rotate as next round's debt).
+    regates = set(window) - _R10_PENDING - _R10_ADDED
+    assert regates <= _R10_REGATES, (
+        f"window slots that are neither pending, round-10-added, nor pinned "
+        f"re-gates: {sorted(regates - _R10_REGATES)}"
     )
-    assert not fresh, f"window slots holding never-gated, non-must-gate: {fresh}"
-    outside = set(specs) - set(window)
-    assert outside & (_R8_ADDED | _R9_ADDED) == set(), (
-        "never-snapshotted query left outside the window"
+    assert _R10_ADDED <= set(window), (
+        f"round-10 additions outside the window: {sorted(_R10_ADDED - set(window))}"
     )
-    # _R10_PENDING: registered after the r9 window filled — must exist in
-    # the registry and sit outside this window (it is round 10's rotation
-    # debt; everything else outside the window carries r7/r8 evidence).
-    assert _R10_PENDING <= set(specs) - set(window)
+
+
+# Pinned full-inventory census: every registered query, by name. A diff
+# that registers (or drops) a query MUST touch this list in the same
+# commit — the round-9 failure mode (census count drifting behind late
+# registrations) now fails with the culprit names, not a bare count.
+_CENSUS = [
+    "agg_approx_distinct",
+    "agg_approx_distinct_error",
+    "agg_approx_quantile_error",
+    "agg_countmin_sketch",
+    "agg_distinct",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_kmv_distinct",
+    "agg_percentile_disc",
+    "agg_skew_salted",
+    "ann_batch_topk",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_lsh_recall",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_quantized_topk",
+    "array_ops_embeddings",
+    "catalog_column_stats",
+    "catalog_roundtrip",
+    "corpus_bpe_pair_stats",
+    "corpus_chunk_overlap",
+    "corpus_curation",
+    "corpus_decontaminate",
+    "corpus_dedup_pipeline",
+    "corpus_domain_cap",
+    "corpus_gopher_rules",
+    "corpus_importance_sample",
+    "corpus_pack_sequences",
+    "corpus_pretraining_pipeline",
+    "corpus_shard_plan",
+    "corpus_span_dedup",
+    "corpus_tokenize_ids",
+    "corpus_stratified_sample",
+    "corpus_tfidf_topterms",
+    "corpus_train_val_split",
+    "cube_events",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_recall",
+    "dedup_near",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_recall",
+    "events_anomaly_zscore",
+    "events_attribution",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_ohlc_bars",
+    "events_path_analysis",
+    "events_retention",
+    "events_rolling_active_users",
+    "events_sessionize",
+    "events_state_intervals",
+    "events_user_streaks",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "grouping_sets_orders",
+    "join_asof_event_order",
+    "join_asof_nearest",
+    "join_asof_pandas",
+    "join_broadcast",
+    "join_outer_coalesce",
+    "join_range_bucketed",
+    "join_semi_anti",
+    "join_shuffle",
+    "join_skew_salted",
+    "json_extract_events",
+    "local_supplier_volume",
+    "multimodal_decode",
+    "multimodal_decode_arrow",
+    "multimodal_frame_sample",
+    "multimodal_frame_table",
+    "multimodal_join",
+    "multimodal_meta_profile",
+    "multimodal_resize_plan",
+    "orders_market_basket",
+    "orders_open_backlog",
+    "orders_revenue_concentration",
+    "orders_rfm_segmentation",
+    "part_name_linkage",
+    "pivot_lineitem_status",
+    "plan_diff_extract",
+    "plan_diff_extracted_metrics",
+    "plan_diff_metrics",
+    "pricing_summary",
+    "promo_revenue_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_constraint_suite",
+    "recall_compat",
+    "recall_envelope",
+    "recall_envelope_reranked",
+    "recall_graph_khop",
+    "recall_multi_provider_merge",
+    "recall_score_topk",
+    "recall_summary_branch",
+    "rollup_orders",
+    "scalar_string_date_math",
+    "scalar_subquery_orders",
+    "scan_project_filter",
+    "scenario_forced_branches",
+    "scenario_replay",
+    "scenario_tag_filter",
+    "set_ops",
+    "similarity_join_labels",
+    "similarity_topk",
+    "sort_multi_limit",
+    "source_bucketed_join",
+    "source_cdc_diff",
+    "source_compaction_plan",
+    "source_partitioned_pruning",
+    "source_roundtrip_formats",
+    "source_schema_evolution",
+    "source_upsert_pattern",
+    "source_zorder_layout",
+    "sql_pricing_summary",
+    "stream_dedup",
+    "stream_foreachbatch_sink",
+    "stream_late_data",
+    "stream_ohlc_bars",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "text_bigram_coverage",
+    "text_fingerprint",
+    "text_lang_profile",
+    "text_langid",
+    "text_quality_score",
+    "text_rarity_score",
+    "text_repetition_stats",
+    "text_rolling_fingerprint",
+    "text_token_count",
+    "text_token_stats",
+    "udaf_grouped_normalize",
+    "udf_embed_batch_inference",
+    "udf_scalar_clamp",
+    "udtf_explode_tokens",
+    "unpivot_lineitem_status",
+    "window_analytics",
+    "window_moving_avg",
+    "window_rank_topk_per_group",
+    "window_running",
+]
+
+# Deliberate rows-only (oracle-less) entries: approximate / arrival-order
+# ops whose exactness is gated by an oracle-exact companion in the quality
+# family instead.
+_ROWS_ONLY = [
+    "agg_approx_distinct",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "stream_late_data",
+]
 
 
 def test_registry_census():
@@ -267,18 +403,14 @@ def test_registry_census():
     from opencode_hive_archon_spark.registry import all_specs, oracle_sql
 
     specs = all_specs()
+    got = sorted(specs)
+    assert got == sorted(_CENSUS), (
+        f"registered-but-uncensused: {sorted(set(got) - set(_CENSUS))}; "
+        f"censused-but-unregistered: {sorted(set(_CENSUS) - set(got))}"
+    )
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert len(specs) == 162, sorted(specs)
-    # every rows-only entry is a deliberate, documented exception
-    assert rows_only == [
-        "agg_approx_distinct",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "stream_late_data",
-    ], rows_only
-    assert len(oracle_sql()) == 162 - len(rows_only)
+    assert rows_only == _ROWS_ONLY, rows_only
+    assert len(oracle_sql()) == len(_CENSUS) - len(_ROWS_ONLY)
 
 
 def test_md5_prefix_cross_engine_parity(spark):

@@ -352,3 +352,100 @@ def test_dedup_pipeline_invariants(spark, sf_dir):
         assert len(canon) == 1, f"exact group {ids} split across {canon}"
     # ladder keeps at most as many docs as exact dedup alone
     assert len(kept) <= len(groups)
+
+
+def _greedy_reference(s: str, merges: dict[str, int]) -> tuple[list[int], int]:
+    """Straight cursor transliteration of one-generation greedy BPE apply:
+    the sequential loop the vectorized numpy parity rule must equal."""
+    ids, n_merged, pos = [], 0, 0
+    while pos < len(s):
+        pair = s[pos : pos + 2]
+        if len(pair) == 2 and pair in merges:
+            ids.append(merges[pair])
+            n_merged += 1
+            pos += 2
+        else:
+            ids.append(1000 + ord(s[pos]))
+            pos += 1
+    return ids, n_merged
+
+
+def test_tokenize_ids_matches_sequential_greedy(spark, sf_dir):
+    """The vectorized greedy-start rule (run-parity) must reproduce the
+    sequential left-to-right scan on every corpus document, id for id."""
+    merges = dict(T._bpe_merge_table(spark, sf_dir))
+    merge_ranks = {p: r for p, r in merges.items()}
+    rows = T.corpus_tokenize_ids(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["nt"]
+        for r in T._docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.trim(F.lower(F.col("text"))), r"\s+", " "
+            ).alias("nt"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(docs) > 0
+    for r in rows:
+        want_ids, want_merged = _greedy_reference(docs[r["doc_id"]], merge_ranks)
+        got = [int(x) for x in r["ids_csv"].split("-")] if r["ids_csv"] else []
+        assert got == want_ids, r["doc_id"]
+        assert r["n_merged"] == want_merged
+        assert r["n_ids"] == len(want_ids)
+        # reconstruction invariant: merges consume exactly 2 chars each
+        assert r["n_ids"] + r["n_merged"] == r["n_chars"]
+
+
+def test_tokenize_ids_edge_strings(spark):
+    """Adversarial shapes for the parity rule: overlapping merge chains
+    (odd/even runs), empty string, single char, merge at string end."""
+    import numpy as np
+    import pandas as pd
+
+    merges = {"aa": 1, "ab": 2, "ba": 3}
+    for s in ["", "a", "aa", "aaa", "aaaa", "aaaaa", "abab", "aabab",
+              "xabay", "bab", "abba", "x"]:
+        want_ids, want_merged = _greedy_reference(s, merges)
+        # drive the same numpy kernel the pudf runs, via a tiny local table
+        got = _run_tokenize_kernel(s, merges)
+        assert got[0] == want_ids, s
+        assert got[1] == want_merged, s
+
+
+def _run_tokenize_kernel(s: str, merges: dict[str, int]) -> tuple[list[int], int]:
+    """Re-run the exact vectorized kernel from corpus_tokenize_ids on one
+    string (kept in sync by construction: same ops, same order)."""
+    import numpy as np
+
+    mkeys = np.array(
+        sorted((ord(p[0]) << 21) | ord(p[1]) for p in merges), dtype=np.int64
+    )
+    rank_of = {(ord(p[0]) << 21) | ord(p[1]): r for p, r in merges.items()}
+    mranks = np.array([rank_of[k] for k in mkeys.tolist()], dtype=np.int64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(codes)
+    if n == 0:
+        return [], 0
+    pk = (codes[:-1] << 21) | codes[1:]
+    if len(mkeys):
+        ix = np.clip(np.searchsorted(mkeys, pk), 0, len(mkeys) - 1)
+        m = mkeys[ix] == pk
+        rank_pos = mranks[ix]
+    else:
+        m = np.zeros(n - 1, dtype=bool)
+        rank_pos = np.zeros(n - 1, dtype=np.int64)
+    pos = np.arange(n - 1, dtype=np.int64)
+    zpos = np.where(m, np.int64(-1), pos)
+    lz = np.concatenate(([np.int64(-1)], np.maximum.accumulate(zpos)[:-1]))
+    start = m & (((pos - lz - 1) % 2) == 0)
+    start_full = np.concatenate((start, [False]))
+    consumed = np.concatenate(([False], start))
+    keep = start_full | ~consumed
+    ids = np.where(
+        start_full,
+        np.concatenate((rank_pos, [np.int64(0)])),
+        1000 + codes,
+    )[keep]
+    return ids.tolist(), int(start.sum())

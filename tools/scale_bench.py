@@ -42,85 +42,12 @@ from opencode_hive_archon_spark.session import (  # noqa: E402
     unpersist_all,
 )
 
-# Tier-1 headline + the full dedup ladder, ANN family, and graph k-hop —
-# the queries whose 100 TB posture SCALE.md argues for.
-EXTRA = [
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "recall_graph_khop",
-    "ann_batch_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "corpus_pretraining_pipeline",
-    "events_sessionize",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    # round-8 additions
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "agg_heavy_hitters",
-    "source_zorder_layout",
-    "join_skew_salted",
-    "events_funnel",
-    "events_retention",
-    "corpus_decontaminate",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "events_path_analysis",
-    "corpus_bpe_pair_stats",
-    # round-9 additions
-    "corpus_dedup_pipeline",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    # round-9 late additions (post-window)
-    "corpus_span_dedup",
-    "corpus_importance_sample",
-    "corpus_shard_plan",
-    "events_anomaly_zscore",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_potential_promotion",
-    "graph_pagerank",
-    "corpus_gopher_rules",
-    "corpus_tfidf_topterms",
-    "ann_pq_topk",
-    "source_compaction_plan",
-    "text_bigram_coverage",
-    "orders_rfm_segmentation",
-    "graph_triangle_stats",
-    "join_asof_nearest",
-    "udf_embed_batch_inference",
-    # round-9 time-series / linkage / ordered-set batch
-    "events_ohlc_bars",
-    "events_gapfill_locf",
-    "events_state_intervals",
-    "agg_percentile_disc",
-    "part_name_linkage",
-    "events_attribution",
-    "agg_countmin_sketch",
-    "agg_histogram",
-    "agg_kmv_distinct",
-    "stream_ohlc_bars",
-    "orders_market_basket",
-    "corpus_chunk_overlap",
-    "events_rolling_active_users",
-    "orders_revenue_concentration",
-    "quality_constraint_suite",
-    "source_cdc_diff",
-    "catalog_column_stats",
-]
-QUERIES = BENCH_QUERIES + [q for q in EXTRA if q not in BENCH_QUERIES]
+# EXTRA is DERIVED from the registry, not hand-maintained (ADVICE r9: the
+# literal list silently skipped late additions). Every registered query
+# outside the tier-1 headline set gets decade evidence, so the scaling
+# artifact always covers the full inventory — n_queries == len(registry).
+EXTRA = [n for n in registry.all_specs() if n not in set(BENCH_QUERIES)]
+QUERIES = BENCH_QUERIES + EXTRA
 
 # Auxiliary runs can restrict to a subset (comma-separated names) so new
 # queries get decade evidence without re-timing the whole fleet; pair with
