@@ -669,7 +669,191 @@ FROM agg, bounds WHERE window_end <= wm
 """
 
 
+# --- streaming leg of the dedup ladder -----------------------------------
+
+# Deterministic synthetic ingest time: doc_id * 10 s past a fixed epoch.
+# 10 s spacing makes each quarter-corpus slice span well past the 10-min
+# watermark, so state eviction genuinely fires between micro-batches.
+_LADDER_EPOCH = 1_700_000_000
+
+
+def _ladder_ingest_ts():
+    return F.timestamp_seconds(
+        F.lit(_LADDER_EPOCH) + F.col("doc_id").cast("long") * 10
+    )
+
+
+def _ladder_sliced_docs(spark: SparkSession, sf_dir: str, workdir: str,
+                        replay_slice: int | None = 2) -> str:
+    """Write documents as 4 ingest-time-ordered parquet slices (ascending
+    mtimes -> 4 chronological micro-batches under maxFilesPerTrigger=1),
+    optionally appending a byte-identical REPLAY of one slice at the end —
+    the at-least-once redelivery an object-store/Kafka source produces.
+    Returns the stream input dir."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", _ladder_ingest_ts().alias("ingest_ts")
+    )
+    from pyspark.sql import Window
+
+    sliced = docs.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
+    indir = os.path.join(workdir, "in")
+    os.makedirs(indir, exist_ok=True)
+    srcs = []
+    for i in range(1, 5):
+        tmp = os.path.join(workdir, f"w{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(indir, f"{i:04d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        srcs.append(dst)
+    if replay_slice is not None:
+        shutil.copy(srcs[replay_slice - 1], os.path.join(indir, "9999-replay.parquet"))
+    for i, f in enumerate(sorted(os.listdir(indir))):
+        t = 1_700_000_000 + i * 100
+        os.utime(os.path.join(indir, f), (t, t))
+    return indir
+
+
+def _ladder_stream(spark: SparkSession, indir: str) -> DataFrame:
+    """The in-stream rung: digest + watermark + exact duplicate-delivery
+    drop. dropDuplicatesWithinWatermark keys on (h, doc_id), so the drop is
+    ARRIVAL-ORDER-INVARIANT (every copy of a key carries identical
+    content): redelivered rows are removed while their key state is live,
+    and rows older than the watermark are dropped as late — either way a
+    replay contributes nothing, which is what makes the downstream merge
+    exactly-once over an at-least-once source. Watermark eviction keeps the
+    state table bounded (tests/test_streaming_state.py)."""
+    _ensure_rocksdb(spark)
+    schema = spark.read.parquet(indir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        stream.select(
+            "doc_id", F.sha2(norm, 256).alias("h"), F.col("ingest_ts")
+        )
+        .withWatermark("ingest_ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["h", "doc_id"])
+    )
+
+
+def stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest counterpart of the batch dedup ladder's exact
+    rung (operators/dedup.py::corpus_dedup_pipeline): documents arrive in
+    time-ordered micro-batches (plus a replayed slice — at-least-once
+    delivery), the in-stream rung drops redelivered rows within the
+    watermark, and foreachBatch MERGES each batch's digest summary into a
+    persistent canonical map table:
+
+        new_map = (old_map ∪ batch groupBy h -> (min doc_id, count))
+                  groupBy h -> (min, sum)
+
+    min/sum are associative+commutative, so the final map — and therefore
+    the emitted per-document (doc_id, canonical_id, status, n_copies) —
+    is INDEPENDENT of how the input was batched: the batch oracle is an
+    exact check, not a rows-only one. Per-batch cost is O(batch + map);
+    at production scale the same foreachBatch body is a MERGE INTO against
+    a Delta/Iceberg digest table and the doc log is the ingest ledger."""
+    workdir = tempfile.mkdtemp(prefix="dedup_ladder_")
+    map_dir = os.path.join(workdir, "map")
+    docs_dir = os.path.join(workdir, "docs")
+    ckpt = os.path.join(workdir, "ckpt")
+    state = {"version": -1}
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf = bdf.localCheckpoint(eager=True)  # cut streaming lineage
+        summary = bdf.groupBy("h").agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        if state["version"] >= 0:
+            prev = bdf.sparkSession.read.parquet(
+                os.path.join(map_dir, f"v{state['version']}")
+            )
+            summary = (
+                prev.unionByName(summary)
+                .groupBy("h")
+                .agg(
+                    F.min("canonical_id").alias("canonical_id"),
+                    F.sum("n_copies").alias("n_copies"),
+                )
+            )
+        # idempotent versioned write (a replayed batch overwrites its own
+        # version dir), then advance the pointer
+        summary.write.mode("overwrite").parquet(
+            os.path.join(map_dir, f"v{batch_id}")
+        )
+        state["version"] = batch_id
+        bdf.select("doc_id", "h").write.mode("append").parquet(docs_dir)
+
+    try:
+        indir = _ladder_sliced_docs(spark, sf_dir, workdir)
+        q = (
+            _ladder_stream(spark, indir)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final_map = spark.read.parquet(
+            os.path.join(map_dir, f"v{state['version']}")
+        )
+        doc_log = spark.read.parquet(docs_dir)
+        out = (
+            doc_log.join(final_map, "h")
+            .select(
+                "doc_id",
+                "canonical_id",
+                F.when(F.col("doc_id") == F.col("canonical_id"), F.lit("kept"))
+                .otherwise(F.lit("exact_dup"))
+                .alias("status"),
+                "n_copies",
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# The batch exact rung: replay-invariance of the stream makes this exact.
+_ORACLE_DEDUP_LADDER = """
+WITH hashed AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+m AS (
+  SELECT h, min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM hashed GROUP BY h
+)
+SELECT d.doc_id, m.canonical_id,
+       CASE WHEN d.doc_id = m.canonical_id THEN 'kept'
+            ELSE 'exact_dup' END AS status,
+       m.n_copies
+FROM hashed d JOIN m USING (h)
+ORDER BY d.doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("stream_dedup_ladder", stream_dedup_ladder, _ORACLE_DEDUP_LADDER,
+              "streaming",
+              "incremental exact-dedup ingest: watermarked duplicate-"
+              "delivery drop + foreachBatch merge into a persistent "
+              "canonical digest map (batching-invariant, oracle-exact)"),
     QuerySpec("stream_ohlc_bars", stream_ohlc_bars, _ORACLE_STREAM_OHLC,
               "streaming", "hourly OHLC bars with O(1) min_by/max_by bar "
               "state over a packed (micros, event_id) order key, "

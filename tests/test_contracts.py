@@ -159,6 +159,7 @@ _R10_PENDING: set[str] = {
     "quality_constraint_suite",
     "source_cdc_diff",
     "source_compaction_plan",
+    "stream_dedup_ladder",
     "stream_ohlc_bars",
     "text_bigram_coverage",
     "udf_embed_batch_inference",
@@ -167,7 +168,7 @@ _R10_PENDING: set[str] = {
 
 # Queries REGISTERED during round 10: they must occupy window slots so
 # they reach the driver this round instead of becoming rotation debt.
-_R10_ADDED: set[str] = {"corpus_tokenize_ids"}
+_R10_ADDED: set[str] = {"corpus_tokenize_ids", "stream_dedup_ladder"}
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
 # cosine explicit-null rewrite (similarity.py), companions of the round-10
@@ -178,7 +179,7 @@ _R10_REGATES: set[str] = {
     "ann_quantized_topk", "recall_graph_khop",
     "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
     "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
-    "dedup_minhash_lsh", "corpus_curation",
+    "dedup_minhash_lsh",
 }
 
 
@@ -355,6 +356,7 @@ _CENSUS = [
     "stream_dedup",
     "stream_foreachbatch_sink",
     "stream_late_data",
+    "stream_dedup_ladder",
     "stream_ohlc_bars",
     "stream_session_windows",
     "stream_sliding_avg",

@@ -191,3 +191,54 @@ def test_session_windows_state_bounded(spark, sf_dir, sliced_events):
     )
     expected = sorted(key(r) for r in single.collect())
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def ladder_indir(spark, sf_dir):
+    """The dedup ladder's sliced-doc input (4 chronological slices + a
+    byte-identical replay of slice 2), torn down after the module."""
+    workdir = tempfile.mkdtemp(prefix="ladder_state_")
+    yield J._ladder_sliced_docs(spark, sf_dir, workdir)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_dedup_ladder_state_bounded(spark, ladder_indir):
+    """The in-stream rung's dedup state must EVICT on watermark advance
+    (numRowsRemoved > 0) and never hold the whole corpus at once — the
+    property that makes the ladder runnable on an unbounded ingest feed."""
+    agg = J._ladder_stream(spark, ladder_indir)
+    progress = _run_multibatch(spark, agg, "ladder_state_probe")
+    ops = _state_ops(progress)
+    assert ops, "no stateful operator progress captured"
+    assert sum(op["numRowsRemoved"] for op in ops) > 0, (
+        "watermark never evicted dedup state"
+    )
+    n_docs = spark.read.parquet(ladder_indir).select("doc_id").distinct().count()
+    peak = max(op["numRowsTotal"] for op in ops)
+    assert peak < n_docs, (
+        f"dedup state ({peak}) held the entire corpus ({n_docs})"
+    )
+
+
+def test_dedup_ladder_replay_suppressed(spark, ladder_indir):
+    """At-least-once redelivery (the replayed slice) must contribute ZERO
+    rows downstream: the deduped stream yields each (h, doc_id) exactly
+    once, so the merge's counts cannot double."""
+    agg = J._ladder_stream(spark, ladder_indir)
+    name = "ladder_replay_probe"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    n_distinct = spark.read.parquet(ladder_indir).select("doc_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.groupBy("doc_id").count().filter("count > 1").isEmpty()
