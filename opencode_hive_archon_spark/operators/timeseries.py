@@ -407,7 +407,150 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# events_session_overlap — interval-overlap SELF-JOIN via bucket decomposition
+# ---------------------------------------------------------------------------
+
+# 1-hour decomposition buckets. Knob sizing: bucket ≈ median interval
+# length keeps the per-interval fan-out at ~2 rows while bounding each
+# join partition to the intervals ACTIVE in that hour — the two failure
+# modes (giant fan-out from tiny buckets, one mega-partition from huge
+# buckets) are both visible in the explode count × bucket occupancy
+# product, which this value minimizes for the session length profile.
+OVERLAP_BUCKET_US = 3_600 * 1_000_000
+
+
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: for every user session that is
+    concurrent with at least one OTHER user's session, the number of
+    overlapping sessions, total overlap time, and the longest single
+    overlap — the cross-user concurrency report.
+
+    Spark has no native interval-overlap join (a raw θ-join degenerates to
+    a broadcast-nested-loop); the scale formulation is BUCKET
+    DECOMPOSITION: each interval explodes onto the 1-hour buckets it
+    covers, candidates equi-join on the bucket (a hash shuffle whose
+    partitions hold only the intervals ACTIVE that hour), and the pair is
+    kept exactly once — in the bucket containing the overlap's START
+    (bucket == floor(greatest(s_a, s_b) / B)) — so no distinct pass is
+    ever needed on the pair stream. The oracle is the plain θ overlap
+    join, which proves the decomposition semantics-preserving. All overlap
+    arithmetic is integer microseconds (closed intervals, s <= e' ∧
+    s' <= e); per-pair rows fan back to both endpoints before the final
+    session-keyed aggregate."""
+    from opencode_hive_archon_spark.operators.relational import (
+        events_sessionize,
+    )
+    from opencode_hive_archon_spark.session import materialize as _materialize
+
+    B = OVERLAP_BUCKET_US
+    # materialized: the self-join would otherwise recompute the whole
+    # sessionize window cascade once per side
+    sess = _materialize(
+        events_sessionize(spark, sf_dir).select(
+            "user_id", "session_seq", "start_us", "end_us"
+        )
+    )
+    bucketed = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {B}"), F.expr(f"end_us div {B}")
+            )
+        ),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"), F.col("session_seq").alias("seq_a"),
+        F.col("start_us").alias("s_a"), F.col("end_us").alias("e_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"), F.col("session_seq").alias("seq_b"),
+        F.col("start_us").alias("s_b"), F.col("end_us").alias("e_b"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("user_a") < F.col("user_b"))
+        & (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a"))
+        & (
+            F.col("bucket")
+            == F.expr(f"greatest(s_a, s_b) div {B}")
+        )
+    )
+    ov = (
+        F.least(F.col("e_a"), F.col("e_b"))
+        - F.greatest(F.col("s_a"), F.col("s_b"))
+    ).alias("ov_us")
+    both = pairs.select(
+        F.col("user_a").alias("user_id"), F.col("seq_a").alias("session_seq"), ov
+    ).unionByName(
+        pairs.select(
+            F.col("user_b").alias("user_id"), F.col("seq_b").alias("session_seq"), ov
+        )
+    )
+    return (
+        both.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_concurrent"),
+            F.sum("ov_us").alias("overlap_us"),
+            F.max("ov_us").alias("max_overlap_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# Oracle: the PLAIN θ overlap join — demonstrating the bucket decomposition
+# is exactly equivalent (sessions CTE text identical to _ORACLE_SESSIONIZE's
+# prefix in relational.py).
+_ORACLE_SESSION_OVERLAP = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us ASC,
+            event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+s AS (
+  SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us
+  FROM sess GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+         b.user_id AS user_b, b.session_seq AS seq_b,
+         least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS ov_us
+  FROM s a JOIN s b
+    ON a.user_id < b.user_id
+   AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+),
+endpoints AS (
+  SELECT user_a AS user_id, seq_a AS session_seq, ov_us FROM pairs
+  UNION ALL
+  SELECT user_b, seq_b, ov_us FROM pairs
+)
+SELECT user_id, session_seq,
+       count(*) AS n_concurrent,
+       CAST(sum(ov_us) AS BIGINT) AS overlap_us,
+       max(ov_us) AS max_overlap_us
+FROM endpoints GROUP BY 1, 2
+ORDER BY user_id, session_seq
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_session_overlap", events_session_overlap,
+        _ORACLE_SESSION_OVERLAP, "relational",
+        "interval-overlap self-join via 1-hour bucket decomposition with "
+        "exactly-once start-bucket pairing (no distinct pass); oracle is "
+        "the plain theta overlap join — cross-user session concurrency"),
     QuerySpec(
         "orders_open_backlog", orders_open_backlog, _ORACLE_BACKLOG,
         "relational",

@@ -95,7 +95,7 @@ _PRIORITY = [
     "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
     # ... and flagship re-seats (all r7-r9 driver-green)
     "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
-    "dedup_minhash_lsh", "corpus_tokenize_ids", "stream_dedup_ladder",
+    "corpus_tokenize_ids", "stream_dedup_ladder", "events_session_overlap",
 ]
 
 

@@ -142,6 +142,7 @@ _R10_PENDING: set[str] = {
     "events_gapfill_locf",
     "events_ohlc_bars",
     "events_rolling_active_users",
+    "events_session_overlap",
     "events_state_intervals",
     "events_user_streaks",
     "graph_pagerank",
@@ -168,7 +169,9 @@ _R10_PENDING: set[str] = {
 
 # Queries REGISTERED during round 10: they must occupy window slots so
 # they reach the driver this round instead of becoming rotation debt.
-_R10_ADDED: set[str] = {"corpus_tokenize_ids", "stream_dedup_ladder"}
+_R10_ADDED: set[str] = {
+    "corpus_tokenize_ids", "stream_dedup_ladder", "events_session_overlap",
+}
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
 # cosine explicit-null rewrite (similarity.py), companions of the round-10
@@ -271,6 +274,7 @@ _CENSUS = [
     "events_path_analysis",
     "events_retention",
     "events_rolling_active_users",
+    "events_session_overlap",
     "events_sessionize",
     "events_state_intervals",
     "events_user_streaks",

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from opencode_hive_archon_spark.operators.timeseries import (
     gapfill_locf,
     ohlc_bars,
@@ -269,3 +271,41 @@ def test_streaks_anchor_trick(spark):
     assert set(out) == {1, 3}
     assert out[3].n_users == 1 and out[3].example_user == 1
     assert out[1].n_users == 1 and out[1].example_user == 2
+
+
+def test_session_overlap_bucket_decomposition_exact(spark, sf_dir):
+    """The bucket-decomposed overlap join must equal the plain θ-join —
+    including pairs whose overlap spans MANY buckets (each must count
+    exactly once, the start-bucket pairing rule)."""
+    from opencode_hive_archon_spark.operators.relational import events_sessionize
+    from opencode_hive_archon_spark.operators.timeseries import (
+        events_session_overlap,
+    )
+
+    sess = (
+        events_sessionize(spark, sf_dir)
+        .select("user_id", "session_seq", "start_us", "end_us")
+        .localCheckpoint(eager=True)
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    theta = (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.start_us") <= F.col("b.end_us"))
+            & (F.col("b.start_us") <= F.col("a.end_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("a.session_seq").alias("sa"),
+            F.col("b.user_id").alias("ub"), F.col("b.session_seq").alias("sb"),
+        )
+        .collect()
+    )
+    got = events_session_overlap(spark, sf_dir).collect()
+    n_pairs_theta = len(theta)
+    assert n_pairs_theta > 0, "fixture has no cross-user session overlaps"
+    # every pair contributes to exactly two endpoint rows
+    assert sum(r["n_concurrent"] for r in got) == 2 * n_pairs_theta
+    for r in got:
+        assert r["max_overlap_us"] <= r["overlap_us"]
+        assert r["n_concurrent"] >= 1
