@@ -1075,7 +1075,174 @@ ORDER BY doc_id
 """
 
 
+# --- tokenizer TRAINING LOOP: multi-generation BPE ------------------------
+#
+# corpus_bpe_pair_stats is ONE training iteration's statistic; this is the
+# LOOP (Sennrich et al. 2016): per generation, count adjacent symbol pairs
+# over the current segmentation, merge the globally most frequent pair
+# everywhere, repeat. Completes the tokenizer lineage: pair stats -> train
+# (merge table) -> apply (corpus_tokenize_ids) -> pack
+# (corpus_pack_sequences).
+#
+# The trick that keeps BOTH engines exact and recursion-free: the per-doc
+# segmentation is encoded as a STRING of individually wrapped symbols,
+#     \x1f sym \x1f  \x1f sym \x1f  ...
+# so applying merge (l, r) is exactly
+#     replace(st, '\x1f l \x1f\x1f r \x1f', '\x1f l r \x1f')
+# — leftmost non-overlapping sequential replace IS the greedy BPE merge
+# (each match consumes two whole wrapped symbols; per-symbol wrapping
+# means a match never steals the boundary an adjacent match needs, unlike
+# single-separator encodings), and Spark's replace() and DuckDB's
+# replace() share those semantics. Every generation is therefore pure
+# whole-stage-codegen string work; the top-1 pair is a vocabulary-sized
+# aggregate joined back as a 1-row broadcast — no driver collect, no UDF,
+# no recursive CTE. Per-generation cost: one corpus pass + one
+# vocabulary-sized shuffle — the published distributed-BPE cost model.
+
+BPE_TRAIN_GENERATIONS = 4
+_BPE_SEP = "\x1f"
+
+
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-generation BPE training loop; emits one row per generation: the
+    merged pair, its pre-merge adjacent-pair count, how many merges were
+    applied (< count when occurrences overlap, e.g. 'aaa'), and the
+    corpus-wide symbol total after the merge."""
+    from opencode_hive_archon_spark.session import materialize as _materialize
+
+    docs = _docs(spark, sf_dir)
+    nt = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    nt = F.regexp_replace(nt, _BPE_SEP, "")  # defensive: reserve the sep
+    st0 = F.regexp_replace(nt, "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+    state = _materialize(docs.select("doc_id", st0.alias("st")))
+
+    sep2 = _BPE_SEP + _BPE_SEP
+    gen_rows = []
+    for g in range(1, BPE_TRAIN_GENERATIONS + 1):
+        syms = F.transform(
+            F.split(F.col("st"), sep2),
+            lambda x: F.regexp_replace(x, _BPE_SEP, ""),
+        )
+        pairs = (
+            state.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    )
+                ).alias("p")
+            )
+            .select("p.l", "p.r")
+        )
+        top1 = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n_pair_occurrences"))
+            .orderBy(F.desc("n_pair_occurrences"), "l", "r")
+            .limit(1)
+        )
+        before = state.agg(F.sum(F.length("st")).alias("chars_before"))
+        state = _materialize(
+            state.crossJoin(F.broadcast(top1)).select(
+                "doc_id",
+                F.expr(
+                    "replace(st, concat('\x1f', l, '\x1f\x1f', r, '\x1f'),"
+                    " concat('\x1f', l, r, '\x1f'))"
+                ).alias("st"),
+            )
+        )
+        after = state.agg(
+            F.sum(F.length("st")).alias("chars_after"),
+            F.sum(
+                F.length("st")
+                - F.length(F.regexp_replace("st", _BPE_SEP, ""))
+            ).alias("sep_chars_after"),
+        )
+        gen_rows.append(
+            top1.crossJoin(F.broadcast(before))
+            .crossJoin(F.broadcast(after))
+            .select(
+                F.lit(g).cast("long").alias("generation"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "n_pair_occurrences",
+                F.expr("(chars_before - chars_after) div 2").alias("n_merges"),
+                F.expr("sep_chars_after div 2").alias("total_symbols_after"),
+            )
+        )
+    out = gen_rows[0]
+    for df in gen_rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("generation")
+
+
+def _bpe_oracle_sql() -> str:
+    """Generation-chained oracle: the same wrapped-string replace per
+    generation, built programmatically so Spark and SQL stay in lockstep."""
+    sep = "chr(31)"
+    parts = [f"""g0 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+             {sep}, '', 'g'),
+           '(.)', {sep} || '\\1' || {sep}, 'g') AS st
+  FROM documents
+)"""]
+    stats = []
+    for g in range(1, BPE_TRAIN_GENERATIONS + 1):
+        p = g - 1
+        parts.append(f"""g{g}_syms AS (
+  SELECT doc_id,
+         [regexp_replace(x, {sep}, '', 'g')
+          for x in string_split(st, {sep} || {sep})] AS syms
+  FROM g{p}
+)""")
+        parts.append(f"""g{g}_pairs AS (
+  SELECT unnest(syms[1:len(syms) - 1]) AS l,
+         unnest(syms[2:len(syms)]) AS r
+  FROM g{g}_syms
+)""")
+        parts.append(f"""g{g}_top AS (
+  SELECT l, r, count(*) AS n_pair_occurrences
+  FROM g{g}_pairs GROUP BY 1, 2
+  ORDER BY n_pair_occurrences DESC, l, r LIMIT 1
+)""")
+        parts.append(f"""g{g} AS (
+  SELECT doc_id,
+         replace(st, {sep} || l || {sep} || {sep} || r || {sep},
+                 {sep} || l || r || {sep}) AS st
+  FROM g{p}, g{g}_top
+)""")
+        parts.append(f"""g{g}_stats AS (
+  SELECT CAST({g} AS BIGINT) AS generation,
+         t.l AS left_sym, t.r AS right_sym, t.n_pair_occurrences,
+         (CAST(b.s AS BIGINT) - CAST(a.s AS BIGINT)) // 2 AS n_merges,
+         CAST(a.sep_chars AS BIGINT) // 2 AS total_symbols_after
+  FROM g{g}_top t,
+       (SELECT sum(len(st)) AS s FROM g{p}) b,
+       (SELECT sum(len(st)) AS s,
+               sum(len(st) - len(replace(st, {sep}, ''))) AS sep_chars
+        FROM g{g}) a
+)""")
+        stats.append(f"SELECT * FROM g{g}_stats")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(stats)
+        + "\nORDER BY generation"
+    )
+
+
+_ORACLE_BPE_TRAIN = _bpe_oracle_sql()
+
+
 SPECS = [
+    QuerySpec("corpus_bpe_train", corpus_bpe_train, _ORACLE_BPE_TRAIN,
+              "text",
+              "multi-generation BPE TRAINING loop: per generation one "
+              "corpus pass + one vocabulary-sized shuffle; greedy merge "
+              "as wrapped-string replace — whole-stage codegen, no UDF, "
+              "no driver collect"),
     QuerySpec("corpus_tokenize_ids", corpus_tokenize_ids, _ORACLE_TOKENIZE,
               "text",
               "tokenizer APPLY: greedy BPE merge-table application -> "

@@ -170,7 +170,8 @@ _R10_PENDING: set[str] = {
 # Queries REGISTERED during round 10: they must occupy window slots so
 # they reach the driver this round instead of becoming rotation debt.
 _R10_ADDED: set[str] = {
-    "corpus_tokenize_ids", "stream_dedup_ladder", "events_session_overlap",
+    "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
+    "events_session_overlap",
 }
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
@@ -250,6 +251,7 @@ _CENSUS = [
     "corpus_importance_sample",
     "corpus_pack_sequences",
     "corpus_pretraining_pipeline",
+    "corpus_bpe_train",
     "corpus_shard_plan",
     "corpus_span_dedup",
     "corpus_tokenize_ids",

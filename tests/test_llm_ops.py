@@ -449,3 +449,68 @@ def _run_tokenize_kernel(s: str, merges: dict[str, int]) -> tuple[list[int], int
         1000 + codes,
     )[keep]
     return ids.tolist(), int(start.sum())
+
+
+def test_bpe_train_wrapped_replace_is_greedy(spark):
+    """The wrapped-string replace encoding must implement greedy
+    left-to-right non-overlapping merging IDENTICALLY in Spark and DuckDB,
+    including overlap chains ('aaaa' -> [aa][aa], 'aaa' -> [aa][a]) and
+    multi-char symbols from earlier generations."""
+    import duckdb
+
+    SEP = "\x1f"
+
+    def wrap(syms):
+        return "".join(SEP + s + SEP for s in syms)
+
+    def greedy(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["b", "a", "a", "b"], "a", "a"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["ab", "c", "ab", "c"], "ab", "c"),     # multi-char symbols
+        (["a", "bc", "a", "bc"], "a", "bc"),
+        (["b", "a", "ab"], "a", "ab"),           # boundary: must not match 'ba|ab'
+        ([], "a", "a"),
+        (["x"], "a", "a"),
+    ]
+    con = duckdb.connect()
+    for syms, l, r in cases:
+        want = wrap(greedy(syms, l, r))
+        pat, rep = SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP
+        got_duck = con.execute(
+            "SELECT replace(?, ?, ?)", [wrap(syms), pat, rep]
+        ).fetchone()[0]
+        got_spark = spark.createDataFrame(
+            [(wrap(syms), pat, rep)], "st string, p string, q string"
+        ).selectExpr("replace(st, p, q) AS st").first()["st"]
+        assert got_duck == want, (syms, l, r)
+        assert got_spark == want, (syms, l, r)
+
+
+def test_bpe_train_generations_invariants(spark, sf_dir):
+    """Trainer output sanity: merges never exceed pair occurrences, the
+    symbol total strictly decreases by exactly n_merges each generation,
+    and generation g's merged pair is a top-1 of its OWN segmentation."""
+    rows = T.corpus_bpe_train(spark, sf_dir).collect()
+    assert [r["generation"] for r in rows] == list(
+        range(1, T.BPE_TRAIN_GENERATIONS + 1)
+    )
+    prev_total = None
+    for r in rows:
+        assert 0 < r["n_merges"] <= r["n_pair_occurrences"]
+        if prev_total is not None:
+            assert r["total_symbols_after"] == prev_total - r["n_merges"]
+        prev_total = r["total_symbols_after"]
