@@ -1108,13 +1108,21 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged pair, its pre-merge adjacent-pair count, how many merges were
     applied (< count when occurrences overlap, e.g. 'aaa'), and the
     corpus-wide symbol total after the merge."""
-    from opencode_hive_archon_spark.session import materialize as _materialize
+    from opencode_hive_archon_spark.session import (
+        materialize_iter as _materialize_iter,
+    )
 
     docs = _docs(spark, sf_dir)
     nt = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     nt = F.regexp_replace(nt, _BPE_SEP, "")  # defensive: reserve the sep
     st0 = F.regexp_replace(nt, "(.)", _BPE_SEP + "$1" + _BPE_SEP)
-    state = _materialize(docs.select("doc_id", st0.alias("st")))
+    # materialize_iter (lineage TRUNCATION): each generation re-derives the
+    # state from the previous one, so keeping lineage would embed every
+    # prior generation's plan in the next — plan size (and codegen time)
+    # grows multiplicatively with generations. Truncation keeps each
+    # generation's plan generation-sized; production runs thousands of
+    # merge generations.
+    state = _materialize_iter(docs.select("doc_id", st0.alias("st")))
 
     sep2 = _BPE_SEP + _BPE_SEP
     gen_rows = []
@@ -1142,7 +1150,7 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
         )
         before = state.agg(F.sum(F.length("st")).alias("chars_before"))
-        state = _materialize(
+        state = _materialize_iter(
             state.crossJoin(F.broadcast(top1)).select(
                 "doc_id",
                 F.expr(

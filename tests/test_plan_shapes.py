@@ -578,3 +578,27 @@ def test_column_stats_single_scan_multiagg(spark, sf_dir):
     assert [r.column_name for r in df.collect()] == sorted(
         r.column_name for r in df.collect()
     )
+
+
+def test_tokenize_ids_mapper_only(spark, sf_dir):
+    """Tokenizer APPLY must stay a pure map pipeline: no aggregation or
+    join exchange anywhere — only the deliberate corpus re-split
+    (RoundRobin repartition of the single-row-group parquet) and the
+    presentation sort. A hash exchange appearing here means someone turned
+    the closure-shipped merge table back into a join."""
+    p = plan(T.corpus_tokenize_ids(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "ArrowEvalPython" in p or "PythonUDF" in p  # Arrow-batched kernel
+
+
+def test_bpe_train_per_generation_shuffles(spark, sf_dir):
+    """The training loop's cost model: ONE vocabulary-sized hash exchange
+    per generation (the pair aggregate; its TakeOrdered top-1 adds a
+    single-partition exchange on vocabulary-sized input) and 1-row
+    BROADCAST joins back to the corpus — the merge application itself must
+    never hash-shuffle corpus rows."""
+    p = plan(T.corpus_bpe_train(spark, sf_dir))
+    n_gen = T.BPE_TRAIN_GENERATIONS
+    assert p.count("BroadcastExchange") >= n_gen  # top-1 + stats rows join back broadcast
+    # pair aggregate: one partial+final hash exchange pair per generation
+    assert p.count("Exchange hashpartitioning") <= 2 * n_gen, p
