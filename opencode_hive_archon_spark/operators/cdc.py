@@ -217,7 +217,109 @@ ORDER BY column_name
 """
 
 
+# ---------------------------------------------------------------------------
+# mv_incremental_refresh — incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a per-customer aggregate MV under the SAME
+    deterministic changelog source_cdc_diff emits — the warehouse pattern
+    a Delta/Iceberg MERGE-based MV pipeline runs instead of recomputing:
+
+        MV(custkey) = (n_orders, total_price) over the base snapshot
+        changelog  -> per-customer DELTAS:
+            insert: (+1, +new_price)   delete: (-1, -old_price)
+            update: ( 0, new - old)
+        refreshed  = MV ⟗ deltas, coalesced sums, zero-count groups drop
+
+    The oracle recomputes the view DIRECTLY from the mutated snapshot, so
+    the query proves delta-merge maintenance ≡ full recompute under all
+    three op kinds. Cost shape at 100 TB: the delta aggregate shuffles
+    only the CHURN (changelog rows), the merge is one co-keyed full-outer
+    join against the stored MV — refresh cost is O(churn + affected
+    groups), never O(base). Sums ride DECIMAL(18,2) (exact, associative),
+    cast to double only in the final projection."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    mv_base = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec(F.col("o_totalprice"))).alias("total"),
+    )
+    key = F.col("o_orderkey")
+    deletes = orders.where(key % CDC_DEL_MOD == 0).select(
+        "o_custkey", F.lit(-1).alias("dn"), dec(-F.col("o_totalprice")).alias("dp")
+    )
+    updates = orders.where(
+        (key % CDC_DEL_MOD != 0) & (key % CDC_UPD_MOD == 0)
+    ).select(
+        # new - old = 2p - p = p
+        "o_custkey", F.lit(0).alias("dn"), dec(F.col("o_totalprice")).alias("dp")
+    )
+    inserts = orders.where(
+        (key % CDC_DEL_MOD != 0) & (key % CDC_INS_MOD == 0)
+    ).select(
+        "o_custkey", F.lit(1).alias("dn"), dec(F.col("o_totalprice")).alias("dp")
+    )
+    delta = (
+        deletes.unionAll(updates).unionAll(inserts)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("dp").alias("dp"))
+    )
+    merged = mv_base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("long").alias("n_orders"),
+        (
+            F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("total"),
+    )
+    return (
+        merged.where(F.col("n_orders") > 0)
+        .select(
+            "o_custkey", "n_orders", F.col("total").cast("double").alias("total_price")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# Oracle: FULL RECOMPUTE of the view over the mutated snapshot (the same
+# curr construction as _ORACLE_CDC, carrying custkey).
+_ORACLE_MV = f"""
+WITH kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % {CDC_DEL_MOD} <> 0
+),
+curr AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % {CDC_UPD_MOD} = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM kept
+  UNION ALL
+  SELECT o_custkey, o_totalprice
+  FROM kept WHERE o_orderkey % {CDC_INS_MOD} = 0
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM curr
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "mv_incremental_refresh", mv_incremental_refresh, _ORACLE_MV,
+        "sources",
+        "incremental materialized-view maintenance: per-customer MV + "
+        "changelog deltas (insert/update/delete) merged via one co-keyed "
+        "full-outer join — O(churn) refresh proven EQUAL to full "
+        "recompute by the oracle"),
     QuerySpec(
         "source_cdc_diff", source_cdc_diff, _ORACLE_CDC, "sources",
         "CDC changelog: full-outer key join of two snapshots classifying "

@@ -94,7 +94,7 @@ _PRIORITY = [
     # ... companions of the round-10 additions ...
     "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
     # ... and flagship re-seats (all r7-r9 driver-green)
-    "recall_score_topk", "pricing_summary", "dedup_near",
+    "recall_score_topk", "mv_incremental_refresh", "dedup_near",
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
     "events_session_overlap",
 ]

@@ -171,7 +171,7 @@ _R10_PENDING: set[str] = {
 # they reach the driver this round instead of becoming rotation debt.
 _R10_ADDED: set[str] = {
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
-    "events_session_overlap",
+    "events_session_overlap", "mv_incremental_refresh",
 }
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
@@ -295,6 +295,7 @@ _CENSUS = [
     "json_extract_events",
     "local_supplier_volume",
     "multimodal_decode",
+    "mv_incremental_refresh",
     "multimodal_decode_arrow",
     "multimodal_frame_sample",
     "multimodal_frame_table",
