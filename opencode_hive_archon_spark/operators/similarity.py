@@ -921,7 +921,119 @@ ORDER BY sim DESC NULLS LAST, p.vec_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_random_projection — sparse JL dimensionality reduction
+# ---------------------------------------------------------------------------
+
+# Achlioptas-style sparse random projection (public: Achlioptas 2003,
+# "Database-friendly random projections"): R[k][d] ∈ {+1, -1, 0} with
+# density 1/3, drawn here from a fixed integer congruence so BOTH engines
+# derive the identical matrix with no RNG:
+#     m = (73*k + 149*d) mod 6 ;  +1 if m=0, -1 if m=1, else 0.
+JL_OUT_DIM = 16
+
+
+def _jl_matrix(in_dim: int) -> list[list[tuple[int, int]]]:
+    """Per output dim k: the (d, sign) nonzeros of row k."""
+    rows = []
+    for k in range(JL_OUT_DIM):
+        nz = []
+        for d in range(in_dim):
+            m = (73 * k + 149 * d) % 6
+            if m == 0:
+                nz.append((d, 1))
+            elif m == 1:
+                nz.append((d, -1))
+        rows.append(nz)
+    return rows
+
+
+EMB_DIM = 64  # embeddings table dimension (TESTDATA.md)
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Johnson-Lindenstrauss projection 64 → 16 over the QUANTIZED
+    integer embeddings — the ANN-prep step that shrinks vectors before
+    LSH/IVF indexing at scale. Everything is exact int64 arithmetic
+    (⌊x·2^20⌋ inputs, ±1/0 matrix), so the projected components and both
+    norms are oracle-exact; distortion consumers divide the two norm
+    columns themselves. Mapper-only: the projection matrix is a Python
+    literal folded into the expression tree (it IS the operator's config,
+    vocabulary-sized at any scale), each output dim a ±sum of ~D/3
+    element_at terms — whole-stage codegen, zero shuffles before the
+    presentation sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"),
+    )
+    proj = emb.select("vec_id", q.alias("q"))
+    cols = []
+    for k, nz in enumerate(_jl_matrix(EMB_DIM)):
+        expr = None
+        for d, s in nz:
+            term = F.element_at(F.col("q"), d + 1)
+            term = term if s > 0 else -term
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"y{k}"))
+    x_norm2 = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    wide = proj.select("vec_id", x_norm2.alias("x_norm2"), *cols)
+    y_norm2 = None
+    for k in range(JL_OUT_DIM):
+        t = F.col(f"y{k}") * F.col(f"y{k}")
+        y_norm2 = t if y_norm2 is None else y_norm2 + t
+    return wide.select(
+        "vec_id",
+        F.concat_ws("-", *[F.col(f"y{k}").cast("string")
+                           for k in range(JL_OUT_DIM)]).alias("proj_csv"),
+        "x_norm2",
+        y_norm2.alias("y_norm2"),
+    ).orderBy("vec_id")
+
+
+def _jl_oracle_sql() -> str:
+    terms = []
+    for nz in _jl_matrix(EMB_DIM):
+        expr = "0 " + " ".join(
+            ("+" if s > 0 else "-") + f" q[{d + 1}]" for d, s in nz
+        )
+        terms.append(f"CAST({expr} AS BIGINT)")
+    ys = ",\n         ".join(
+        f"{t} AS y{k}" for k, t in enumerate(terms)
+    )
+    csv = " || '-' || ".join(f"CAST(y{k} AS VARCHAR)" for k in range(JL_OUT_DIM))
+    ynorm = " + ".join(f"y{k} * y{k}" for k in range(JL_OUT_DIM))
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT.format(v='embedding')} AS q FROM embeddings
+),
+wide AS (
+  SELECT vec_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(q, v -> v * v)), (acc, x) -> acc + x) AS BIGINT)
+           AS x_norm2,
+         {ys}
+  FROM q
+)
+SELECT vec_id, {csv} AS proj_csv, x_norm2,
+       CAST({ynorm} AS BIGINT) AS y_norm2
+FROM wide
+ORDER BY vec_id
+"""
+
+
+_ORACLE_JL = _jl_oracle_sql()
+
+
 SPECS = [
+    QuerySpec("embedding_random_projection", embedding_random_projection,
+              _ORACLE_JL, "similarity",
+              "sparse Johnson-Lindenstrauss projection 64->16 over "
+              "quantized-integer embeddings (fixed congruence matrix, "
+              "density 1/3) — mapper-only, integer-exact incl. both "
+              "norms"),
     QuerySpec("similarity_topk", similarity_topk, _ORACLE_SIM_TOPK, "similarity",
               "brute-force cosine top-10 (exact ANN baseline)"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, None, "similarity",

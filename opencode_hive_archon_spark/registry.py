@@ -89,8 +89,9 @@ _PRIORITY = [
     # (b) registered in the r9 end-of-round commit, never snapshotted
     "events_user_streaks", "orders_open_backlog",
     # (c) re-gates: quantized-cosine explicit-null rewrite consumers ...
+    "embedding_random_projection",
     "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
-    "ann_quantized_topk", "recall_graph_khop",
+    "ann_quantized_topk",
     # ... companions of the round-10 additions ...
     "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
     # ... and flagship re-seats (all r7-r9 driver-green)

@@ -172,6 +172,7 @@ _R10_PENDING: set[str] = {
 _R10_ADDED: set[str] = {
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
     "events_session_overlap", "mv_incremental_refresh",
+    "embedding_random_projection",
 }
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
@@ -180,7 +181,7 @@ _R10_ADDED: set[str] = {
 # evidence already.
 _R10_REGATES: set[str] = {
     "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
-    "ann_quantized_topk", "recall_graph_khop",
+    "ann_quantized_topk",
     "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
     "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
     "dedup_minhash_lsh",
@@ -263,6 +264,7 @@ _CENSUS = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "embedding_random_projection",
     "dedup_minhash_lsh_recall",
     "dedup_near",
     "dedup_ngram_jaccard",
