@@ -108,7 +108,55 @@ GROUP BY tier_id, lo, hi
 """
 
 
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the multi-granularity
+    report cube/rollup cannot express (an arbitrary set list: (type, day),
+    (type), (day), ()). One scan, one expanded aggregate; grouping_id()
+    disambiguates aggregated-away NULL keys from genuine NULLs, and Spark
+    and DuckDB share the same bit convention (first grouping column = most
+    significant bit). Sums ride integer cents (exact)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        FROM gs_events
+        GROUP BY GROUPING SETS (
+            (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
+            (event_type),
+            (CAST(date_trunc('day', ts) AS TIMESTAMP)),
+            ()
+        )
+        ORDER BY gid, event_type NULLS LAST, day NULLS LAST
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(GROUPING(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+            AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY GROUPING SETS (
+    (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
+    (event_type),
+    (CAST(date_trunc('day', ts) AS TIMESTAMP)),
+    ()
+)
+ORDER BY gid, event_type NULLS LAST, day NULLS LAST
+"""
+
+
 SPECS = [
+    QuerySpec("events_grouping_sets", events_grouping_sets,
+              _ORACLE_GROUPING_SETS, "relational",
+              "explicit GROUPING SETS multi-granularity report with "
+              "grouping_id disambiguation — one scan, one expanded "
+              "aggregate; integer-cents sums"),
     QuerySpec("pivot_lineitem_status", pivot_lineitem_status, _ORACLE_PIVOT,
               "relational", "pivot to wide (conditional aggregation)"),
     QuerySpec("unpivot_lineitem_status", unpivot_lineitem_status, _ORACLE_UNPIVOT,

@@ -544,7 +544,86 @@ ORDER BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# events_time_weighted_avg — LOCF time-weighted average per series
+# ---------------------------------------------------------------------------
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event_type — the hypertable
+    ``time_weight`` aggregate with LOCF weighting: each observation holds
+    until the next one, so its weight is the microsecond gap to its
+    successor (the final observation carries no weight; documented
+    TimescaleDB semantics for a right-open series).
+
+    Exactness: values are exact 2-decimal → integer CENTS; each segment
+    contributes cents × dt_µs through DECIMAL(18,0)×DECIMAL(18,0)
+    products summed in DECIMAL (associative, order-free), and the ONLY
+    float ops are the final cast-divide-divide — identical IEEE steps on
+    both engines. Plan: one event_type exchange shared by the lead()
+    window and the aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    seg = ev.withColumn("dt_us", F.lead("us").over(w) - F.col("us")).where(
+        F.col("dt_us").isNotNull()
+    )
+    wsum = F.sum(
+        F.col("cents").cast("decimal(18,0)")
+        * F.col("dt_us").cast("decimal(18,0)")
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_us").alias("span_us"),
+            (
+                wsum.cast("double")
+                / F.sum("dt_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_TWA = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT event_type, cents,
+         lead(us) OVER (PARTITION BY event_type
+                        ORDER BY us ASC, event_id ASC) - us AS dt_us
+  FROM e
+)
+SELECT event_type,
+       count(*) AS n_segments,
+       CAST(sum(dt_us) AS BIGINT) AS span_us,
+       CAST(sum(CAST(cents AS DECIMAL(18,0)) * CAST(dt_us AS DECIMAL(18,0)))
+            AS DOUBLE)
+         / CAST(sum(dt_us) AS DOUBLE) / 100.0 AS twa
+FROM seg
+WHERE dt_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_time_weighted_avg", events_time_weighted_avg, _ORACLE_TWA,
+        "relational",
+        "hypertable time_weight: LOCF time-weighted average per series — "
+        "integer cents x microsecond gaps through DECIMAL products, one "
+        "event_type exchange shared by lead() and the aggregate"),
     QuerySpec(
         "events_session_overlap", events_session_overlap,
         _ORACLE_SESSION_OVERLAP, "relational",

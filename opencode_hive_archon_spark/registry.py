@@ -93,7 +93,8 @@ _PRIORITY = [
     "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
     "ann_quantized_topk",
     # ... companions of the round-10 additions ...
-    "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
+    "corpus_dedup_pipeline",
+    "events_time_weighted_avg", "events_grouping_sets",
     # ... and flagship re-seats (all r7-r9 driver-green)
     "recall_score_topk", "mv_incremental_refresh", "dedup_near",
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",

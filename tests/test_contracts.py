@@ -142,7 +142,6 @@ _R10_PENDING: set[str] = {
     "events_gapfill_locf",
     "events_ohlc_bars",
     "events_rolling_active_users",
-    "events_session_overlap",
     "events_state_intervals",
     "events_user_streaks",
     "graph_pagerank",
@@ -160,7 +159,6 @@ _R10_PENDING: set[str] = {
     "quality_constraint_suite",
     "source_cdc_diff",
     "source_compaction_plan",
-    "stream_dedup_ladder",
     "stream_ohlc_bars",
     "text_bigram_coverage",
     "udf_embed_batch_inference",
@@ -172,7 +170,8 @@ _R10_PENDING: set[str] = {
 _R10_ADDED: set[str] = {
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
     "events_session_overlap", "mv_incremental_refresh",
-    "embedding_random_projection",
+    "embedding_random_projection", "events_time_weighted_avg",
+    "events_grouping_sets",
 }
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
@@ -182,7 +181,7 @@ _R10_ADDED: set[str] = {
 _R10_REGATES: set[str] = {
     "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
     "ann_quantized_topk",
-    "corpus_bpe_pair_stats", "corpus_dedup_pipeline", "stream_dedup",
+    "corpus_dedup_pipeline",
     "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
     "dedup_minhash_lsh",
 }
@@ -274,6 +273,7 @@ _CENSUS = [
     "events_attribution",
     "events_funnel",
     "events_gapfill_locf",
+    "events_grouping_sets",
     "events_ohlc_bars",
     "events_path_analysis",
     "events_retention",
@@ -281,6 +281,7 @@ _CENSUS = [
     "events_session_overlap",
     "events_sessionize",
     "events_state_intervals",
+    "events_time_weighted_avg",
     "events_user_streaks",
     "graph_pagerank",
     "graph_triangle_stats",
