@@ -1027,7 +1027,62 @@ ORDER BY vec_id
 _ORACLE_JL = _jl_oracle_sql()
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the QUANTIZED embeddings, one row per
+    (label, dimension) — the k-means/IVF UPDATE step (assign is the IVF
+    coarse quantizer; this is the other half of Lloyd's iteration), kept
+    integer-exact: component sums are int64, the mean is ONE double
+    division. Shape: posexplode fans each vector into (label, dim, q)
+    and a single (label, dim) hash aggregate does the rest — the shuffle
+    is |labels|×D rows wide regardless of corpus size (map-side combine
+    collapses each partition to its own centroid partials)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"),
+    )
+    fan = emb.select("label", F.posexplode(q).alias("dim", "qv"))
+    return (
+        fan.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qv").alias("sum_q"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.col("n_vecs").cast("double")
+             ).alias("mean_q"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_ORACLE_CENTROIDS = f"""
+WITH q AS (
+  SELECT label, {_QUANT.format(v='embedding')} AS q FROM embeddings
+),
+fan AS (
+  SELECT label, CAST(i - 1 AS BIGINT) AS dim, q[i] AS qv
+  FROM q, unnest(generate_series(1, len(q))) AS t(i)
+)
+SELECT label, dim, count(*) AS n_vecs,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+FROM fan
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 SPECS = [
+    QuerySpec("embedding_label_centroids", embedding_label_centroids,
+              _ORACLE_CENTROIDS, "similarity",
+              "k-means/IVF update step: per-(label, dim) integer-exact "
+              "centroid sums + one-division means — |labels|xD shuffle "
+              "regardless of corpus size"),
     QuerySpec("embedding_random_projection", embedding_random_projection,
               _ORACLE_JL, "similarity",
               "sparse Johnson-Lindenstrauss projection 64->16 over "

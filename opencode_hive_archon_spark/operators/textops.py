@@ -1244,7 +1244,93 @@ def _bpe_oracle_sql() -> str:
 _ORACLE_BPE_TRAIN = _bpe_oracle_sql()
 
 
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (the Heaps-law diagnostic a corpus build
+    tracks): partition the corpus into 10 ingest-order buckets by doc_id
+    and report how many NEVER-SEEN-BEFORE tokens each bucket contributes,
+    plus the running vocabulary size. A flattening curve says more data
+    stops buying vocabulary — the signal that drives dedup/mixture
+    decisions.
+
+    Shape: one explode → token-keyed min(doc_id) aggregate (vocab-sized),
+    bucket arithmetic against a 1-row broadcast corpus count, and a
+    10-row running sum — nothing data-sized past the first aggregate."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    # unit = token TRIGRAMS: the synthetic unigram vocab (~31 tokens)
+    # saturates in the first bucket; the trigram inventory keeps growing,
+    # which is what the diagnostic is for (production corpora show the
+    # same effect at the unigram level).
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(grams).alias("token"))
+    first = ex.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    B = VOCAB_GROWTH_BUCKETS
+    bucketed = first.crossJoin(F.broadcast(n)).select(
+        F.least(
+            F.lit(B - 1),
+            F.floor(F.col("first_doc") * B / F.col("n_docs")).cast("long"),
+        ).alias("bucket")
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.select(
+            "bucket",
+            "new_tokens",
+            F.sum("new_tokens").over(w).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_VOCAB_GROWTH = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                 for i in range(1, greatest(len(toks) - 1, 1))]) AS token
+  FROM t
+),
+first AS (SELECT token, min(doc_id) AS first_doc FROM ex GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+bucketed AS (
+  SELECT least({VOCAB_GROWTH_BUCKETS - 1},
+               CAST(floor(first_doc * {VOCAB_GROWTH_BUCKETS} / n_docs)
+                    AS BIGINT)) AS bucket
+  FROM first, n
+),
+per AS (SELECT bucket, count(*) AS new_tokens FROM bucketed GROUP BY bucket)
+SELECT bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per
+ORDER BY bucket
+"""
+
+
 SPECS = [
+    QuerySpec("corpus_vocab_growth", corpus_vocab_growth,
+              _ORACLE_VOCAB_GROWTH, "text",
+              "Heaps-law vocabulary-growth curve: new token-trigrams per "
+              "ingest-order decile + running vocab — vocab-sized after "
+              "one explode-aggregate"),
     QuerySpec("corpus_bpe_train", corpus_bpe_train, _ORACLE_BPE_TRAIN,
               "text",
               "multi-generation BPE TRAINING loop: per generation one "

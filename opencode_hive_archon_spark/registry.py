@@ -96,7 +96,8 @@ _PRIORITY = [
     "corpus_dedup_pipeline",
     "events_time_weighted_avg", "events_grouping_sets",
     # ... and flagship re-seats (all r7-r9 driver-green)
-    "recall_score_topk", "mv_incremental_refresh", "dedup_near",
+    "mv_incremental_refresh", "corpus_vocab_growth",
+    "embedding_label_centroids",
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
     "events_session_overlap",
 ]

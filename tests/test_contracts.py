@@ -171,7 +171,7 @@ _R10_ADDED: set[str] = {
     "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
     "events_session_overlap", "mv_incremental_refresh",
     "embedding_random_projection", "events_time_weighted_avg",
-    "events_grouping_sets",
+    "events_grouping_sets", "corpus_vocab_growth", "embedding_label_centroids",
 }
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
@@ -255,6 +255,7 @@ _CENSUS = [
     "corpus_shard_plan",
     "corpus_span_dedup",
     "corpus_tokenize_ids",
+    "corpus_vocab_growth",
     "corpus_stratified_sample",
     "corpus_tfidf_topterms",
     "corpus_train_val_split",
@@ -263,6 +264,7 @@ _CENSUS = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "embedding_label_centroids",
     "embedding_random_projection",
     "dedup_minhash_lsh_recall",
     "dedup_near",
