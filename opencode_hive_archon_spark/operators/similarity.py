@@ -1077,7 +1077,156 @@ ORDER BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_kmeans_lloyd — exact-oracle Lloyd iterations (IVF training)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) over the quantized embeddings — the IVF coarse-
+    quantizer TRAINING loop, engineered so an ITERATIVE clustering
+    algorithm is hash-verifiable end to end:
+
+    - init: centroids = vectors vec_id 1..K (seeded, no RNG)
+    - assign: argmin of EXACT int64 squared distances (ties -> lowest
+      cid); the K-row centroid table broadcasts, distances are one
+      zip_with/aggregate fold per (vector, centroid)
+    - update: per-(cid, dim) integer sums via posexplode + ONE hash
+      aggregate (map-side combined, |K|xD wide), new component =
+      floor(sum / n) — floor of an exact rational (sums < 2^53), so both
+      engines land on the identical integer grid and the next iteration
+      sees bit-identical centroids.
+
+    Output after the final assignment: per-cluster membership count and
+    exact integer inertia. Per-iteration cost at 100 TB: one corpus pass
+    (assign) + one K x D-wide shuffle (update) — the textbook distributed
+    Lloyd profile; the loop materializes with lineage truncation like
+    every fixpoint here."""
+    from opencode_hive_archon_spark.session import (
+        materialize_iter as _materialize_iter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"),
+    )
+    vecs = _materialize_iter(emb.select("vec_id", qcol.alias("q")))
+    cents = vecs.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= KMEANS_K)
+    ).select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
+
+    def assign(cdf):
+        dist = F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = vecs.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "q", "cid", dist.alias("dist")
+        )
+        best = F.min(F.struct("dist", "cid")).alias("best")
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.first("q").alias("q"), best)
+            .select(
+                "vec_id", "q",
+                F.col("best.cid").alias("cid"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = assign(cents)
+        fan = assigned.select("cid", F.posexplode("q").alias("dim", "qv"))
+        cents = _materialize_iter(
+            fan.groupBy("cid", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid", "dim",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cd"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cd"))),
+                    lambda t: t["cd"],
+                ).alias("c")
+            )
+        )
+    final = assign(cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Iteration-chained oracle: identical init/assign/update per round."""
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(q, c), t -> (t[1] - t[2]) * (t[1] - t[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+    parts = [f"""q0 AS (
+  SELECT vec_id, {_QUANT.format(v='embedding')} AS q FROM embeddings
+),
+c1 AS (
+  SELECT vec_id AS cid, q AS c FROM q0
+  WHERE vec_id BETWEEN 1 AND {KMEANS_K}
+)"""]
+    for it in range(1, KMEANS_ITERS):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT v.vec_id, v.q, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM q0 v CROSS JOIN c{it} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT cid, list(cd ORDER BY dim) AS c FROM (
+    SELECT cid, i AS dim,
+           CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+    FROM a{it}, unnest(generate_series(1, len(q))) AS t(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)""")
+    last = KMEANS_ITERS
+    parts.append(f"""afinal AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT v.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM q0 v CROSS JOIN c{last} c
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS inertia
+FROM afinal GROUP BY cid ORDER BY cid
+"""
+    )
+
+
+_ORACLE_KMEANS = _kmeans_oracle_sql()
+
+
 SPECS = [
+    QuerySpec("embedding_kmeans_lloyd", embedding_kmeans_lloyd,
+              _ORACLE_KMEANS, "similarity",
+              "IVF coarse-quantizer TRAINING: seeded Lloyd iterations "
+              "with exact int64 distances and floored-integer centroid "
+              "updates — an iterative clustering loop that is "
+              "hash-verifiable, one corpus pass + one KxD shuffle per "
+              "iteration"),
     QuerySpec("embedding_label_centroids", embedding_label_centroids,
               _ORACLE_CENTROIDS, "similarity",
               "k-means/IVF update step: per-(label, dim) integer-exact "

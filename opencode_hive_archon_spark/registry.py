@@ -92,8 +92,7 @@ _PRIORITY = [
     "embedding_random_projection",
     "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
     "ann_quantized_topk",
-    # ... companions of the round-10 additions ...
-    "corpus_dedup_pipeline",
+    "embedding_kmeans_lloyd",
     "events_time_weighted_avg", "events_grouping_sets",
     # ... and flagship re-seats (all r7-r9 driver-green)
     "mv_incremental_refresh", "corpus_vocab_growth",

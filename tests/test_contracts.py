@@ -172,6 +172,7 @@ _R10_ADDED: set[str] = {
     "events_session_overlap", "mv_incremental_refresh",
     "embedding_random_projection", "events_time_weighted_avg",
     "events_grouping_sets", "corpus_vocab_growth", "embedding_label_centroids",
+    "embedding_kmeans_lloyd",
 }
 
 # The pinned re-gate slots of the r10 window: consumers of the quantized-
@@ -264,6 +265,7 @@ _CENSUS = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "embedding_kmeans_lloyd",
     "embedding_label_centroids",
     "embedding_random_projection",
     "dedup_minhash_lsh_recall",
