@@ -64,13 +64,15 @@ _SPEC_MODULES = [
 # total, all judge-verified exact at sf0.01 in VERDICT r9 but never inside a
 # driver window. They take the first 35 slots, so after this round the union
 # of driver snapshots covers the entire registry with zero judge-only gaps.
-# The remaining 15 slots are (c) re-gates for code paths round 10 touches —
-# the quantized-cosine verify pudf's explicit-null rewrite (similarity.py:
-# dedup_embedding_cosine, ann_lsh_topk/recall, ann_quantized_topk,
-# recall_graph_khop consume it) and companions of the round-10 additions
-# (corpus_bpe_pair_stats feeds corpus_tokenize_ids; corpus_dedup_pipeline /
-# stream_dedup pair with stream_dedup_ladder) — plus flagship re-seats, all
-# of which already carry r7-r9 driver-green evidence.
+# The remaining 15 slots are (c) the NINE queries ADDED during round 10
+# (tests/test_contracts.py::_R10_ADDED — each must reach the driver this
+# round, not rotate as next round's debt) and re-gates for the code path
+# round 10 touched: the quantized-cosine verify pudf's explicit-null
+# rewrite (similarity.py — dedup_embedding_cosine, ann_lsh_topk/recall,
+# ann_quantized_topk consume it). Displaced re-seats (recall_score_topk,
+# pricing_summary, dedup_exact/near/minhash, corpus_curation/
+# bpe_pair_stats/dedup_pipeline, stream_dedup, events_sessionize,
+# recall_graph_khop) all carry r7-r9 driver-green evidence.
 _PRIORITY = [
     # (a) registered after the r9 window filled, never driver-snapshotted
     "corpus_shard_plan", "events_anomaly_zscore",
