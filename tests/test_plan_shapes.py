@@ -602,3 +602,36 @@ def test_bpe_train_per_generation_shuffles(spark, sf_dir):
     assert p.count("BroadcastExchange") >= n_gen  # top-1 + stats rows join back broadcast
     # pair aggregate: one partial+final hash exchange pair per generation
     assert p.count("Exchange hashpartitioning") <= 2 * n_gen, p
+
+
+def test_mv_refresh_no_nested_loop(spark, sf_dir):
+    """The MV merge must stay a co-keyed join (SMJ/SHJ on o_custkey) —
+    a BroadcastNestedLoopJoin or CartesianProduct here means the merge
+    condition degenerated and the refresh is no longer O(churn)."""
+    from opencode_hive_archon_spark.operators import cdc as C
+
+    p = plan(C.mv_incremental_refresh(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_session_overlap_equi_join_on_bucket(spark, sf_dir):
+    """The interval join must plan as an EQUI join keyed on the bucket
+    (hash or broadcast-hash at test scale) — never the nested-loop theta
+    join the naive overlap predicate produces."""
+    from opencode_hive_archon_spark.operators import timeseries as TS
+
+    p = plan(TS.events_session_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """Every Lloyd assignment must broadcast the K-row centroid table:
+    a shuffle-join against the corpus per iteration is the failure mode
+    that makes distributed k-means quadratic in practice."""
+    from opencode_hive_archon_spark.operators import similarity as SIM
+
+    p = plan(SIM.embedding_kmeans_lloyd(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p, p
