@@ -927,19 +927,30 @@ ORDER BY sim DESC NULLS LAST, p.vec_id ASC LIMIT 10
 
 # Achlioptas-style sparse random projection (public: Achlioptas 2003,
 # "Database-friendly random projections"): R[k][d] ∈ {+1, -1, 0} with
-# density 1/3, drawn here from a fixed integer congruence so BOTH engines
-# derive the identical matrix with no RNG:
-#     m = (73*k + 149*d) mod 6 ;  +1 if m=0, -1 if m=1, else 0.
+# nonzero density 1/3, drawn from a fixed per-cell md5 hash so BOTH
+# engines derive the identical matrix with no RNG:
+#     m = md5("jl:k:d")[:8] mod 6 ;  +1 if m=0, -1 if m=1, else 0.
+# (A linear congruence (a*k + b*d) mod 6 is NOT enough: any polynomial
+# whose k-coefficients vanish mod 6 repeats rows with period 6, collapsing
+# the matrix to rank ≤ 6 — the r10 ADVICE finding. The hash has no such
+# structure; tests/test_invariants.py pins full row rank = JL_OUT_DIM.)
 JL_OUT_DIM = 16
 
 
 def _jl_matrix(in_dim: int) -> list[list[tuple[int, int]]]:
-    """Per output dim k: the (d, sign) nonzeros of row k."""
+    """Per output dim k: the (d, sign) nonzeros of row k. The matrix is a
+    Python literal folded into BOTH engines' expression trees (the oracle
+    SQL is generated from this same function), so any deterministic
+    driver-side derivation keeps the two sides bit-identical."""
+    import hashlib
+
     rows = []
     for k in range(JL_OUT_DIM):
         nz = []
         for d in range(in_dim):
-            m = (73 * k + 149 * d) % 6
+            m = int(
+                hashlib.md5(f"jl:{k}:{d}".encode()).hexdigest()[:8], 16
+            ) % 6
             if m == 0:
                 nz.append((d, 1))
             elif m == 1:
@@ -1235,9 +1246,9 @@ SPECS = [
     QuerySpec("embedding_random_projection", embedding_random_projection,
               _ORACLE_JL, "similarity",
               "sparse Johnson-Lindenstrauss projection 64->16 over "
-              "quantized-integer embeddings (fixed congruence matrix, "
-              "density 1/3) — mapper-only, integer-exact incl. both "
-              "norms"),
+              "quantized-integer embeddings (fixed md5-derived matrix, "
+              "full row rank, density 1/3) — mapper-only, integer-exact "
+              "incl. both norms"),
     QuerySpec("similarity_topk", similarity_topk, _ORACLE_SIM_TOPK, "similarity",
               "brute-force cosine top-10 (exact ANN baseline)"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, None, "similarity",

@@ -971,6 +971,13 @@ def corpus_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tokenize(nt: pd.Series) -> pd.DataFrame:
         out_n, out_m, out_csv = [], [], []
         for s in nt:
+            # NULL text propagates as None through the regexp_replace
+            # projection; treat it as empty (the oracle's NULL row would
+            # produce NULL stats, but the corpus has no NULL text — this
+            # guard keeps a stray NULL from crashing the whole Arrow batch).
+            if s is None:
+                out_n.append(0); out_m.append(0); out_csv.append("")
+                continue
             codes = np.frombuffer(
                 s.encode("utf-32-le"), dtype=np.uint32
             ).astype(np.int64)

@@ -791,7 +791,14 @@ def stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(map_dir, f"v{batch_id}")
         )
         state["version"] = batch_id
-        bdf.select("doc_id", "h").write.mode("append").parquet(docs_dir)
+        # Doc log is batch_id-keyed + overwrite for the same reason: a
+        # foreachBatch RETRY (at-least-once executor semantics) re-runs the
+        # same batch_id, and a bare append would double-log that batch's
+        # rows — duplicating output rows despite the exactly-once map. The
+        # reader unions the per-batch dirs.
+        bdf.select("doc_id", "h").write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"b{batch_id}")
+        )
 
     try:
         indir = _ladder_sliced_docs(spark, sf_dir, workdir)
@@ -809,7 +816,7 @@ def stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         final_map = spark.read.parquet(
             os.path.join(map_dir, f"v{state['version']}")
         )
-        doc_log = spark.read.parquet(docs_dir)
+        doc_log = spark.read.parquet(os.path.join(docs_dir, "b*"))
         out = (
             doc_log.join(final_map, "h")
             .select(

@@ -64,6 +64,24 @@ def test_jl_projection_norm_preservation(spark, sf_dir):
     assert sum(1 for x in ratios if 0.1 < x < 10.0) > 0.95 * len(ratios)
 
 
+def test_jl_matrix_full_row_rank():
+    """The fixed JL matrix must have JL_OUT_DIM distinct rows AND full row
+    rank — a linear congruence mod 6 repeats rows with period 6 (rank ≤ 6,
+    output dims 6..15 duplicating 0..5), which silently voids the JL
+    distortion property even though oracle parity still holds (r10 ADVICE)."""
+    import numpy as np
+
+    M = np.zeros((S.JL_OUT_DIM, S.EMB_DIM), dtype=np.int64)
+    for k, nz in enumerate(S._jl_matrix(S.EMB_DIM)):
+        for d, sign in nz:
+            M[k, d] = sign
+    assert len({tuple(r) for r in M.tolist()}) == S.JL_OUT_DIM
+    assert np.linalg.matrix_rank(M) == S.JL_OUT_DIM
+    # Achlioptas density ~1/3 nonzeros per row (loose band)
+    nnz = (M != 0).sum(axis=1)
+    assert all(S.EMB_DIM // 6 <= c <= S.EMB_DIM // 2 for c in nnz), nnz
+
+
 def test_kmeans_improves_on_seed_assignment(spark, sf_dir):
     """After a Lloyd update the total inertia must not exceed the
     seed-centroid assignment's inertia (assignment is optimal per vector;
