@@ -1110,16 +1110,29 @@ BPE_TRAIN_GENERATIONS = 4
 _BPE_SEP = "\x1f"
 
 
-def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-generation BPE training loop; emits one row per generation: the
-    merged pair, its pre-merge adjacent-pair count, how many merges were
-    applied (< count when occurrences overlap, e.g. 'aaa'), and the
-    corpus-wide symbol total after the merge."""
+def _bpe_wrapped_syms(col: str = "st"):
+    """Wrapped-symbol string -> array of symbols (seps stripped)."""
+    sep2 = _BPE_SEP + _BPE_SEP
+    return F.transform(
+        F.split(F.col(col), sep2),
+        lambda x: F.regexp_replace(x, _BPE_SEP, ""),
+    )
+
+
+def _bpe_train_loop(spark: SparkSession, docs: DataFrame):
+    """The shared N-generation BPE merge loop (train AND apply consume it):
+    returns ``(states, tops)`` where ``states[g]`` is the wrapped-symbol
+    segmentation after g merges (``states[0]`` = char level) and
+    ``tops[g-1]`` is generation g's 1-row top-1 pair (l, r,
+    n_pair_occurrences). ``corpus_tokenize_trained`` tokenizes from
+    ``states[-1]`` + the ``tops`` merge table, so the table the apply step
+    consumes is BY CONSTRUCTION byte-identical to the one
+    ``corpus_bpe_train`` reports — the train->apply handoff is shared code,
+    not two parallel derivations."""
     from opencode_hive_archon_spark.session import (
         materialize_iter as _materialize_iter,
     )
 
-    docs = _docs(spark, sf_dir)
     nt = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     nt = F.regexp_replace(nt, _BPE_SEP, "")  # defensive: reserve the sep
     st0 = F.regexp_replace(nt, "(.)", _BPE_SEP + "$1" + _BPE_SEP)
@@ -1130,14 +1143,10 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation's plan generation-sized; production runs thousands of
     # merge generations.
     state = _materialize_iter(docs.select("doc_id", st0.alias("st")))
-
-    sep2 = _BPE_SEP + _BPE_SEP
-    gen_rows = []
-    for g in range(1, BPE_TRAIN_GENERATIONS + 1):
-        syms = F.transform(
-            F.split(F.col("st"), sep2),
-            lambda x: F.regexp_replace(x, _BPE_SEP, ""),
-        )
+    states = [state]
+    tops = []
+    for _g in range(1, BPE_TRAIN_GENERATIONS + 1):
+        syms = _bpe_wrapped_syms()
         pairs = (
             state.select(
                 F.explode(
@@ -1156,7 +1165,6 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n_pair_occurrences"), "l", "r")
             .limit(1)
         )
-        before = state.agg(F.sum(F.length("st")).alias("chars_before"))
         state = _materialize_iter(
             state.crossJoin(F.broadcast(top1)).select(
                 "doc_id",
@@ -1166,7 +1174,21 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("st"),
             )
         )
-        after = state.agg(
+        states.append(state)
+        tops.append(top1)
+    return states, tops
+
+
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-generation BPE training loop; emits one row per generation: the
+    merged pair, its pre-merge adjacent-pair count, how many merges were
+    applied (< count when occurrences overlap, e.g. 'aaa'), and the
+    corpus-wide symbol total after the merge."""
+    states, tops = _bpe_train_loop(spark, _docs(spark, sf_dir))
+    gen_rows = []
+    for g in range(1, BPE_TRAIN_GENERATIONS + 1):
+        before = states[g - 1].agg(F.sum(F.length("st")).alias("chars_before"))
+        after = states[g].agg(
             F.sum(F.length("st")).alias("chars_after"),
             F.sum(
                 F.length("st")
@@ -1174,7 +1196,7 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sep_chars_after"),
         )
         gen_rows.append(
-            top1.crossJoin(F.broadcast(before))
+            tops[g - 1].crossJoin(F.broadcast(before))
             .crossJoin(F.broadcast(after))
             .select(
                 F.lit(g).cast("long").alias("generation"),
@@ -1191,10 +1213,70 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("generation")
 
 
-def _bpe_oracle_sql() -> str:
-    """Generation-chained oracle: the same wrapped-string replace per
-    generation, built programmatically so Spark and SQL stay in lockstep."""
-    sep = "chr(31)"
+def corpus_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY over the TRAINED multi-generation merge table — the
+    round-10 gap closer: ``corpus_tokenize_ids`` applies the ONE-generation
+    top-20 pair table, while the trained tokenizer's later merges operate
+    on merged symbols. This operator consumes ``corpus_bpe_train``'s
+    4-generation merge sequence (same shared loop — the table is
+    byte-identical by construction, pinned by
+    tests/test_round11_ops.py::test_tokenize_trained_reproduces_train_merges)
+    and emits each document's final token stream:
+
+        id of a merged symbol   = the generation that created it (1..N,
+                                  min on the impossible-collision case)
+        id of a single char     = 1000 + codepoint (byte/char fallback)
+
+    Scale shape: generation g's replace operates on generation g-1's
+    symbol stream (the iterated-apply semantics), all whole-stage-codegen
+    string work; the id mapping is ONE N-row map broadcast into an array
+    expression — zero shuffles after the final training pass, and the
+    per-doc output needs no explode/groupBy round trip."""
+    docs = _docs(spark, sf_dir)
+    states, tops = _bpe_train_loop(spark, docs)
+    mtab = None
+    for g, top in enumerate(tops, start=1):
+        row = top.select(
+            F.concat("l", "r").alias("sym"), F.lit(g).cast("long").alias("gid")
+        )
+        mtab = row if mtab is None else mtab.unionByName(row)
+    mmap = mtab.groupBy("sym").agg(F.min("gid").alias("gid")).agg(
+        F.map_from_entries(F.collect_list(F.struct("sym", "gid"))).alias("m")
+    )
+    syms = F.filter(_bpe_wrapped_syms(), lambda s: F.length(s) > 0)
+    ids = F.transform(
+        F.col("syms"),
+        lambda s: F.when(
+            F.length(s) == 1,
+            F.lit(_CHAR_ID_BASE).cast("long") + F.ascii(s).cast("long"),
+        ).otherwise(F.element_at(F.col("m"), s)),
+    )
+    return (
+        states[-1]
+        .crossJoin(F.broadcast(mmap))
+        .select("doc_id", syms.alias("syms"), "m")
+        .select(
+            "doc_id",
+            F.size("syms").cast("long").alias("n_symbols"),
+            F.size(F.filter("syms", lambda s: F.length(s) > 1))
+            .cast("long")
+            .alias("n_merged"),
+            F.array_join(
+                F.transform(ids, lambda i: i.cast("string")), "-"
+            ).alias("ids_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_SEP_SQL = "chr(31)"
+
+
+def _bpe_chain_parts() -> list[str]:
+    """The g0 -> g{N} generation-chained CTE parts (same wrapped-string
+    replace per generation) SHARED by the train and trained-apply oracles,
+    built programmatically so Spark and SQL stay in lockstep."""
+    sep = _BPE_SEP_SQL
     parts = [f"""g0 AS (
   SELECT doc_id,
          regexp_replace(
@@ -1204,7 +1286,6 @@ def _bpe_oracle_sql() -> str:
            '(.)', {sep} || '\\1' || {sep}, 'g') AS st
   FROM documents
 )"""]
-    stats = []
     for g in range(1, BPE_TRAIN_GENERATIONS + 1):
         p = g - 1
         parts.append(f"""g{g}_syms AS (
@@ -1229,6 +1310,16 @@ def _bpe_oracle_sql() -> str:
                  {sep} || l || r || {sep}) AS st
   FROM g{p}, g{g}_top
 )""")
+    return parts
+
+
+def _bpe_oracle_sql() -> str:
+    """Train oracle: shared chain + per-generation merge statistics."""
+    sep = _BPE_SEP_SQL
+    parts = _bpe_chain_parts()
+    stats = []
+    for g in range(1, BPE_TRAIN_GENERATIONS + 1):
+        p = g - 1
         parts.append(f"""g{g}_stats AS (
   SELECT CAST({g} AS BIGINT) AS generation,
          t.l AS left_sym, t.r AS right_sym, t.n_pair_occurrences,
@@ -1249,6 +1340,61 @@ def _bpe_oracle_sql() -> str:
 
 
 _ORACLE_BPE_TRAIN = _bpe_oracle_sql()
+
+
+def _tokenize_trained_oracle_sql() -> str:
+    """Trained-apply oracle: shared chain, then symbol-split of the final
+    state, id mapping against the merge table (l||r -> generation), and
+    per-doc aggregation (zero-symbol docs kept via LEFT JOIN)."""
+    sep = _BPE_SEP_SQL
+    n = BPE_TRAIN_GENERATIONS
+    parts = _bpe_chain_parts()
+    mrows = "\n    UNION ALL\n    ".join(
+        f"SELECT l || r AS sym, CAST({g} AS BIGINT) AS gid FROM g{g}_top"
+        for g in range(1, n + 1)
+    )
+    parts.append(f"""mtab AS (
+  SELECT sym, min(gid) AS gid FROM (
+    {mrows}
+  ) GROUP BY sym
+)""")
+    parts.append(f"""fsyms AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(st, {sep} || {sep}),
+                          x -> regexp_replace(x, {sep}, '', 'g')),
+           y -> y <> '') AS syms
+  FROM g{n}
+)""")
+    parts.append("""fan AS (
+  SELECT doc_id, i AS pos, syms[i] AS sym
+  FROM fsyms, unnest(generate_series(1, len(syms))) AS t(i)
+)""")
+    parts.append("""ids AS (
+  SELECT f.doc_id, f.pos, len(f.sym) > 1 AS merged,
+         CAST(CASE WHEN len(f.sym) = 1 THEN 1000 + unicode(f.sym)
+                   ELSE m.gid END AS BIGINT) AS id
+  FROM fan f LEFT JOIN mtab m ON m.sym = f.sym
+)""")
+    parts.append("""agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
+         CAST(sum(CASE WHEN merged THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+         string_agg(CAST(id AS VARCHAR), '-' ORDER BY pos) AS ids_csv
+  FROM ids GROUP BY doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT d.doc_id,
+       coalesce(a.n_symbols, 0) AS n_symbols,
+       coalesce(a.n_merged, 0) AS n_merged,
+       coalesce(a.ids_csv, '') AS ids_csv
+FROM g{n} d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+    )
+
+
+_ORACLE_TOKENIZE_TRAINED = _tokenize_trained_oracle_sql()
 
 
 VOCAB_GROWTH_BUCKETS = 10
@@ -1349,6 +1495,13 @@ SPECS = [
               "tokenizer APPLY: greedy BPE merge-table application -> "
               "per-doc token-id sequences (mapper-only Arrow-batched "
               "numpy, vocabulary-sized driver collect)"),
+    QuerySpec("corpus_tokenize_trained", corpus_tokenize_trained,
+              _ORACLE_TOKENIZE_TRAINED, "text",
+              "tokenizer train->apply handoff: corpus_bpe_train's "
+              "4-generation merge table applied generation-by-generation "
+              "(shared loop — the table is byte-identical by construction) "
+              "-> per-doc trained token-id streams; id mapping is one "
+              "N-row broadcast map, zero post-training shuffles"),
     QuerySpec("text_rarity_score", text_rarity_score, _ORACLE_RARITY, "text",
               "unigram-frequency document rarity/OOV scoring against a "
               "corpus-derived top-K vocabulary (log-free, integer-exact)"),

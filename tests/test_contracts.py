@@ -256,6 +256,7 @@ _CENSUS = [
     "corpus_shard_plan",
     "corpus_span_dedup",
     "corpus_tokenize_ids",
+    "corpus_tokenize_trained",
     "corpus_vocab_growth",
     "corpus_stratified_sample",
     "corpus_tfidf_topterms",
