@@ -233,6 +233,7 @@ _CENSUS = [
     "agg_percentile_disc",
     "agg_skew_salted",
     "ann_batch_topk",
+    "ann_ivf_kmeans_topk",
     "ann_ivf_recall",
     "ann_ivf_topk",
     "ann_lsh_recall",

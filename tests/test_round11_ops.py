@@ -10,6 +10,7 @@ import re
 
 from pyspark.sql import functions as F
 
+from opencode_hive_archon_spark.operators import similarity as S
 from opencode_hive_archon_spark.operators import textops as T
 from opencode_hive_archon_spark.session import read_table
 
@@ -95,3 +96,35 @@ def test_tokenize_trained_symbol_conservation(spark, sf_dir):
         chars = sum(sym_len[i] if i < 1000 else 1 for i in ids)
         assert chars == docs[r["doc_id"]], r["doc_id"]
         assert len(ids) == r["n_symbols"]
+
+
+def test_ivf_kmeans_cells_match_trainer_assignment(spark, sf_dir):
+    """The composition gate (VERDICT r10 #3): every neighbor
+    ann_ivf_kmeans_topk returns must sit in the SAME cell the exact
+    trainer's assignment puts it in, the probed cells must be the NPROBE
+    nearest trained centroids to the query, and recall vs the brute-force
+    baseline must clear the IVF floor."""
+    vecs, cents = S._kmeans_train(spark, sf_dir)
+    assigned = {
+        r["vec_id"]: r["cid"] for r in S._kmeans_assign(vecs, cents).collect()
+    }
+    rows = S.ann_ivf_kmeans_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cid"] == assigned[r["vec_id"]], r
+
+    # probed cells == NPROBE nearest centroids to the query vector
+    qq = next(
+        r["q"] for r in vecs.filter(F.col("vec_id") == S.QUERY_VEC_ID).collect()
+    )
+    cds = []
+    for c in cents.collect():
+        d = sum((a - b) * (a - b) for a, b in zip(c["c"], qq))
+        cds.append((d, c["cid"]))
+    want_cells = {cid for _, cid in sorted(cds)[: S.IVF_NPROBE]}
+    assert {r["cid"] for r in rows} <= want_cells
+
+    # recall floor vs exact brute force (same floor as the float-IVF gate)
+    exact = {r["vec_id"] for r in S.similarity_topk(spark, sf_dir).collect()}
+    got = {r["vec_id"] for r in rows}
+    assert len(got & exact) / len(exact) >= 0.6, sorted(got & exact)
