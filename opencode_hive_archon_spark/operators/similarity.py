@@ -1362,6 +1362,132 @@ ORDER BY sim DESC NULLS LAST, a.vec_id ASC LIMIT 10
 _ORACLE_IVF_KMEANS = _ivf_kmeans_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# dedup_semantic_prune — SemDeDup-style semantic dedup (round 11)
+# ---------------------------------------------------------------------------
+
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public: Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the EXACT k-means
+    trainer, then prune near-identical vectors WITHIN each cluster —
+    cluster-then-pair, never a global pair join. Emits a per-document
+    keep/drop verdict: a vector is dropped when a LOWER-id vector in the
+    SAME trained cell is a semantic duplicate (quantized cosine ≥
+    NEAR_DUP_COSINE) — the deterministic keep-lowest-id greedy (the paper
+    keeps one representative per duplicate group; lowest-id is the
+    tie-break that makes the verdict hash-checkable).
+
+    Candidate generation composes BOTH scale devices instead of an
+    in-cluster all-pairs join: candidates = quantized-LSH bucket
+    collisions (adaptive signature width — linear candidate volume at any
+    corpus size) REFINED by the same-cell constraint from the trained
+    quantizer; the exact quantized cosine verifies. Everything —
+    signatures, cells, cosines, the verdict — is ⌊x·2^20⌋ int64
+    arithmetic, so the full pipeline is oracle-exact. At 100 TB: one
+    assign pass (broadcast K-row centroids), the LSH equi-join shuffle,
+    and a verdict-sized left join; the signature table is shared
+    (session-keyed) with dedup_embedding_cosine."""
+    vecs, cents = _kmeans_train(spark, sf_dir)
+    assigned = _materialize(
+        _kmeans_assign(vecs, cents).select("vec_id", "q", "cid")
+    )
+    bits = lsh_bits_for(sf_dir)
+    sigs = _materialize_keyed(
+        spark,
+        ("lsh_sigs", sf_dir, LSH_TABLES, bits),
+        lambda: lsh_bucketed(spark, sf_dir, bits=bits).select(
+            "vec_id", "table", "sig"
+        ),
+    )
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["table", "sig"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("cid").alias("cid_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("cid").alias("cid_b"),
+    )
+    sim = _qcos_long_cols(F.col("qa"), F.col("qb"))
+    hits = (
+        cand.join(a.hint("shuffle_hash"), "vec_a")
+        .join(b.hint("shuffle_hash"), "vec_b")
+        .filter(F.col("cid_a") == F.col("cid_b"))
+        .select("vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= NEAR_DUP_COSINE)
+        .groupBy("vec_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_neighbors"),
+            F.max("sim").alias("max_dup_sim"),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        assigned.join(
+            hits, assigned["vec_id"] == hits["vec_b"], "left"
+        )
+        .join(emb.hint("shuffle_hash"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("vec_b").isNull().alias("keep"),
+            F.coalesce(F.col("n_dup_neighbors"), F.lit(0)).cast("long")
+            .alias("n_dup_neighbors"),
+            "max_dup_sim",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    """Shared LSH candidate CTEs + shared kmeans chain + the same
+    same-cell quantized-cosine verdict."""
+    parts, last = _kmeans_chain_parts()
+    chain = ",\n".join(parts)
+    qcos = qcos_sql("a.q", "b.q")
+    return f"""
+WITH {LSH_CAND_CTES},
+{chain},
+afinal AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid, {_KMEANS_DIST_SQL} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_KMEANS_DIST_SQL} ASC, c.cid ASC) AS rn
+    FROM q0 v CROSS JOIN c{last} c
+  ) WHERE rn = 1
+),
+hits AS (
+  SELECT c.vec_b AS vb,
+         CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+         max({qcos}) AS max_dup_sim
+  FROM cand c
+  JOIN afinal a ON a.vec_id = c.vec_a
+  JOIN afinal b ON b.vec_id = c.vec_b
+  WHERE a.cid = b.cid AND {qcos} >= {NEAR_DUP_COSINE}
+  GROUP BY c.vec_b
+)
+SELECT f.vec_id, e.label, CAST(f.cid AS BIGINT) AS cid,
+       h.vb IS NULL AS keep,
+       coalesce(h.n_dup_neighbors, 0) AS n_dup_neighbors,
+       h.max_dup_sim
+FROM afinal f
+JOIN embeddings e ON e.vec_id = f.vec_id
+LEFT JOIN hits h ON h.vb = f.vec_id
+ORDER BY f.vec_id
+"""
+
+
+_ORACLE_SEMDEDUP = _semdedup_oracle_sql()
+
+
 SPECS = [
     QuerySpec("embedding_kmeans_lloyd", embedding_kmeans_lloyd,
               _ORACLE_KMEANS, "similarity",
@@ -1397,6 +1523,12 @@ SPECS = [
               "similarity",
               "embedding-cosine near-dup pairs (LSH candidates + exact verify; "
               "oracle mirrors the full LSH pipeline)"),
+    QuerySpec("dedup_semantic_prune", dedup_semantic_prune, _ORACLE_SEMDEDUP,
+              "similarity",
+              "SemDeDup-style semantic dedup: trained kmeans cells x LSH "
+              "candidates x quantized-cosine verify -> per-doc keep/drop "
+              "verdict (keep-lowest-id greedy) — cluster-then-pair, "
+              "hash-verified end to end"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None, "similarity",
               "random-hyperplane LSH bucketed ANN (rows-only; recall tested vs brute force)"),
     QuerySpec("ann_batch_topk", ann_batch_topk, _ORACLE_BATCH_TOPK, "similarity",

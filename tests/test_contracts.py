@@ -273,6 +273,7 @@ _CENSUS = [
     "dedup_minhash_lsh_recall",
     "dedup_near",
     "dedup_ngram_jaccard",
+    "dedup_semantic_prune",
     "dedup_simhash",
     "dedup_simhash_recall",
     "events_anomaly_zscore",

@@ -128,3 +128,56 @@ def test_ivf_kmeans_cells_match_trainer_assignment(spark, sf_dir):
     exact = {r["vec_id"] for r in S.similarity_topk(spark, sf_dir).collect()}
     got = {r["vec_id"] for r in rows}
     assert len(got & exact) / len(exact) >= 0.6, sorted(got & exact)
+
+
+def test_semantic_prune_verdict_sound_and_grounded(spark, sf_dir):
+    """SemDeDup verdict invariants: (a) drops are SOUND — every dropped
+    vector has a genuine lower-id same-cell neighbor with brute-force
+    quantized cosine >= threshold (recomputed all-pairs in numpy, no LSH);
+    (b) the lowest-id vector of every cell is kept; (c) the flag columns
+    are mutually consistent; (d) the corpus genuinely exercises drops."""
+    import numpy as np
+
+    rows = S.dedup_semantic_prune(spark, sf_dir).collect()
+    assert len(rows) > 0
+    drops = [r for r in rows if not r["keep"]]
+    assert drops, "corpus produced no semantic dups — test is vacuous"
+    for r in rows:
+        if r["keep"]:
+            assert r["n_dup_neighbors"] == 0 and r["max_dup_sim"] is None, r
+        else:
+            assert r["n_dup_neighbors"] >= 1, r
+            assert r["max_dup_sim"] >= S.NEAR_DUP_COSINE, r
+
+    cell = {r["vec_id"]: r["cid"] for r in rows}
+    by_cell: dict[int, list[int]] = {}
+    for v, c in cell.items():
+        by_cell.setdefault(c, []).append(v)
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    for c, members in by_cell.items():
+        assert min(members) in kept, c  # nothing below it can drop it
+
+    emb = {
+        r["vec_id"]: np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * S.QUANT_SCALE
+        ).astype(np.int64)
+        for r in read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def qcos(a, b):
+        d = float(np.dot(a, b))
+        n = float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b)))
+        return d / n if n != 0.0 else None
+
+    for r in drops:
+        vb = r["vec_id"]
+        found = any(
+            va < vb
+            and cell[va] == cell[vb]
+            and (s := qcos(emb[va], emb[vb])) is not None
+            and s >= S.NEAR_DUP_COSINE
+            for va in by_cell[cell[vb]]
+        )
+        assert found, vb
