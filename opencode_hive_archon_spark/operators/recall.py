@@ -505,6 +505,140 @@ def recall_multi_provider_merge(
     return merged.orderBy(F.col("confidence").desc(), F.col("id").asc()).limit(top_k)
 
 
+# --- 5-criteria weighted rerank over the merged provider set ---------------
+#
+# The reference PLANS these rerank criteria but never builds them
+# (requests/ultima-second-brain-hybrid-retrieval-plan #1.md:196-202):
+#   - Confidence weight (LOW/MEDIUM/HIGH mapped numerically)
+#   - Recency weight
+#   - Query relevance weight
+#   - Channel fit weight
+#   - Proven success signal weight (where data exists)
+# The engine delivers them as a deterministic scoring layer over the
+# multi-provider merge. Feature values are exact-binary floats (0.25/0.5/
+# 1.0 bands, /4 and /8 divisions) or one double division of exact ints
+# (recency), and the weighted sum is ONE fixed-order IEEE expression
+# mirrored literally in the oracle — so the rerank is hash-verified.
+
+MP_RERANK_TOP_K = 20
+_MP_W = (0.30, 0.15, 0.30, 0.15, 0.10)  # conf, recency, relevance, fit, success
+
+
+def recall_multi_provider_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    top_k: int = MP_RERANK_TOP_K,
+) -> DataFrame:
+    """Multi-provider merge -> 5-criteria weighted rerank (the reference's
+    planned-but-unbuilt reranking layer, plan #1.md:196-202):
+
+      conf_score   LOW/MEDIUM/HIGH band of the merged confidence -> 0.25/
+                   0.5/1.0 (the numeric mapping the plan names)
+      recency      doc_id / max(doc_id) (ingest-order proxy, one division)
+      relevance    min(1.0, overlap_count / 8) lexical query overlap
+      channel_fit  source -> channel (linkedin/blog/youtube by source
+                   index mod 3), fit band for the 'blog' target channel
+      success      sparse proven-success signal: only docs with id%7==0
+                   carry data ((id%3+1)/4); absent -> neutral 0 ("where
+                   data exists")
+
+    Scale: the feature projection is mapper-side over the merged set; the
+    only additions over the merge are a 1-row max-id broadcast and the
+    global top-k (TakeOrderedAndProject)."""
+    scored = scored_candidates(spark, sf_dir, query)
+    hit_t = "struct<provider:string,confidence:double>"
+    provs = F.array(
+        F.when(
+            F.col("id") % 2 == 0,
+            F.struct(F.lit("mem0").alias("provider"), F.col("confidence").alias("confidence")),
+        ).cast(hit_t),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.struct(
+                F.lit("supabase").alias("provider"),
+                F.greatest(F.lit(0.0), F.col("confidence") - F.lit(0.05)).alias("confidence"),
+            ),
+        ).cast(hit_t),
+    )
+    merged = (
+        scored.select("id", "content", "source", F.explode(provs).alias("hit"))
+        .filter(F.col("hit").isNotNull())
+        .select("id", "content", "source", F.col("hit.provider").alias("provider"),
+                F.col("hit.confidence").alias("confidence"))
+        .groupBy("id")
+        .agg(
+            F.max(F.struct("confidence", "provider")).alias("best"),
+            F.count(F.lit(1)).alias("n_providers"),
+            F.first("content").alias("content"),
+            F.first("source").alias("source"),
+        )
+        .select(
+            "id",
+            F.col("best.provider").alias("provider"),
+            F.col("best.confidence").alias("confidence"),
+            "n_providers", "content", "source",
+        )
+    )
+    mx = scored.agg(F.max("id").alias("max_id"))
+    conf_band = (
+        F.when(F.col("confidence") >= 0.8, F.lit("HIGH"))
+        .when(F.col("confidence") >= 0.6, F.lit("MEDIUM"))
+        .otherwise(F.lit("LOW"))
+    )
+    conf_score = (
+        F.when(F.col("conf_band") == "HIGH", F.lit(1.0))
+        .when(F.col("conf_band") == "MEDIUM", F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    recency = F.col("id").cast("double") / F.col("max_id").cast("double")
+    relevance = F.least(
+        F.lit(1.0),
+        overlap_count(query, F.col("content")).cast("double") / F.lit(8.0),
+    )
+    channel = (
+        F.when(F.substring("source", 4, 8).cast("int") % 3 == 0, F.lit("linkedin"))
+        .when(F.substring("source", 4, 8).cast("int") % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("youtube"))
+    )
+    fit = (
+        F.when(F.col("channel") == "blog", F.lit(1.0))
+        .when(F.col("channel") == "linkedin", F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    success = F.when(
+        F.col("id") % 7 == 0, ((F.col("id") % 3) + 1).cast("double") / F.lit(4.0)
+    )
+    w = _MP_W
+    score = (
+        F.lit(w[0]) * F.col("conf_score")
+        + F.lit(w[1]) * F.col("recency_score")
+        + F.lit(w[2]) * F.col("relevance_score")
+        + F.lit(w[3]) * F.col("channel_fit")
+        + F.lit(w[4]) * F.coalesce(F.col("success_signal"), F.lit(0.0))
+    )
+    feat = (
+        merged.crossJoin(F.broadcast(mx))
+        .withColumn("conf_band", conf_band)
+        .withColumn("conf_score", conf_score)
+        .withColumn("recency_score", recency)
+        .withColumn("relevance_score", relevance)
+        .withColumn("channel", channel)
+        .withColumn("channel_fit", fit)
+        .withColumn("success_signal", success)
+        .withColumn("rerank_score", score)
+    )
+    return (
+        feat.select(
+            "id", "provider", "n_providers", "conf_band", "conf_score",
+            "recency_score", "relevance_score", "channel", "channel_fit",
+            "success_signal", "rerank_score",
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles. The scoring CTE mirrors functions/text.py token-for-token:
 # whitespace-normalize -> lower -> split on single space -> distinct ->
@@ -734,6 +868,78 @@ FROM merged WHERE rn = 1
 ORDER BY confidence DESC, id ASC LIMIT {DEFAULT_TOP_K}
 """
 
+_CTOK_SQL = (
+    "list_distinct(string_split(regexp_replace(trim(lower(content)), "
+    "'\\s+', ' ', 'g'), ' '))"
+)
+
+# Exact mirror of the 5-criteria rerank: same merged set, same band maps
+# (exact-binary 0.25/0.5/1.0), same single-division features, and the
+# weighted sum written in the IDENTICAL left-associated IEEE order.
+_ORACLE_MULTI_RERANK = f"""
+WITH {_SCORED_CTE},
+mem0 AS (
+  SELECT id, content, source, confidence, 'mem0' AS provider
+  FROM scored WHERE id % 2 = 0
+),
+supa AS (
+  SELECT id, content, source, greatest(0.0, confidence - 0.05) AS confidence,
+         'supabase' AS provider
+  FROM scored WHERE id % 3 = 0
+),
+unioned AS (SELECT * FROM mem0 UNION ALL SELECT * FROM supa),
+merged AS (
+  SELECT id, content, source, confidence, provider,
+         count(*) OVER (PARTITION BY id) AS n_providers,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY confidence DESC, provider DESC) AS rn
+  FROM unioned
+),
+mx AS (SELECT max(id) AS max_id FROM scored),
+feat0 AS (
+  SELECT m.id, m.provider, m.n_providers, m.content, m.source,
+         m.confidence, mx.max_id
+  FROM merged m, mx WHERE m.rn = 1
+),
+feat1 AS (
+  SELECT id, provider, n_providers,
+         CASE WHEN confidence >= 0.8 THEN 'HIGH'
+              WHEN confidence >= 0.6 THEN 'MEDIUM' ELSE 'LOW' END AS conf_band,
+         CAST(id AS DOUBLE) / CAST(max_id AS DOUBLE) AS recency_score,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(len(list_intersect({_QTOK_SQL}, {_CTOK_SQL})) AS DOUBLE)
+               / CAST(8.0 AS DOUBLE)) AS relevance_score,
+         CASE (CAST(substr(source, 4, 8) AS INT) % 3)
+              WHEN 0 THEN 'linkedin' WHEN 1 THEN 'blog'
+              ELSE 'youtube' END AS channel,
+         CASE WHEN id % 7 = 0
+              THEN CAST((id % 3) + 1 AS DOUBLE) / CAST(4.0 AS DOUBLE)
+              END AS success_signal
+  FROM feat0
+),
+feat2 AS (
+  SELECT *,
+         CASE conf_band WHEN 'HIGH' THEN CAST(1.0 AS DOUBLE)
+              WHEN 'MEDIUM' THEN CAST(0.5 AS DOUBLE)
+              ELSE CAST(0.25 AS DOUBLE) END AS conf_score,
+         CASE channel WHEN 'blog' THEN CAST(1.0 AS DOUBLE)
+              WHEN 'linkedin' THEN CAST(0.5 AS DOUBLE)
+              ELSE CAST(0.25 AS DOUBLE) END AS channel_fit
+  FROM feat1
+)
+SELECT id, provider, n_providers, conf_band, conf_score, recency_score,
+       relevance_score, channel, channel_fit, success_signal,
+       CAST({_MP_W[0]} AS DOUBLE) * conf_score
+       + CAST({_MP_W[1]} AS DOUBLE) * recency_score
+       + CAST({_MP_W[2]} AS DOUBLE) * relevance_score
+       + CAST({_MP_W[3]} AS DOUBLE) * channel_fit
+       + CAST({_MP_W[4]} AS DOUBLE) * coalesce(success_signal,
+                                               CAST(0.0 AS DOUBLE))
+         AS rerank_score
+FROM feat2
+ORDER BY rerank_score DESC, id ASC LIMIT {MP_RERANK_TOP_K}
+"""
+
 SPECS = [
     QuerySpec(
         name="recall_multi_provider_merge",
@@ -741,6 +947,16 @@ SPECS = [
         oracle=_ORACLE_MULTI_MERGE,
         family="retrieval",
         description="real multi-store merge + dedupe + top-k (reference declares, engine delivers)",
+    ),
+    QuerySpec(
+        name="recall_multi_provider_rerank",
+        fn=recall_multi_provider_rerank,
+        oracle=_ORACLE_MULTI_RERANK,
+        family="retrieval",
+        description="5-criteria weighted rerank over the merged provider set "
+        "(confidence band / recency / query relevance / channel fit / sparse "
+        "success signal — the reference's planned-but-unbuilt reranking "
+        "layer, plan #1.md:196-202), hash-exact feature algebra",
     ),
     QuerySpec(
         name="recall_score_topk",

@@ -348,6 +348,7 @@ _CENSUS = [
     "recall_envelope_reranked",
     "recall_graph_khop",
     "recall_multi_provider_merge",
+    "recall_multi_provider_rerank",
     "recall_score_topk",
     "recall_summary_branch",
     "rollup_orders",
