@@ -375,6 +375,7 @@ _CENSUS = [
     "stream_foreachbatch_sink",
     "stream_late_data",
     "stream_dedup_ladder",
+    "stream_mv_maintenance",
     "stream_ohlc_bars",
     "stream_session_windows",
     "stream_sliding_avg",

@@ -242,3 +242,47 @@ def test_dedup_ladder_replay_suppressed(spark, ladder_indir):
     n_distinct = spark.read.parquet(ladder_indir).select("doc_id").distinct().count()
     assert out.count() == n_distinct
     assert out.groupBy("doc_id").count().filter("count > 1").isEmpty()
+
+
+@pytest.fixture(scope="module")
+def mv_indir(spark, sf_dir):
+    """The MV-maintenance changelog input (4 chronological slices + a
+    byte-identical replay of slice 2), torn down after the module."""
+    workdir = tempfile.mkdtemp(prefix="mv_state_")
+    yield J._mv_sliced_changelog(spark, sf_dir, workdir)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_mv_stream_state_bounded(spark, mv_indir):
+    """The MV stream's dedup rung must evict on watermark advance and never
+    hold the whole changelog — deltas are NOT idempotent, so this rung is
+    the exactly-once guarantee of the maintenance loop."""
+    agg = J._mv_stream(spark, mv_indir)
+    progress = _run_multibatch(spark, agg, "mv_state_probe")
+    ops = _state_ops(progress)
+    assert ops, "no stateful operator progress captured"
+    assert sum(op["numRowsRemoved"] for op in ops) > 0, (
+        "watermark never evicted MV dedup state"
+    )
+    n_rows = spark.read.parquet(mv_indir).select("key", "op").distinct().count()
+    peak = max(op["numRowsTotal"] for op in ops)
+    assert peak < n_rows, (
+        f"MV dedup state ({peak}) held the entire changelog ({n_rows})"
+    )
+
+
+def test_mv_stream_equals_batch_refresh(spark, sf_dir):
+    """Streaming delta-merge must equal the batch delta-merge operator
+    row-for-row (both are separately gated against the full-recompute
+    oracle; this pins them to each other directly)."""
+    from opencode_hive_archon_spark.operators.cdc import mv_incremental_refresh
+
+    got = {
+        (r["o_custkey"], r["n_orders"], r["total_price"])
+        for r in J.stream_mv_maintenance(spark, sf_dir).collect()
+    }
+    want = {
+        (r["o_custkey"], r["n_orders"], r["total_price"])
+        for r in mv_incremental_refresh(spark, sf_dir).collect()
+    }
+    assert got == want
