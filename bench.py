@@ -132,6 +132,36 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+# Reference calibration = the r9 probe steady state (BASELINE.md calibration
+# history table). value_normalized = value * (REF / current) for the
+# 32-thread Spark probe — the probe that matches the threaded workload —
+# so cross-round headline comparisons read off ONE number instead of
+# reconciling quiet-host vs loaded-host runs by hand (VERDICT r10 minor #4).
+# The single-thread numpy ratio is published alongside as a cross-check:
+# when the two ratios disagree by more than ~10% the host was anomalously
+# loaded and the normalized value carries that uncertainty.
+_REF_CALIBRATION = {
+    "numpy_matmul_1024_ms": 8.8,
+    "spark_range_sum_1e8_ms": 166.6,
+}
+
+
+def _normalized(value: float | None, calib: dict) -> dict:
+    out = {}
+    cur = calib.get("spark_range_sum_1e8_ms")
+    refs = _REF_CALIBRATION["spark_range_sum_1e8_ms"]
+    refn = _REF_CALIBRATION["numpy_matmul_1024_ms"]
+    if value is not None and cur:
+        out["value_normalized"] = round(value * refs / cur, 3)
+    if cur:
+        out["host_factor_spark"] = round(cur / refs, 3)
+    if calib.get("numpy_matmul_1024_ms"):
+        out["host_factor_numpy"] = round(
+            calib["numpy_matmul_1024_ms"] / refn, 3
+        )
+    return out
+
+
 def try_run(specs, name, spark, sf_dir, failures) -> float | None:
     """Run one query to completion; return elapsed seconds or None on error.
 
@@ -239,6 +269,8 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
+        **_normalized(total, calib),
+        "calibration": calib,
         "value_all_queries": total_all,
         "unit": "sec",
         "sf": sf,
@@ -264,6 +296,7 @@ def main() -> None:
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
+        **_normalized(total, calib),
         "value_all_queries": total_all,
         "unit": "sec",
         "sf": sf,
