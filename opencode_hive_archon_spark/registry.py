@@ -57,50 +57,44 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-10 ROTATION: after the r9 snapshot the only queries without a
-# driver-green row are (a) the 33 registered after the r9 window filled
-# (tests/test_contracts.py::_R10_PENDING) and (b) the two registered in the
-# final end-of-round commit (events_user_streaks, orders_open_backlog) — 35
-# total, all judge-verified exact at sf0.01 in VERDICT r9 but never inside a
-# driver window. They take the first 35 slots, so after this round the union
-# of driver snapshots covers the entire registry with zero judge-only gaps.
-# The remaining 15 slots are (c) the NINE queries ADDED during round 10
-# (tests/test_contracts.py::_R10_ADDED — each must reach the driver this
-# round, not rotate as next round's debt) and re-gates for the code path
-# round 10 touched: the quantized-cosine verify pudf's explicit-null
-# rewrite (similarity.py — dedup_embedding_cosine, ann_lsh_topk/recall,
-# ann_quantized_topk consume it). Displaced re-seats (recall_score_topk,
-# pricing_summary, dedup_exact/near/minhash, corpus_curation/
-# bpe_pair_stats/dedup_pipeline, stream_dedup, events_sessionize,
-# recall_graph_khop) all carry r7-r9 driver-green evidence.
+# ROUND-11 ROTATION (oldest-evidence-first, VERDICT r10 #3): after r10 the
+# union of driver snapshots covers the whole registry, so the window now
+# rotates onto the STALEST driver rows. Slots:
+#   (a) the FIVE queries ADDED during round 11
+#       (tests/test_contracts.py::_R11_ADDED) — never driver-snapshotted,
+#       must reach the driver this round, not rotate as next round's debt;
+#   (b) ALL 34 queries whose latest driver row is r7 (derived from the
+#       committed CORRECTNESS_r01..r10 artifacts — recall family, plandiff,
+#       scenario suite, core relational, quality gates);
+#   (c) 11 re-gates drawn from the OLDEST remaining evidence (r8 rows),
+#       preferring the modules round 11 touched (similarity.py's shared
+#       kmeans/LSH devices; textops.py's shared BPE loop).
+# After this round the max driver-row age anywhere in the registry is r8.
 _PRIORITY = [
-    # (a) registered after the r9 window filled, never driver-snapshotted
-    "corpus_shard_plan", "events_anomaly_zscore",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_potential_promotion",
-    "corpus_gopher_rules", "corpus_tfidf_topterms", "graph_pagerank",
-    "ann_pq_topk", "source_compaction_plan", "text_bigram_coverage",
-    "orders_rfm_segmentation", "graph_triangle_stats",
-    "udf_embed_batch_inference", "join_asof_nearest",
-    "events_ohlc_bars", "events_gapfill_locf", "events_state_intervals",
-    "agg_percentile_disc", "part_name_linkage", "events_attribution",
-    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
-    "stream_ohlc_bars", "orders_market_basket", "corpus_chunk_overlap",
-    "events_rolling_active_users", "orders_revenue_concentration",
-    "quality_constraint_suite", "source_cdc_diff", "catalog_column_stats",
-    # (b) registered in the r9 end-of-round commit, never snapshotted
-    "events_user_streaks", "orders_open_backlog",
-    # (c) re-gates: quantized-cosine explicit-null rewrite consumers ...
-    "embedding_random_projection",
-    "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
-    "ann_quantized_topk",
-    "embedding_kmeans_lloyd",
-    "events_time_weighted_avg", "events_grouping_sets",
-    # ... and flagship re-seats (all r7-r9 driver-green)
-    "mv_incremental_refresh", "corpus_vocab_growth",
-    "embedding_label_centroids",
-    "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
-    "events_session_overlap",
+    # (a) round-11 additions, never driver-snapshotted
+    "corpus_tokenize_trained", "ann_ivf_kmeans_topk",
+    "dedup_semantic_prune", "recall_multi_provider_rerank",
+    "stream_mv_maintenance",
+    # (b) every query whose latest driver row is r7
+    "recall_envelope",
+    "recall_summary_branch", "recall_envelope_reranked", "recall_compat",
+    "recall_multi_provider_merge",
+    "scenario_tag_filter", "scenario_replay", "scenario_forced_branches",
+    "plan_diff_metrics", "plan_diff_extract",
+    "scan_project_filter", "pricing_summary", "join_broadcast",
+    "join_shuffle", "join_range_bucketed", "join_asof_event_order",
+    "local_supplier_volume", "promo_revenue_share", "rollup_orders",
+    "window_rank_topk_per_group", "pivot_lineitem_status",
+    "events_sessionize", "agg_skew_salted", "q21_waiting_suppliers",
+    "similarity_topk", "multimodal_decode", "source_roundtrip_formats",
+    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
+    "agg_approx_distinct_error", "ann_ivf_recall",
+    "dedup_minhash_lsh_recall", "dedup_simhash_recall",
+    # (c) oldest-r8 re-gates from the round-11-touched modules
+    "similarity_join_labels", "ann_batch_topk", "ann_ivf_topk",
+    "text_token_stats", "text_quality_score", "text_langid",
+    "text_lang_profile", "text_repetition_stats", "text_fingerprint",
+    "text_rolling_fingerprint", "text_token_count",
 ]
 
 

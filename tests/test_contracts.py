@@ -117,104 +117,96 @@ class TestBranchProperties:
 #   r9:    round-8/9 additions + the r8 ERR row + the RocksDB-conf'd
 #          streaming family + re-gates (CORRECTNESS_r09: 48 pass / 2
 #          by-design rows-only)
-#   r10:   the 35 queries below — everything with no driver row anywhere
-#          in r1-r9 — plus 15 re-gates of round-10-touched paths.
-# After r10 the union of driver snapshots covers the entire registry.
+#   r10:   the 35 never-snapshotted queries + 15 re-gates; after r10 the
+#          union of driver snapshots covers the entire registry.
+#   r11:   oldest-evidence-first (VERDICT r10 #3): the 5 round-11
+#          additions + ALL 34 queries whose latest driver row is r7 + 11
+#          r8 re-gates from the round-11-touched modules. After r11 the
+#          max driver-row age anywhere in the registry is r8.
 
-# Queries with NO driver-green row going into round 10: the 33 registered
-# after the r9 window filled plus the two from the r9 end-of-round commit
-# (events_user_streaks, orders_open_backlog — ADVICE r9). All 35 were
-# judge-verified exact at sf0.01 in VERDICT r9; the r10 window turns that
-# into driver evidence.
-_R10_PENDING: set[str] = {
-    "agg_countmin_sketch",
-    "agg_histogram",
-    "agg_kmv_distinct",
-    "agg_percentile_disc",
-    "ann_pq_topk",
-    "catalog_column_stats",
-    "corpus_chunk_overlap",
-    "corpus_gopher_rules",
-    "corpus_shard_plan",
-    "corpus_tfidf_topterms",
-    "events_anomaly_zscore",
-    "events_attribution",
-    "events_gapfill_locf",
-    "events_ohlc_bars",
-    "events_rolling_active_users",
-    "events_state_intervals",
-    "events_user_streaks",
-    "graph_pagerank",
-    "graph_triangle_stats",
-    "join_asof_nearest",
-    "orders_market_basket",
-    "orders_open_backlog",
-    "orders_revenue_concentration",
-    "orders_rfm_segmentation",
-    "part_name_linkage",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_potential_promotion",
-    "q2_min_cost_supplier",
-    "quality_constraint_suite",
-    "source_cdc_diff",
-    "source_compaction_plan",
-    "stream_ohlc_bars",
-    "text_bigram_coverage",
-    "udf_embed_batch_inference",
-}
-
-
-# Queries REGISTERED during round 10: they must occupy window slots so
+# Queries REGISTERED during round 11: they must occupy window slots so
 # they reach the driver this round instead of becoming rotation debt.
-_R10_ADDED: set[str] = {
-    "corpus_tokenize_ids", "corpus_bpe_train", "stream_dedup_ladder",
-    "events_session_overlap", "mv_incremental_refresh",
-    "embedding_random_projection", "events_time_weighted_avg",
-    "events_grouping_sets", "corpus_vocab_growth", "embedding_label_centroids",
-    "embedding_kmeans_lloyd",
+_R11_ADDED: set[str] = {
+    "corpus_tokenize_trained", "ann_ivf_kmeans_topk",
+    "dedup_semantic_prune", "recall_multi_provider_rerank",
+    "stream_mv_maintenance",
 }
 
-# The pinned re-gate slots of the r10 window: consumers of the quantized-
-# cosine explicit-null rewrite (similarity.py), companions of the round-10
-# additions, and flagship re-seats — every one carries r1-r9 driver-green
+# Every query whose LATEST driver correctness row is r7 — derived from the
+# committed CORRECTNESS_r01..r10 artifacts (max round containing each
+# name), not hand-maintained intuition. All 34 must be in the r11 window
+# so no r7-aged evidence survives the round.
+_R11_STALE_R7: set[str] = {
+    "agg_approx_distinct_error", "agg_skew_salted", "ann_ivf_recall",
+    "dedup_minhash_lsh_recall", "dedup_simhash_recall", "events_sessionize",
+    "join_asof_event_order", "join_broadcast", "join_range_bucketed",
+    "join_shuffle", "local_supplier_volume", "multimodal_decode",
+    "pivot_lineitem_status", "plan_diff_extract", "plan_diff_metrics",
+    "pricing_summary", "promo_revenue_share", "q21_waiting_suppliers",
+    "recall_compat", "recall_envelope", "recall_envelope_reranked",
+    "recall_multi_provider_merge", "recall_summary_branch", "rollup_orders",
+    "scan_project_filter", "scenario_forced_branches", "scenario_replay",
+    "scenario_tag_filter", "similarity_topk", "source_roundtrip_formats",
+    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
+    "window_rank_topk_per_group",
+}
+
+# The 11 r8 re-gate slots: oldest remaining evidence, drawn from the
+# modules round 11 touched (similarity.py's shared kmeans/LSH devices,
+# textops.py's shared BPE loop) — every one carries r8 driver-green
 # evidence already.
-_R10_REGATES: set[str] = {
-    "dedup_embedding_cosine", "ann_lsh_recall", "ann_lsh_topk",
-    "ann_quantized_topk",
-    "corpus_dedup_pipeline",
-    "recall_score_topk", "pricing_summary", "dedup_exact", "dedup_near",
-    "dedup_minhash_lsh",
+_R11_REGATES: set[str] = {
+    "similarity_join_labels", "ann_batch_topk", "ann_ivf_topk",
+    "text_token_stats", "text_quality_score", "text_langid",
+    "text_lang_profile", "text_repetition_stats", "text_fingerprint",
+    "text_rolling_fingerprint", "text_token_count",
 }
 
 
 def test_priority_window_contents():
-    """Round-10 rotation pin: the window is exactly 50 deep, leads with
-    every query that has never produced a driver correctness row
-    (_R10_PENDING — after this round the union of driver snapshots covers
-    the whole registry), and fills the remaining slots with re-gates of
-    already-gated queries. A query registered during round 10 must be added
-    BOTH here and to the window, or this test fails naming it."""
+    """Round-11 rotation pin: the window is exactly 50 deep, leads with the
+    round-11 additions (never driver-snapshotted), carries EVERY query
+    whose latest driver row is r7, and fills the rest with pinned r8
+    re-gates. A query registered during round 11 must be added BOTH here
+    and to the window, or this test fails naming it."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     assert len(_PRIORITY) == 50
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    missing = _R10_PENDING - set(window)
-    assert not missing, f"never-snapshotted queries outside the r10 window: {missing}"
-    # Every non-pending slot is an EXPLICITLY pinned re-gate (round-10-
-    # touched code paths + flagship re-seats, all r1-r9 driver-green) or a
-    # query registered during round 10 (_R10_ADDED — must reach the driver
-    # this round, not rotate as next round's debt).
-    regates = set(window) - _R10_PENDING - _R10_ADDED
-    assert regates <= _R10_REGATES, (
-        f"window slots that are neither pending, round-10-added, nor pinned "
-        f"re-gates: {sorted(regates - _R10_REGATES)}"
+    assert _R11_ADDED <= set(window), (
+        f"round-11 additions outside the window: {sorted(_R11_ADDED - set(window))}"
     )
-    assert _R10_ADDED <= set(window), (
-        f"round-10 additions outside the window: {sorted(_R10_ADDED - set(window))}"
+    missing = _R11_STALE_R7 - set(window)
+    assert not missing, f"r7-aged queries outside the r11 window: {missing}"
+    # Every remaining slot is an explicitly pinned r8 re-gate.
+    extra = set(window) - _R11_ADDED - _R11_STALE_R7
+    assert extra <= _R11_REGATES, (
+        f"window slots that are neither round-11-added, r7-aged, nor pinned "
+        f"r8 re-gates: {sorted(extra - _R11_REGATES)}"
     )
+
+
+def test_r11_window_is_oldest_evidence_first():
+    """The rotation CLAIM, checked against the artifacts of record: every
+    registry query outside the r11 window has a driver row in
+    CORRECTNESS_r08..r10 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r8."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p).group(1))
+        for name in json.load(open(p)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
+
+    outside = [n for n in all_specs() if n not in set(_PRIORITY)]
+    aged = sorted(n for n in outside if latest.get(n, 0) < 8)
+    assert not aged, f"queries outside the window with pre-r8 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff
