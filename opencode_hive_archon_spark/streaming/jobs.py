@@ -913,14 +913,155 @@ def _mv_stream(spark: SparkSession, indir: str) -> DataFrame:
     )
 
 
+N_MV_BUCKETS = 16
+"""Hash-bucket fan-out of the persistent MV. Locally 16; at production
+scale this is sized so one bucket ~ one task's worth of MV rows (e.g.
+4096 buckets for a 10^9-customer MV), making per-batch merge cost
+O(batch churn + rows in AFFECTED buckets), not O(|MV|)."""
+
+
+def _mv_bucket(col):
+    """Deterministic customer->bucket assignment (shared by seed, delta,
+    and merge so a customer's row always lives in exactly one bucket)."""
+    return F.pmod(F.xxhash64(col), F.lit(N_MV_BUCKETS)).cast("int")
+
+
+def _mv_manifest_path(mv_dir: str, version: str) -> str:
+    return os.path.join(mv_dir, f"manifest_{version}.json")
+
+
+def _mv_write_manifest(mv_dir: str, version: str, mapping: dict) -> None:
+    """bucket -> version-dir map, written tmp+rename so readers never see
+    a torn manifest (the parquet-dir analogue of a Delta log commit)."""
+    import json
+
+    path = _mv_manifest_path(mv_dir, version)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({str(k): v for k, v in mapping.items()}, fh)
+    os.replace(tmp, path)
+
+
+def _mv_read_manifest(mv_dir: str, version: str) -> dict:
+    import json
+
+    with open(_mv_manifest_path(mv_dir, version)) as fh:
+        return {int(k): v for k, v in json.load(fh).items()}
+
+
+def _mv_prev_manifest(mv_dir: str, batch_id: int) -> dict:
+    """The manifest a (re-)run of ``batch_id`` must merge against: the
+    highest committed manifest BELOW batch_id, falling back to the seed.
+    Keyed by batch_id — never by mutable driver state — so a retry of the
+    same batch_id always reads the same prev even if the failed attempt
+    already wrote its v{batch_id} files (ADVICE r11 #1)."""
+    best = -1
+    for name in os.listdir(mv_dir):
+        if name.startswith("manifest_v") and name.endswith(".json"):
+            bid = int(name[len("manifest_v"):-len(".json")])
+            if bid < batch_id:
+                best = max(best, bid)
+    return _mv_read_manifest(mv_dir, f"v{best}" if best >= 0 else "seed")
+
+
+def _mv_read_buckets(spark: SparkSession, mv_dir: str, manifest: dict,
+                     buckets: list) -> DataFrame:
+    """Partition-pruned read of just ``buckets`` from wherever the
+    manifest says each bucket's latest data lives."""
+    by_ver: dict[str, list] = {}
+    for b in buckets:
+        by_ver.setdefault(manifest[b], []).append(b)
+    parts = [
+        spark.read.parquet(os.path.join(mv_dir, ver))
+        .where(F.col("bucket").isin(bks))
+        for ver, bks in sorted(by_ver.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mv_merge_batch(spark: SparkSession, mv_dir: str, bdf: DataFrame,
+                    batch_id: int) -> None:
+    """One churn-proportional MERGE of a changelog micro-batch into the
+    bucketed MV: read ONLY the buckets the batch touches (manifest lookup
+    + partition pruning), merge, write ONLY those buckets into
+    v{batch_id}, commit a new manifest. Untouched buckets' files are
+    never rewritten — they stay byte-identical in their old version dirs
+    (pinned by tests/test_streaming_state.py::test_mv_merge_churn_
+    proportional). Deterministic retry: prev comes from
+    _mv_prev_manifest(batch_id), so re-running a batch after a crash
+    between the parquet write and the checkpoint commit recomputes the
+    identical v{batch_id} instead of double-applying the delta."""
+    delta = (
+        bdf.groupBy("o_custkey")
+        .agg(
+            F.sum("dn").cast("long").alias("n_orders"),
+            F.sum("dp").cast("decimal(18,2)").alias("total"),
+        )
+        .withColumn("bucket", _mv_bucket(F.col("o_custkey")))
+    )
+    prev_manifest = _mv_prev_manifest(mv_dir, batch_id)
+    # Affected-bucket set: bounded by N_MV_BUCKETS, a metadata-sized
+    # collect (at production scale: thousands of ints, still tiny).
+    affected = sorted(
+        r["bucket"] for r in delta.select("bucket").distinct().collect()
+    )
+    manifest = dict(prev_manifest)
+    if affected:
+        prev = _mv_read_buckets(spark, mv_dir, prev_manifest, affected)
+        merged = (
+            prev.select("o_custkey", "n_orders", "total", "bucket")
+            .unionByName(delta)
+            .groupBy("o_custkey", "bucket")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("total").cast("decimal(18,2)").alias("total"),
+            )
+        )
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(mv_dir, f"v{batch_id}")
+        )
+        for b in affected:
+            manifest[b] = f"v{batch_id}"
+    _mv_write_manifest(mv_dir, f"v{batch_id}", manifest)
+
+
+def _mv_seed(spark: SparkSession, sf_dir: str, mv_dir: str) -> None:
+    seed_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    seed = (
+        seed_orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .withColumn("bucket", _mv_bucket(F.col("o_custkey")))
+    )
+    seed.write.partitionBy("bucket").mode("overwrite").parquet(
+        os.path.join(mv_dir, "seed")
+    )
+    _mv_write_manifest(mv_dir, "seed",
+                       {b: "seed" for b in range(N_MV_BUCKETS)})
+
+
+def _mv_latest_manifest(mv_dir: str) -> dict:
+    """The manifest of the highest committed batch (seed if none ran)."""
+    return _mv_prev_manifest(mv_dir, 1 << 62)
+
+
 def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming leg of ``mv_incremental_refresh`` (VERDICT r10 #8): the
     per-customer aggregate MV is maintained INCREMENTALLY from the CDC
     changelog stream — micro-batches of I/U/D delta rows (plus a replayed
-    at-least-once slice) merge into a versioned persistent MV table via
-    foreachBatch:
+    at-least-once slice) merge into a persistent hash-bucketed MV table
+    via foreachBatch:
 
-        mv' = (mv ∪ batch groupBy custkey -> (Σdn, Σdp))
+        mv' = (mv[affected buckets] ∪ batch groupBy custkey -> (Σdn, Σdp))
               groupBy custkey -> (Σ, Σ)
 
     Sums are associative+commutative (counts long, money DECIMAL(18,2)),
@@ -928,46 +1069,33 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECOMPUTE over the mutated snapshot, the identical SQL
     mv_incremental_refresh is gated on — is an exact check: streaming
     delta-merge ≡ batch delta-merge ≡ recompute. Per-batch cost is
-    O(batch churn + affected groups); at production scale the foreachBatch
-    body is a MERGE INTO against a Delta/Iceberg MV table. The versioned
-    v{batch_id} overwrite makes a batch RETRY idempotent (same device as
-    stream_dedup_ladder)."""
+    O(batch churn + rows in affected buckets): the MV is partitioned by a
+    customer hash-bucket (N_MV_BUCKETS), each batch reads only the
+    buckets its delta touches (manifest lookup + partition pruning) and
+    writes only those buckets into v{batch_id}; a batch_id-keyed manifest
+    maps bucket -> latest version dir. Untouched buckets are never read
+    or rewritten — the parquet analogue of MERGE INTO on a Delta/Iceberg
+    MV, which is the production swap. Retry is idempotent because prev
+    resolves from the manifest BELOW batch_id, never from mutable driver
+    state (_mv_merge_batch).
+
+    Exactly-once over the at-least-once source is two complementary
+    rungs, both load-bearing: a redelivered row that is still WITHIN the
+    watermark is dropped by dropDuplicatesWithinWatermark's (key, op)
+    state; one that arrives BELOW the watermark (as the replayed slice 2
+    does here — its event times sit ~1e9 s behind the watermark the
+    slice-4 CDC insert keys advanced) is dropped by the late-data filter
+    before the dedup state is even consulted (ADVICE r11 #2;
+    tests/test_streaming_state.py asserts numRowsDroppedByWatermark > 0
+    for the replay batch)."""
     workdir = tempfile.mkdtemp(prefix="mv_stream_")
     mv_dir = os.path.join(workdir, "mv")
     ckpt = os.path.join(workdir, "ckpt")
-    seed_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey", "o_totalprice"
-    )
-    seed = seed_orders.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("total"),
-    )
-    seed.write.mode("overwrite").parquet(os.path.join(mv_dir, "seed"))
-    state = {"version": "seed"}
+    _mv_seed(spark, sf_dir, mv_dir)
 
     def merge_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf = bdf.localCheckpoint(eager=True)  # cut streaming lineage
-        delta = bdf.groupBy("o_custkey").agg(
-            F.sum("dn").cast("long").alias("n_orders"),
-            F.sum("dp").cast("decimal(18,2)").alias("total"),
-        )
-        prev = bdf.sparkSession.read.parquet(
-            os.path.join(mv_dir, state["version"])
-        )
-        merged = (
-            prev.unionByName(delta)
-            .groupBy("o_custkey")
-            .agg(
-                F.sum("n_orders").cast("long").alias("n_orders"),
-                F.sum("total").cast("decimal(18,2)").alias("total"),
-            )
-        )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(mv_dir, f"v{batch_id}")
-        )
-        state["version"] = f"v{batch_id}"
+        _mv_merge_batch(bdf.sparkSession, mv_dir, bdf, batch_id)
 
     try:
         indir = _mv_sliced_changelog(spark, sf_dir, workdir)
@@ -982,7 +1110,10 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        final = spark.read.parquet(os.path.join(mv_dir, state["version"]))
+        manifest = _mv_latest_manifest(mv_dir)
+        final = _mv_read_buckets(
+            spark, mv_dir, manifest, sorted(set(manifest))
+        ).drop("bucket")
         out = (
             final.where(F.col("n_orders") > 0)
             .select(
