@@ -57,44 +57,39 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-11 ROTATION (oldest-evidence-first, VERDICT r10 #3): after r10 the
-# union of driver snapshots covers the whole registry, so the window now
-# rotates onto the STALEST driver rows. Slots:
-#   (a) the FIVE queries ADDED during round 11
-#       (tests/test_contracts.py::_R11_ADDED) — never driver-snapshotted,
-#       must reach the driver this round, not rotate as next round's debt;
-#   (b) ALL 34 queries whose latest driver row is r7 (derived from the
-#       committed CORRECTNESS_r01..r10 artifacts — recall family, plandiff,
-#       scenario suite, core relational, quality gates);
-#   (c) 11 re-gates drawn from the OLDEST remaining evidence (r8 rows),
-#       preferring the modules round 11 touched (similarity.py's shared
-#       kmeans/LSH devices; textops.py's shared BPE loop).
-# After this round the max driver-row age anywhere in the registry is r8.
+# ROUND-13 ROTATION (oldest-evidence-first, VERDICT r12 task #1): the r12
+# driver window re-gated r11's exact 50, so the stalest evidence is now the
+# r8-aged set. Slots:
+#   (a) ALL 33 queries whose latest driver row is r8 (derived from the
+#       committed CORRECTNESS_r01..r12 artifacts — approx aggs, multimodal
+#       Arrow paths, core relational set ops, sources, TPC-H q3/q18);
+#   (b) 17 re-gates drawn from the OLDEST remaining evidence (r9 rows),
+#       preferring the modules round 13 touches (streaming/jobs.py's MV
+#       manifest GC reshapes the foreachBatch machinery the stream family
+#       shares; dedup.py feeds the semantic-prune/greedy work).
+# After this round the max driver-row age anywhere in the registry is r9.
 _PRIORITY = [
-    # (a) round-11 additions, never driver-snapshotted
-    "corpus_tokenize_trained", "ann_ivf_kmeans_topk",
-    "dedup_semantic_prune", "recall_multi_provider_rerank",
-    "stream_mv_maintenance",
-    # (b) every query whose latest driver row is r7
-    "recall_envelope",
-    "recall_summary_branch", "recall_envelope_reranked", "recall_compat",
-    "recall_multi_provider_merge",
-    "scenario_tag_filter", "scenario_replay", "scenario_forced_branches",
-    "plan_diff_metrics", "plan_diff_extract",
-    "scan_project_filter", "pricing_summary", "join_broadcast",
-    "join_shuffle", "join_range_bucketed", "join_asof_event_order",
-    "local_supplier_volume", "promo_revenue_share", "rollup_orders",
-    "window_rank_topk_per_group", "pivot_lineitem_status",
-    "events_sessionize", "agg_skew_salted", "q21_waiting_suppliers",
-    "similarity_topk", "multimodal_decode", "source_roundtrip_formats",
-    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
-    "agg_approx_distinct_error", "ann_ivf_recall",
-    "dedup_minhash_lsh_recall", "dedup_simhash_recall",
-    # (c) oldest-r8 re-gates from the round-11-touched modules
-    "similarity_join_labels", "ann_batch_topk", "ann_ivf_topk",
-    "text_token_stats", "text_quality_score", "text_langid",
-    "text_lang_profile", "text_repetition_stats", "text_fingerprint",
-    "text_rolling_fingerprint", "text_token_count",
+    # (a) every query whose latest driver row is r8
+    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
+    "array_ops_embeddings", "catalog_roundtrip", "corpus_domain_cap",
+    "corpus_train_val_split", "cube_events", "dedup_minhash_lsh",
+    "dedup_simhash", "grouping_sets_orders", "join_asof_pandas",
+    "join_outer_coalesce", "join_semi_anti", "json_extract_events",
+    "multimodal_decode_arrow", "multimodal_join", "multimodal_meta_profile",
+    "multimodal_resize_plan", "plan_diff_extracted_metrics",
+    "q18_large_orders", "q3_shipping_priority", "recall_graph_khop",
+    "scalar_string_date_math", "scalar_subquery_orders", "set_ops",
+    "sort_multi_limit", "source_bucketed_join", "source_partitioned_pruning",
+    "sql_pricing_summary", "unpivot_lineitem_status", "window_moving_avg",
+    "window_running",
+    # (b) oldest-r9 re-gates from the round-13-touched modules
+    "stream_dedup", "stream_foreachbatch_sink", "stream_late_data",
+    "stream_session_windows", "stream_sliding_avg",
+    "stream_stateful_user_stats", "stream_static_join", "stream_stream_join",
+    "stream_tumbling_counts",
+    "dedup_exact", "dedup_near", "dedup_ngram_jaccard", "dedup_clusters",
+    "corpus_dedup_pipeline", "corpus_decontaminate", "corpus_span_dedup",
+    "text_rarity_score",
 ]
 
 

@@ -123,51 +123,49 @@ class TestBranchProperties:
 #          additions + ALL 34 queries whose latest driver row is r7 + 11
 #          r8 re-gates from the round-11-touched modules. After r11 the
 #          max driver-row age anywhere in the registry is r8.
+#   r12:   short round — re-gated r11's exact 50 (no rotation).
+#   r13:   ALL 33 queries whose latest driver row is r8 + 17 r9 re-gates
+#          from the round-13-touched modules (streaming/jobs.py MV GC,
+#          dedup.py). After r13 the max driver-row age is r9.
 
-# Queries REGISTERED during round 11: they must occupy window slots so
-# they reach the driver this round instead of becoming rotation debt.
-_R11_ADDED: set[str] = {
-    "corpus_tokenize_trained", "ann_ivf_kmeans_topk",
-    "dedup_semantic_prune", "recall_multi_provider_rerank",
-    "stream_mv_maintenance",
+# Every query whose LATEST driver correctness row is r8 — derived from the
+# committed CORRECTNESS_r01..r12 artifacts (max round containing each
+# name), not hand-maintained intuition. All 33 must be in the r13 window
+# so no r8-aged evidence survives the round.
+_R13_STALE_R8: set[str] = {
+    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
+    "array_ops_embeddings", "catalog_roundtrip", "corpus_domain_cap",
+    "corpus_train_val_split", "cube_events", "dedup_minhash_lsh",
+    "dedup_simhash", "grouping_sets_orders", "join_asof_pandas",
+    "join_outer_coalesce", "join_semi_anti", "json_extract_events",
+    "multimodal_decode_arrow", "multimodal_join", "multimodal_meta_profile",
+    "multimodal_resize_plan", "plan_diff_extracted_metrics",
+    "q18_large_orders", "q3_shipping_priority", "recall_graph_khop",
+    "scalar_string_date_math", "scalar_subquery_orders", "set_ops",
+    "sort_multi_limit", "source_bucketed_join", "source_partitioned_pruning",
+    "sql_pricing_summary", "unpivot_lineitem_status", "window_moving_avg",
+    "window_running",
 }
 
-# Every query whose LATEST driver correctness row is r7 — derived from the
-# committed CORRECTNESS_r01..r10 artifacts (max round containing each
-# name), not hand-maintained intuition. All 34 must be in the r11 window
-# so no r7-aged evidence survives the round.
-_R11_STALE_R7: set[str] = {
-    "agg_approx_distinct_error", "agg_skew_salted", "ann_ivf_recall",
-    "dedup_minhash_lsh_recall", "dedup_simhash_recall", "events_sessionize",
-    "join_asof_event_order", "join_broadcast", "join_range_bucketed",
-    "join_shuffle", "local_supplier_volume", "multimodal_decode",
-    "pivot_lineitem_status", "plan_diff_extract", "plan_diff_metrics",
-    "pricing_summary", "promo_revenue_share", "q21_waiting_suppliers",
-    "recall_compat", "recall_envelope", "recall_envelope_reranked",
-    "recall_multi_provider_merge", "recall_summary_branch", "rollup_orders",
-    "scan_project_filter", "scenario_forced_branches", "scenario_replay",
-    "scenario_tag_filter", "similarity_topk", "source_roundtrip_formats",
-    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
-    "window_rank_topk_per_group",
-}
-
-# The 11 r8 re-gate slots: oldest remaining evidence, drawn from the
-# modules round 11 touched (similarity.py's shared kmeans/LSH devices,
-# textops.py's shared BPE loop) — every one carries r8 driver-green
-# evidence already.
-_R11_REGATES: set[str] = {
-    "similarity_join_labels", "ann_batch_topk", "ann_ivf_topk",
-    "text_token_stats", "text_quality_score", "text_langid",
-    "text_lang_profile", "text_repetition_stats", "text_fingerprint",
-    "text_rolling_fingerprint", "text_token_count",
+# The 17 r9 re-gate slots: oldest remaining evidence, drawn from the
+# modules round 13 touches (streaming/jobs.py's MV-manifest GC reshapes
+# the shared foreachBatch machinery; dedup.py feeds the semantic-prune
+# work) — every one carries r9 driver-green evidence already.
+_R13_REGATES: set[str] = {
+    "stream_dedup", "stream_foreachbatch_sink", "stream_late_data",
+    "stream_session_windows", "stream_sliding_avg",
+    "stream_stateful_user_stats", "stream_static_join", "stream_stream_join",
+    "stream_tumbling_counts",
+    "dedup_exact", "dedup_near", "dedup_ngram_jaccard", "dedup_clusters",
+    "corpus_dedup_pipeline", "corpus_decontaminate", "corpus_span_dedup",
+    "text_rarity_score",
 }
 
 
 def test_priority_window_contents():
-    """Round-11 rotation pin: the window is exactly 50 deep, leads with the
-    round-11 additions (never driver-snapshotted), carries EVERY query
-    whose latest driver row is r7, and fills the rest with pinned r8
-    re-gates. A query registered during round 11 must be added BOTH here
+    """Round-13 rotation pin: the window is exactly 50 deep, carries EVERY
+    query whose latest driver row is r8, and fills the rest with pinned r9
+    re-gates. A query registered during round 13 must be added BOTH here
     and to the window, or this test fails naming it."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
@@ -175,24 +173,21 @@ def test_priority_window_contents():
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    assert _R11_ADDED <= set(window), (
-        f"round-11 additions outside the window: {sorted(_R11_ADDED - set(window))}"
-    )
-    missing = _R11_STALE_R7 - set(window)
-    assert not missing, f"r7-aged queries outside the r11 window: {missing}"
-    # Every remaining slot is an explicitly pinned r8 re-gate.
-    extra = set(window) - _R11_ADDED - _R11_STALE_R7
-    assert extra <= _R11_REGATES, (
-        f"window slots that are neither round-11-added, r7-aged, nor pinned "
-        f"r8 re-gates: {sorted(extra - _R11_REGATES)}"
+    missing = _R13_STALE_R8 - set(window)
+    assert not missing, f"r8-aged queries outside the r13 window: {missing}"
+    # Every remaining slot is an explicitly pinned r9 re-gate.
+    extra = set(window) - _R13_STALE_R8
+    assert extra <= _R13_REGATES, (
+        f"window slots that are neither r8-aged nor pinned r9 re-gates: "
+        f"{sorted(extra - _R13_REGATES)}"
     )
 
 
-def test_r11_window_is_oldest_evidence_first():
+def test_r13_window_is_oldest_evidence_first():
     """The rotation CLAIM, checked against the artifacts of record: every
-    registry query outside the r11 window has a driver row in
-    CORRECTNESS_r08..r10 — i.e. after this round's snapshot lands, no
-    driver evidence anywhere is older than r8."""
+    registry query outside the r13 window has a driver row in
+    CORRECTNESS_r09..r12 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r9."""
     import glob
     import json
     import re
@@ -205,8 +200,8 @@ def test_r11_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    aged = sorted(n for n in outside if latest.get(n, 0) < 8)
-    assert not aged, f"queries outside the window with pre-r8 evidence: {aged}"
+    aged = sorted(n for n in outside if latest.get(n, 0) < 9)
+    assert not aged, f"queries outside the window with pre-r9 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff
