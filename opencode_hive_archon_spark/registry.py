@@ -57,39 +57,39 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-13 ROTATION (oldest-evidence-first, VERDICT r12 task #1): the r12
-# driver window re-gated r11's exact 50, so the stalest evidence is now the
-# r8-aged set. Slots:
-#   (a) ALL 33 queries whose latest driver row is r8 (derived from the
-#       committed CORRECTNESS_r01..r12 artifacts — approx aggs, multimodal
-#       Arrow paths, core relational set ops, sources, TPC-H q3/q18);
-#   (b) 17 re-gates drawn from the OLDEST remaining evidence (r9 rows),
-#       preferring the modules round 13 touches (streaming/jobs.py's MV
-#       manifest GC reshapes the foreachBatch machinery the stream family
-#       shares; dedup.py feeds the semantic-prune/greedy work).
-# After this round the max driver-row age anywhere in the registry is r9.
+# ROUND-14 ROTATION (oldest-evidence-first, VERDICT r13 task #2): after the
+# r13 snapshot the stalest evidence is the r9-aged set. Slots:
+#   (a) ALL 30 queries whose latest driver row is r9 (derived from the
+#       committed CORRECTNESS_r01..r13 artifacts — sampling/corpus family,
+#       events funnel/path/retention, mid-suite TPC-H, sources, zorder);
+#   (b) 20 re-gates drawn from the OLDEST remaining evidence (r10 rows),
+#       preferring the modules round 14 touches (similarity.py's IVF
+#       trainer unification + semantic-prune greedy rework; the MV/CDC
+#       manifest family behind streaming/jobs.py's bucket-read guard).
+# After this round the max driver-row age anywhere in the registry is r10.
 _PRIORITY = [
-    # (a) every query whose latest driver row is r8
-    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
-    "array_ops_embeddings", "catalog_roundtrip", "corpus_domain_cap",
-    "corpus_train_val_split", "cube_events", "dedup_minhash_lsh",
-    "dedup_simhash", "grouping_sets_orders", "join_asof_pandas",
-    "join_outer_coalesce", "join_semi_anti", "json_extract_events",
-    "multimodal_decode_arrow", "multimodal_join", "multimodal_meta_profile",
-    "multimodal_resize_plan", "plan_diff_extracted_metrics",
-    "q18_large_orders", "q3_shipping_priority", "recall_graph_khop",
-    "scalar_string_date_math", "scalar_subquery_orders", "set_ops",
-    "sort_multi_limit", "source_bucketed_join", "source_partitioned_pruning",
-    "sql_pricing_summary", "unpivot_lineitem_status", "window_moving_avg",
-    "window_running",
-    # (b) oldest-r9 re-gates from the round-13-touched modules
-    "stream_dedup", "stream_foreachbatch_sink", "stream_late_data",
-    "stream_session_windows", "stream_sliding_avg",
-    "stream_stateful_user_stats", "stream_static_join", "stream_stream_join",
-    "stream_tumbling_counts",
-    "dedup_exact", "dedup_near", "dedup_ngram_jaccard", "dedup_clusters",
-    "corpus_dedup_pipeline", "corpus_decontaminate", "corpus_span_dedup",
-    "text_rarity_score",
+    # (a) every query whose latest driver row is r9
+    "agg_heavy_hitters", "corpus_bpe_pair_stats", "corpus_curation",
+    "corpus_importance_sample", "corpus_pack_sequences",
+    "corpus_pretraining_pipeline", "corpus_stratified_sample",
+    "events_funnel", "events_path_analysis", "events_retention",
+    "join_skew_salted", "multimodal_frame_sample", "multimodal_frame_table",
+    "q10_returned_items", "q12_shipmode_priority", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "recall_score_topk",
+    "source_schema_evolution", "source_upsert_pattern", "source_zorder_layout",
+    "window_analytics",
+    # (b) oldest-r10 re-gates from the round-14-touched modules
+    "ann_lsh_recall", "ann_lsh_topk", "ann_pq_topk", "ann_quantized_topk",
+    "dedup_embedding_cosine", "embedding_kmeans_lloyd",
+    "embedding_label_centroids", "embedding_random_projection",
+    "stream_dedup_ladder", "stream_ohlc_bars",
+    "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
+    "graph_pagerank", "graph_triangle_stats", "udf_embed_batch_inference",
+    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "source_compaction_plan",
 ]
 
 

@@ -127,45 +127,50 @@ class TestBranchProperties:
 #   r13:   ALL 33 queries whose latest driver row is r8 + 17 r9 re-gates
 #          from the round-13-touched modules (streaming/jobs.py MV GC,
 #          dedup.py). After r13 the max driver-row age is r9.
+#   r14:   ALL 30 queries whose latest driver row is r9 + 20 r10 re-gates
+#          from the round-14-touched modules (similarity.py, MV/CDC).
+#          After r14 the max driver-row age is r10.
 
-# Every query whose LATEST driver correctness row is r8 — derived from the
-# committed CORRECTNESS_r01..r12 artifacts (max round containing each
-# name), not hand-maintained intuition. All 33 must be in the r13 window
-# so no r8-aged evidence survives the round.
-_R13_STALE_R8: set[str] = {
-    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
-    "array_ops_embeddings", "catalog_roundtrip", "corpus_domain_cap",
-    "corpus_train_val_split", "cube_events", "dedup_minhash_lsh",
-    "dedup_simhash", "grouping_sets_orders", "join_asof_pandas",
-    "join_outer_coalesce", "join_semi_anti", "json_extract_events",
-    "multimodal_decode_arrow", "multimodal_join", "multimodal_meta_profile",
-    "multimodal_resize_plan", "plan_diff_extracted_metrics",
-    "q18_large_orders", "q3_shipping_priority", "recall_graph_khop",
-    "scalar_string_date_math", "scalar_subquery_orders", "set_ops",
-    "sort_multi_limit", "source_bucketed_join", "source_partitioned_pruning",
-    "sql_pricing_summary", "unpivot_lineitem_status", "window_moving_avg",
-    "window_running",
+# Every query whose LATEST driver correctness row is r9 — derived from the
+# committed CORRECTNESS_r01..r13 artifacts (max round containing each
+# name), not hand-maintained intuition. All 30 must be in the r14 window
+# so no r9-aged evidence survives the round.
+_R14_STALE_R9: set[str] = {
+    "agg_heavy_hitters", "corpus_bpe_pair_stats", "corpus_curation",
+    "corpus_importance_sample", "corpus_pack_sequences",
+    "corpus_pretraining_pipeline", "corpus_stratified_sample",
+    "events_funnel", "events_path_analysis", "events_retention",
+    "join_skew_salted", "multimodal_frame_sample", "multimodal_frame_table",
+    "q10_returned_items", "q12_shipmode_priority", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "recall_score_topk",
+    "source_schema_evolution", "source_upsert_pattern", "source_zorder_layout",
+    "window_analytics",
 }
 
-# The 17 r9 re-gate slots: oldest remaining evidence, drawn from the
-# modules round 13 touches (streaming/jobs.py's MV-manifest GC reshapes
-# the shared foreachBatch machinery; dedup.py feeds the semantic-prune
-# work) — every one carries r9 driver-green evidence already.
-_R13_REGATES: set[str] = {
-    "stream_dedup", "stream_foreachbatch_sink", "stream_late_data",
-    "stream_session_windows", "stream_sliding_avg",
-    "stream_stateful_user_stats", "stream_static_join", "stream_stream_join",
-    "stream_tumbling_counts",
-    "dedup_exact", "dedup_near", "dedup_ngram_jaccard", "dedup_clusters",
-    "corpus_dedup_pipeline", "corpus_decontaminate", "corpus_span_dedup",
-    "text_rarity_score",
+# The 20 r10 re-gate slots: oldest remaining evidence, drawn from the
+# modules round 14 touches (similarity.py IVF trainer unification +
+# semantic-prune greedy; the MV/CDC manifest family behind
+# streaming/jobs.py's bucket-read guard) — every one carries r10
+# driver-green evidence already.
+_R14_REGATES: set[str] = {
+    "ann_lsh_recall", "ann_lsh_topk", "ann_pq_topk", "ann_quantized_topk",
+    "dedup_embedding_cosine", "embedding_kmeans_lloyd",
+    "embedding_label_centroids", "embedding_random_projection",
+    "stream_dedup_ladder", "stream_ohlc_bars",
+    "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
+    "graph_pagerank", "graph_triangle_stats", "udf_embed_batch_inference",
+    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "source_compaction_plan",
 }
 
 
 def test_priority_window_contents():
-    """Round-13 rotation pin: the window is exactly 50 deep, carries EVERY
-    query whose latest driver row is r8, and fills the rest with pinned r9
-    re-gates. A query registered during round 13 must be added BOTH here
+    """Round-14 rotation pin: the window is exactly 50 deep, carries EVERY
+    query whose latest driver row is r9, and fills the rest with pinned r10
+    re-gates. A query registered during round 14 must be added BOTH here
     and to the window, or this test fails naming it."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
@@ -173,21 +178,21 @@ def test_priority_window_contents():
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    missing = _R13_STALE_R8 - set(window)
-    assert not missing, f"r8-aged queries outside the r13 window: {missing}"
-    # Every remaining slot is an explicitly pinned r9 re-gate.
-    extra = set(window) - _R13_STALE_R8
-    assert extra <= _R13_REGATES, (
-        f"window slots that are neither r8-aged nor pinned r9 re-gates: "
-        f"{sorted(extra - _R13_REGATES)}"
+    missing = _R14_STALE_R9 - set(window)
+    assert not missing, f"r9-aged queries outside the r14 window: {missing}"
+    # Every remaining slot is an explicitly pinned r10 re-gate.
+    extra = set(window) - _R14_STALE_R9
+    assert extra <= _R14_REGATES, (
+        f"window slots that are neither r9-aged nor pinned r10 re-gates: "
+        f"{sorted(extra - _R14_REGATES)}"
     )
 
 
-def test_r13_window_is_oldest_evidence_first():
+def test_r14_window_is_oldest_evidence_first():
     """The rotation CLAIM, checked against the artifacts of record: every
-    registry query outside the r13 window has a driver row in
-    CORRECTNESS_r09..r12 — i.e. after this round's snapshot lands, no
-    driver evidence anywhere is older than r9."""
+    registry query outside the r14 window has a driver row in
+    CORRECTNESS_r10..r13 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r10."""
     import glob
     import json
     import re
@@ -200,8 +205,8 @@ def test_r13_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    aged = sorted(n for n in outside if latest.get(n, 0) < 9)
-    assert not aged, f"queries outside the window with pre-r9 evidence: {aged}"
+    aged = sorted(n for n in outside if latest.get(n, 0) < 10)
+    assert not aged, f"queries outside the window with pre-r10 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff
