@@ -930,7 +930,19 @@ MV_MANIFEST_RETAIN = 3
 """Committed manifests kept behind the head (the crash-retry horizon):
 a retry of batch b needs manifest_v{b-1}, so anything older than
 head - MV_MANIFEST_RETAIN is dead metadata and GC'd — the parquet
-analogue of Delta log checkpoint + retention (VERDICT r12 #1)."""
+analogue of Delta log checkpoint + retention (VERDICT r12 #1).
+
+Retry correctness requires >= 2: with RETAIN=1, GC after committing
+batch b would delete manifest_v{b-1}, the exact manifest a crash-retry
+of batch b must merge against (ADVICE r13 #2). Enforced both here (so a
+misconfiguration fails at import, not as silent data loss) and as a
+floor clamp inside _mv_gc."""
+if MV_MANIFEST_RETAIN < 2:  # pragma: no cover - config guard
+    raise ValueError(
+        f"MV_MANIFEST_RETAIN={MV_MANIFEST_RETAIN} breaks crash-retry: a "
+        "retry of batch b merges against manifest_v{b-1}, which RETAIN<2 "
+        "lets GC delete"
+    )
 
 MV_COMPACT_DIR_THRESHOLD = 6
 """When a batch's tentative manifest would reference more distinct
@@ -988,12 +1000,30 @@ def _mv_write_pointer(mv_dir: str, batch_id: int) -> None:
 
 
 def _mv_read_pointer(mv_dir: str) -> int:
-    """Highest committed batch id, -1 if only the seed exists."""
+    """Highest committed batch id, -1 if only the seed exists.
+
+    A missing pointer file does NOT mean "no commits": the pointer is
+    written after the batch's manifest (crash between the two writes), or
+    the tiny _latest file can be lost out-of-band while the manifests
+    survive. Silently returning -1 in that state would make
+    _mv_prev_manifest fall back to the seed and re-apply every delta since
+    batch 0 (ADVICE r13 #1) — so on a missing pointer, rebuild it from a
+    one-time manifest scan (the recovery analogue of replaying the Delta
+    log when _last_checkpoint is absent) and self-heal the file."""
     try:
         with open(_mv_pointer_path(mv_dir)) as fh:
             return int(fh.read().strip())
     except FileNotFoundError:
-        return -1
+        committed = [
+            int(name[len("manifest_v"):-len(".json")])
+            for name in os.listdir(mv_dir)
+            if name.startswith("manifest_v") and name.endswith(".json")
+        ]
+        if not committed:
+            return -1
+        head = max(committed)
+        _mv_write_pointer(mv_dir, head)
+        return head
 
 
 def _mv_prev_manifest(mv_dir: str, batch_id: int) -> dict:
@@ -1029,7 +1059,9 @@ def _mv_gc(mv_dir: str, batch_id: int) -> None:
     the Delta-log analogue. Driver-local FS, like the manifest commits;
     single-writer (foreachBatch is serial per query), so no reader can
     hold a GC'd version."""
-    floor = batch_id - MV_MANIFEST_RETAIN  # ids <= floor are dead
+    # ids <= floor are dead; clamp so even a (guarded-against) RETAIN < 2
+    # can never GC manifest_v{b-1}, which a retry of batch b merges against
+    floor = batch_id - max(MV_MANIFEST_RETAIN, 2)
     live_dirs: set[str] = set()
     retained_any = False
     for bid in range(max(0, floor + 1), batch_id + 1):

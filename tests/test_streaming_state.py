@@ -470,3 +470,96 @@ def test_mv_metadata_bounded_and_compacted(spark, sf_dir):
         assert got == want, "GC/compaction changed MV contents"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_mv_read_buckets_rejects_empty_list(spark, sf_dir):
+    """ADVICE r12 #2: the helper's contract is a non-empty bucket list —
+    an empty one must fail with the named assert, not a bare IndexError
+    deep in parts[0]."""
+    workdir = tempfile.mkdtemp(prefix="mv_empty_")
+    try:
+        mv_dir = os.path.join(workdir, "mv")
+        J._mv_seed(spark, sf_dir, mv_dir)
+        with pytest.raises(AssertionError, match="non-empty bucket list"):
+            J._mv_read_buckets(spark, mv_dir, J._mv_latest_manifest(mv_dir), [])
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_mv_pointer_rebuilds_from_manifest_scan(spark, sf_dir):
+    """ADVICE r13 #1: losing the tiny _latest file while manifests
+    survive must NOT silently fall back to the seed (which would re-apply
+    every delta since batch 0). The pointer read rebuilds from a one-time
+    manifest scan, self-heals the file, and the next merge applies
+    against the true head."""
+    workdir = tempfile.mkdtemp(prefix="mv_ptr_")
+    try:
+        mv_dir = os.path.join(workdir, "mv")
+        J._mv_seed(spark, sf_dir, mv_dir)
+        for bid in range(3):
+            J._mv_merge_batch(
+                spark, mv_dir, _mv_synth_batch(spark, [bid + 1]), batch_id=bid
+            )
+        before = {
+            r["o_custkey"]: (r["n_orders"], float(r["total"]))
+            for r in J._mv_read_buckets(
+                spark, mv_dir, J._mv_latest_manifest(mv_dir),
+                list(range(J.N_MV_BUCKETS)),
+            ).collect()
+        }
+        os.remove(J._mv_pointer_path(mv_dir))  # the out-of-band loss
+        assert J._mv_read_pointer(mv_dir) == 2  # rebuilt, not -1
+        assert os.path.exists(J._mv_pointer_path(mv_dir))  # self-healed
+        # prev for batch 3 is v2 (the true head), so one more delta lands
+        # exactly once — a seed fallback would also have dropped batches 0-2
+        J._mv_merge_batch(spark, mv_dir, _mv_synth_batch(spark, [4]), batch_id=3)
+        got = {
+            r["o_custkey"]: (r["n_orders"], float(r["total"]))
+            for r in J._mv_read_buckets(
+                spark, mv_dir, J._mv_latest_manifest(mv_dir),
+                list(range(J.N_MV_BUCKETS)),
+            ).collect()
+        }
+        want = dict(before)
+        n, t = want.get(4, (0, 0.0))
+        want[4] = (n + 1, t + 10.0)
+        assert got == want, "pointer rebuild lost or re-applied deltas"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_mv_gc_floor_clamp_protects_retry_manifest(spark, sf_dir, monkeypatch):
+    """ADVICE r13 #2: even if MV_MANIFEST_RETAIN were lowered to 1
+    (the import guard forbids it, but the GC must be safe in depth too),
+    the floor clamp keeps manifest_v{b-1} alive so a crash-retry of
+    batch b still resolves its prev instead of RuntimeError/seed."""
+    workdir = tempfile.mkdtemp(prefix="mv_clamp_")
+    try:
+        mv_dir = os.path.join(workdir, "mv")
+        J._mv_seed(spark, sf_dir, mv_dir)
+        monkeypatch.setattr(J, "MV_MANIFEST_RETAIN", 1)
+        for bid in range(4):
+            J._mv_merge_batch(
+                spark, mv_dir, _mv_synth_batch(spark, [bid + 1]), batch_id=bid
+            )
+        # GC after batch 3 with RETAIN=1 would unclamped delete v2 — the
+        # manifest a retry of batch 3 merges against
+        assert os.path.exists(J._mv_manifest_path(mv_dir, "v2")), (
+            "floor clamp failed: retry manifest v{b-1} was GC'd"
+        )
+        once = {
+            tuple(r) for r in J._mv_read_buckets(
+                spark, mv_dir, J._mv_latest_manifest(mv_dir),
+                list(range(J.N_MV_BUCKETS)),
+            ).drop("bucket").collect()
+        }
+        J._mv_merge_batch(spark, mv_dir, _mv_synth_batch(spark, [4]), batch_id=3)
+        twice = {
+            tuple(r) for r in J._mv_read_buckets(
+                spark, mv_dir, J._mv_latest_manifest(mv_dir),
+                list(range(J.N_MV_BUCKETS)),
+            ).drop("bucket").collect()
+        }
+        assert once == twice, "retry under clamped GC changed the MV"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
