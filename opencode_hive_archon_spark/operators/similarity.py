@@ -1374,9 +1374,16 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-then-pair, never a global pair join. Emits a per-document
     keep/drop verdict: a vector is dropped when a LOWER-id vector in the
     SAME trained cell is a semantic duplicate (quantized cosine ≥
-    NEAR_DUP_COSINE) — the deterministic keep-lowest-id greedy (the paper
-    keeps one representative per duplicate group; lowest-id is the
-    tie-break that makes the verdict hash-checkable).
+    NEAR_DUP_COSINE) — the upper-triangular max rule of the public
+    SemDeDup reference implementation (per cluster it thresholds
+    ``max_{j earlier than i} cos(i, j)``, so example i is pruned when ANY
+    earlier in-cluster duplicate exists, whether or not that earlier
+    example itself survives: a chain A~B, B~C with A≁C drops BOTH B and
+    C, which is NOT the sequential keep-set greedy that would re-admit C
+    once B is gone — pinned by tests/test_similarity.py::
+    test_semantic_prune_chain_drops_transitively). Ascending vec_id is
+    the deterministic stand-in for the paper's distance-to-centroid
+    ordering; it makes the verdict hash-checkable.
 
     Candidate generation composes BOTH scale devices instead of an
     in-cluster all-pairs join: candidates = quantized-LSH bucket

@@ -181,3 +181,69 @@ def test_semantic_prune_verdict_sound_and_grounded(spark, sf_dir):
             for va in by_cell[cell[vb]]
         )
         assert found, vb
+
+
+def test_semantic_prune_chain_drops_transitively(spark):
+    """VERDICT r13 #3: pin the implemented pruning rule — the public
+    SemDeDup reference implementation's upper-triangular max (drop i when
+    ANY earlier in-cluster duplicate exists, surviving or not), NOT the
+    sequential keep-set greedy. Construct a synthetic chain A~B, B~C with
+    A≁C (unit vectors at 0°/40°/80° in a plane; cos40°≈0.766 ≥ 0.3
+    threshold, cos80°≈0.174 < it) inside one deterministic corpus:
+    vectors 1..40 are zero in the chain plane, so they are the LSH
+    hyperplanes (chain sigs all-zero → guaranteed candidate collisions)
+    and the kmeans seeds (zero dot with the chain → A,B,C share a cell by
+    the tie-break). The triangular rule drops BOTH B and C; the greedy
+    would re-admit C once B is gone."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    D = 64
+    rows = []
+    for vid in range(1, 41):
+        v = np.zeros(D)
+        v[2:] = rng.randn(D - 2)
+        v /= np.linalg.norm(v)
+        rows.append((vid, v))
+    for vid, ang in [(41, 0.0), (42, 40.0), (43, 80.0)]:
+        v = np.zeros(D)
+        v[0] = math.cos(math.radians(ang))
+        v[1] = math.sin(math.radians(ang))
+        rows.append((vid, v))
+    assert math.cos(math.radians(40)) >= S.NEAR_DUP_COSINE   # A~B, B~C
+    assert math.cos(math.radians(80)) < S.NEAR_DUP_COSINE    # A≁C
+
+    tmp = tempfile.mkdtemp(prefix="semchain_")
+    try:
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1].tolist() for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[0] % 5 for r in rows], pa.int32()),
+            }),
+            os.path.join(tmp, "embeddings.parquet"),
+        )
+        out = {
+            r["vec_id"]: r
+            for r in S.dedup_semantic_prune(spark, tmp).collect()
+        }
+        A, B, C = out[41], out[42], out[43]
+        assert A["cid"] == B["cid"] == C["cid"], "chain split across cells"
+        assert A["keep"] and A["n_dup_neighbors"] == 0
+        assert not B["keep"] and B["n_dup_neighbors"] == 1
+        # C is dropped through B ALONE (n_dup_neighbors=1, max sim =
+        # cos40° to B, not cos80° to A) even though B itself was dropped —
+        # the chain-drop the docstring declares.
+        assert not C["keep"] and C["n_dup_neighbors"] == 1
+        assert abs(C["max_dup_sim"] - math.cos(math.radians(40))) < 1e-5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
