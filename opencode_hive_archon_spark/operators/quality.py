@@ -19,7 +19,9 @@ Floors (measured at sf0.01, set with margin):
                                             distinct-token sets => equal
                                             fingerprints => hamming 0)
   ann_lsh vs brute-force top-10 ....... 60  (measured 70)
-  ann_ivf vs brute-force top-10 ....... 60  (measured 90)
+  ann_ivf vs brute-force top-10 ....... 60  (measured 70 at sf0.01 after
+                                            the r14 trainer unification;
+                                            80 at sf0.1)
 
 Scale: each companion is two bounded aggregates over plans that are
 themselves scale-safe (see dedup.py / similarity.py); the final crossJoin
@@ -159,7 +161,8 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (nprobe=2 of 8 cells) top-10 must overlap >= 60% with brute force."""
+    """IVF (nprobe=4 of 8 cells; shared exact trainer) top-10 must overlap
+    >= 60% with brute force."""
     exact = _sim.similarity_topk(spark, sf_dir)
     approx = _sim.ann_ivf_topk(spark, sf_dir)
     return _recall_report(exact, approx, ["vec_id"], ANN_IVF_FLOOR_PCT)

@@ -571,80 +571,63 @@ WHERE {qcos_sql('a.q', 'b.q')} >= {NEAR_DUP_COSINE}
 
 # --- IVF scale path (coarse k-means quantizer; rows-only) ------------------
 
-IVF_K = 8
-IVF_ITERS = 3
-IVF_NPROBE = 2
+IVF_NPROBE = 4
+"""Probed cells per query. 4 of KMEANS_K=8 at test scale: the synthetic
+embeddings are near-uniform (weak cluster structure — the hardest case
+for IVF), so the exact trainer's cells spread a brute-force top-10 over
+~5 cells; nprobe=4 holds recall at 70-80% across sf0.001/0.01/0.1
+(measured r14, trainer-unification re-measure) against the 60% gate
+floor. On real clustered corpora the K/nprobe ratio is retuned upward —
+the pruning fraction, not this constant, is the scale contract."""
 
 
-def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid (L2) via broadcast."""
-    dist2 = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("cvec"),
-                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0), lambda acc, x: acc + x,
+def _ivf_probe_cells(cents: DataFrame, qv: DataFrame) -> DataFrame:
+    """NPROBE nearest trained cells to the query (exact int64 L2 argsort,
+    ties -> lowest cid) — the probe half shared by both IVF queries."""
+    qdist = F.aggregate(
+        F.zip_with(F.col("c"), F.col("qq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "label", "embedding", "cid", dist2.alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "d2")
+        cents.crossJoin(F.broadcast(qv))
+        .select("cid", qdist.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(IVF_NPROBE)
+        .select("cid")
     )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
-    vectors into K cells; queries probe only the NPROBE nearest cells and
-    re-rank exactly within them.
+    """IVF (inverted-file) ANN, serving formulation: the SHARED exact
+    k-means trainer (``_kmeans_train`` — the one ``embedding_kmeans_lloyd``
+    gates and ``ann_ivf_kmeans_topk`` composes; VERDICT r13 #5 unified the
+    former float-avg Lloyd into it) partitions the vectors into K cells;
+    the query probes only the NPROBE nearest cells and re-ranks with
+    FULL-PRECISION float cosine over the raw embeddings — the index is
+    integer/deterministic, the returned score is what an ANN service
+    serves. Float re-rank => rows-only; ``ann_ivf_recall`` gates top-10
+    overlap vs brute force, ``ann_ivf_kmeans_topk`` is the hash-exact
+    quantized-score composition of the same trainer.
 
-    Lloyd's iterations run as DataFrame jobs (assign = broadcast argmin,
-    update = posexplode + per-(cell,dim) mean); only K centroids ever reach
-    the driver. Approximate by construction => rows-only; tests assert
-    recall vs brute force. At 100 TB the cell assignment is written once
-    (partitioned by cid) and probes become partition-pruned scans.
-    """
-    emb = _t(spark, sf_dir, "embeddings")
-    # deterministic init: first K vectors as seed centroids
-    centroids = _materialize(
-        emb.filter(F.col("vec_id") < IVF_K)
-        .select(F.col("vec_id").alias("cid"),
-                F.transform("embedding", lambda x: x.cast("double")).alias("cvec"))
+    Scale shape: training is the Lloyd profile (one corpus pass + one KxD
+    shuffle per iteration); assignment is one broadcast-argmin corpus
+    pass; the probe prunes the candidate scan to NPROBE/K of the corpus —
+    at 100 TB the assignment is written once partitioned by cid and
+    probes become partition-pruned scans (tests/test_ivf_layout.py)."""
+    vecs, cents = _kmeans_train(spark, sf_dir)
+    assigned = _kmeans_assign(vecs, cents).select("vec_id", "cid")
+    qv = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qq")
     )
-    for _ in range(IVF_ITERS):
-        assigned = _assign(emb, centroids)
-        centroids = _materialize(
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("cvec")
-            )
-        )
-    assigned = _materialize(_assign(emb, centroids))
-    query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
-    # nearest NPROBE cells for the query vector
-    qd2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cvec"),
-                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    probe_cells = (
-        centroids.crossJoin(F.broadcast(query))
-        .select("cid", qd2.alias("d2"))
-        .orderBy(F.col("d2").asc(), F.col("cid").asc())
-        .limit(IVF_NPROBE)
-        .select("cid")
-    )
     return (
-        assigned.join(F.broadcast(probe_cells), "cid")
+        assigned.join(F.broadcast(_ivf_probe_cells(cents, qv)), "cid")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(emb.hint("shuffle_hash"), "vec_id")
         .crossJoin(F.broadcast(query))
         .select("vec_id", "label",
                 cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"))
@@ -1224,25 +1207,15 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; the probe prunes the candidate scan to NPROBE/K of the corpus —
     at 100 TB the assignment is written once partitioned by cid and
     probes become partition-pruned scans (see sources/io.py pruning
-    pins). ``ann_ivf_topk`` remains the float-Lloyd rows-only variant;
-    this entry is the exact-oracle composition."""
+    pins). ``ann_ivf_topk`` is the rows-only SERVING variant of the same
+    trainer (float-cosine re-rank over raw embeddings); this entry is the
+    exact-oracle quantized composition — one trainer, two scoring tiers."""
     vecs, cents = _kmeans_train(spark, sf_dir)
     assigned = _kmeans_assign(vecs, cents)
     qv = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("q").alias("qq")
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("c"), F.col("qq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    probe = (
-        cents.crossJoin(F.broadcast(qv))
-        .select("cid", qdist.alias("d"))
-        .orderBy(F.col("d").asc(), F.col("cid").asc())
-        .limit(IVF_NPROBE)
-        .select("cid")
-    )
+    probe = _ivf_probe_cells(cents, qv)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
         assigned.join(F.broadcast(probe), "cid")

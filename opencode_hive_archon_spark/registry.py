@@ -65,7 +65,11 @@ _SPEC_MODULES = [
 #   (b) 20 re-gates drawn from the OLDEST remaining evidence (r10 rows),
 #       preferring the modules round 14 touches (similarity.py's IVF
 #       trainer unification + semantic-prune greedy rework; the MV/CDC
-#       manifest family behind streaming/jobs.py's bucket-read guard).
+#       manifest family behind streaming/jobs.py's bucket-read guard) —
+#       EXCEPT three slots spent on the queries whose OUTPUT round 14
+#       changes (ann_ivf_topk / ann_ivf_kmeans_topk / ann_ivf_recall:
+#       the unified trainer + nprobe=4 retune), because evidence for
+#       changed code outranks evidence age.
 # After this round the max driver-row age anywhere in the registry is r10.
 _PRIORITY = [
     # (a) every query whose latest driver row is r9
@@ -87,9 +91,10 @@ _PRIORITY = [
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "graph_pagerank", "graph_triangle_stats", "udf_embed_batch_inference",
-    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "udf_embed_batch_inference", "agg_histogram", "agg_kmv_distinct",
     "source_compaction_plan",
+    # round-14 output changes (trainer unification, nprobe=4): re-gate now
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
 ]
 
 

@@ -161,9 +161,12 @@ _R14_REGATES: set[str] = {
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "graph_pagerank", "graph_triangle_stats", "udf_embed_batch_inference",
-    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "udf_embed_batch_inference", "agg_histogram", "agg_kmv_distinct",
     "source_compaction_plan",
+    # round-14 output changes (IVF trainer unification + nprobe=4 retune):
+    # evidence for changed code outranks evidence age, so these three
+    # r12-evidenced queries take re-gate slots
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
 }
 
 
