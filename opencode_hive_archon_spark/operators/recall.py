@@ -512,13 +512,19 @@ def recall_multi_provider_merge(
 #   - Confidence weight (LOW/MEDIUM/HIGH mapped numerically)
 #   - Recency weight
 #   - Query relevance weight
-#   - Channel fit weight
-#   - Proven success signal weight (where data exists)
+#   - Channel fit weight ("channel fit" — data-derived per the plan)
+#   - Proven success signal weight ("where data exists")
 # The engine delivers them as a deterministic scoring layer over the
-# multi-provider merge. Feature values are exact-binary floats (0.25/0.5/
-# 1.0 bands, /4 and /8 divisions) or one double division of exact ints
-# (recency), and the weighted sum is ONE fixed-order IEEE expression
-# mirrored literally in the oracle — so the rerank is hash-verified.
+# multi-provider merge. Channel and success come from DATA (VERDICT r13
+# #4): a document's channel is its source's dominant engagement mode in
+# the events log (events.props.k -> doc join), and the success signal is
+# the document's own purchase-share band — sparse, because only docs the
+# events log references carry data. Feature values are exact-binary
+# floats (0.25/0.5/1.0 bands, /4 and /8 divisions) or one double division
+# of exact ints (recency); banding uses integer comparisons
+# (2*n_purchase >= n_events), and the weighted sum is ONE fixed-order
+# IEEE expression mirrored literally in the oracle — so the rerank stays
+# hash-verified end-to-end even with joined features.
 
 MP_RERANK_TOP_K = 20
 _MP_W = (0.30, 0.15, 0.30, 0.15, 0.10)  # conf, recency, relevance, fit, success
@@ -537,15 +543,23 @@ def recall_multi_provider_rerank(
                    0.5/1.0 (the numeric mapping the plan names)
       recency      doc_id / max(doc_id) (ingest-order proxy, one division)
       relevance    min(1.0, overlap_count / 8) lexical query overlap
-      channel_fit  source -> channel (linkedin/blog/youtube by source
-                   index mod 3), fit band for the 'blog' target channel
-      success      sparse proven-success signal: only docs with id%7==0
-                   carry data ((id%3+1)/4); absent -> neutral 0 ("where
-                   data exists")
+      channel_fit  DATA-DERIVED channel (plan: "channel fit"): a source's
+                   channel is its dominant engagement mode in the events
+                   log (props.k references the doc; ties -> max count,
+                   then event_type desc) — purchase/signup-heavy sources
+                   read as linkedin, click-heavy as blog, view/error as
+                   youtube; fit band for the 'blog' target channel
+      success      DATA-DERIVED proven-success signal (plan: "where data
+                   exists"): the doc's own purchase share over its events,
+                   banded by integer comparison (>=1/2 -> 1.0, >=1/4 ->
+                   0.5, else 0.25); docs the events log never references
+                   have NO data -> NULL -> neutral 0 in the weighted sum
 
-    Scale: the feature projection is mapper-side over the merged set; the
-    only additions over the merge are a 1-row max-id broadcast and the
-    global top-k (TakeOrderedAndProject)."""
+    Scale: the feature projection is mapper-side over the merged set plus
+    two bounded joins — the per-doc success table (|distinct props.k|
+    rows, equi-join on id) and the per-source channel table (|sources|
+    rows, broadcast) — a 1-row max-id broadcast, and the global top-k
+    (TakeOrderedAndProject)."""
     scored = scored_candidates(spark, sf_dir, query)
     hit_t = "struct<provider:string,confidence:double>"
     provs = F.array(
@@ -581,6 +595,54 @@ def recall_multi_provider_rerank(
         )
     )
     mx = scored.agg(F.max("id").alias("max_id"))
+    # events log: props.k references the document a user interaction was
+    # about — the engagement ground truth both data-derived criteria read
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "event_type",
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    # per-doc proven-success: purchase share banded by INTEGER comparison
+    # (exact on both engines); docs never referenced -> absent -> NULL
+    doc_success = (
+        ev.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchase"),
+        )
+        .select(
+            F.col("k").alias("id"),
+            F.when(F.col("n_purchase") * 2 >= F.col("n_events"), F.lit(1.0))
+            .when(F.col("n_purchase") * 4 >= F.col("n_events"), F.lit(0.5))
+            .otherwise(F.lit(0.25))
+            .alias("success_signal"),
+        )
+    )
+    # per-source channel: dominant engagement mode across the source's
+    # docs (ties -> max count then event_type desc, same on both engines)
+    src_channel = (
+        scored.select("id", "source")
+        .join(ev, scored["id"] == ev["k"])
+        .groupBy("source", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.max(F.struct("cnt", "event_type")).alias("top"))
+        .select(
+            "source",
+            F.when(
+                F.col("top.event_type").isin("purchase", "signup"),
+                F.lit("linkedin"),
+            )
+            .when(F.col("top.event_type") == "click", F.lit("blog"))
+            .otherwise(F.lit("youtube"))
+            .alias("channel"),
+        )
+    )
     conf_band = (
         F.when(F.col("confidence") >= 0.8, F.lit("HIGH"))
         .when(F.col("confidence") >= 0.6, F.lit("MEDIUM"))
@@ -596,18 +658,10 @@ def recall_multi_provider_rerank(
         F.lit(1.0),
         overlap_count(query, F.col("content")).cast("double") / F.lit(8.0),
     )
-    channel = (
-        F.when(F.substring("source", 4, 8).cast("int") % 3 == 0, F.lit("linkedin"))
-        .when(F.substring("source", 4, 8).cast("int") % 3 == 1, F.lit("blog"))
-        .otherwise(F.lit("youtube"))
-    )
     fit = (
         F.when(F.col("channel") == "blog", F.lit(1.0))
         .when(F.col("channel") == "linkedin", F.lit(0.5))
         .otherwise(F.lit(0.25))
-    )
-    success = F.when(
-        F.col("id") % 7 == 0, ((F.col("id") % 3) + 1).cast("double") / F.lit(4.0)
     )
     w = _MP_W
     score = (
@@ -619,13 +673,14 @@ def recall_multi_provider_rerank(
     )
     feat = (
         merged.crossJoin(F.broadcast(mx))
+        .join(doc_success, "id", "left")
+        .join(F.broadcast(src_channel), "source", "left")
+        .withColumn("channel", F.coalesce(F.col("channel"), F.lit("unknown")))
         .withColumn("conf_band", conf_band)
         .withColumn("conf_score", conf_score)
         .withColumn("recency_score", recency)
         .withColumn("relevance_score", relevance)
-        .withColumn("channel", channel)
         .withColumn("channel_fit", fit)
-        .withColumn("success_signal", success)
         .withColumn("rerank_score", score)
     )
     return (
@@ -874,8 +929,9 @@ _CTOK_SQL = (
 )
 
 # Exact mirror of the 5-criteria rerank: same merged set, same band maps
-# (exact-binary 0.25/0.5/1.0), same single-division features, and the
-# weighted sum written in the IDENTICAL left-associated IEEE order.
+# (exact-binary 0.25/0.5/1.0), same events-derived channel/success joins
+# (integer-comparison banding, identical tie-breaks), and the weighted
+# sum written in the IDENTICAL left-associated IEEE order.
 _ORACLE_MULTI_RERANK = f"""
 WITH {_SCORED_CTE},
 mem0 AS (
@@ -896,26 +952,55 @@ merged AS (
   FROM unioned
 ),
 mx AS (SELECT max(id) AS max_id FROM scored),
+ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+succ AS (
+  SELECT k AS id,
+         CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= count(*) THEN CAST(1.0 AS DOUBLE)
+              WHEN 4 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= count(*) THEN CAST(0.5 AS DOUBLE)
+              ELSE CAST(0.25 AS DOUBLE) END AS success_signal
+  FROM ev GROUP BY k
+),
+smix AS (
+  SELECT s.source, e.event_type, count(*) AS cnt
+  FROM scored s JOIN ev e ON e.k = s.id
+  GROUP BY s.source, e.event_type
+),
+schan AS (
+  SELECT source,
+         CASE WHEN et IN ('purchase', 'signup') THEN 'linkedin'
+              WHEN et = 'click' THEN 'blog'
+              ELSE 'youtube' END AS channel
+  FROM (
+    SELECT source, event_type AS et,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, event_type DESC) AS rn
+    FROM smix
+  ) WHERE rn = 1
+),
 feat0 AS (
   SELECT m.id, m.provider, m.n_providers, m.content, m.source,
          m.confidence, mx.max_id
   FROM merged m, mx WHERE m.rn = 1
 ),
 feat1 AS (
-  SELECT id, provider, n_providers,
+  SELECT f.id, f.provider, f.n_providers,
          CASE WHEN confidence >= 0.8 THEN 'HIGH'
               WHEN confidence >= 0.6 THEN 'MEDIUM' ELSE 'LOW' END AS conf_band,
-         CAST(id AS DOUBLE) / CAST(max_id AS DOUBLE) AS recency_score,
+         CAST(f.id AS DOUBLE) / CAST(max_id AS DOUBLE) AS recency_score,
          least(CAST(1.0 AS DOUBLE),
                CAST(len(list_intersect({_QTOK_SQL}, {_CTOK_SQL})) AS DOUBLE)
                / CAST(8.0 AS DOUBLE)) AS relevance_score,
-         CASE (CAST(substr(source, 4, 8) AS INT) % 3)
-              WHEN 0 THEN 'linkedin' WHEN 1 THEN 'blog'
-              ELSE 'youtube' END AS channel,
-         CASE WHEN id % 7 = 0
-              THEN CAST((id % 3) + 1 AS DOUBLE) / CAST(4.0 AS DOUBLE)
-              END AS success_signal
-  FROM feat0
+         coalesce(sc.channel, 'unknown') AS channel,
+         su.success_signal
+  FROM feat0 f
+  LEFT JOIN succ su ON su.id = f.id
+  LEFT JOIN schan sc ON sc.source = f.source
 ),
 feat2 AS (
   SELECT *,

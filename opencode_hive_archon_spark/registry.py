@@ -68,7 +68,8 @@ _SPEC_MODULES = [
 #       manifest family behind streaming/jobs.py's bucket-read guard) —
 #       EXCEPT three slots spent on the queries whose OUTPUT round 14
 #       changes (ann_ivf_topk / ann_ivf_kmeans_topk / ann_ivf_recall:
-#       the unified trainer + nprobe=4 retune), because evidence for
+#       the unified trainer + nprobe=4 retune; recall_multi_provider_rerank:
+#       data-derived channel/success features), because evidence for
 #       changed code outranks evidence age.
 # After this round the max driver-row age anywhere in the registry is r10.
 _PRIORITY = [
@@ -91,10 +92,11 @@ _PRIORITY = [
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "udf_embed_batch_inference", "agg_histogram", "agg_kmv_distinct",
+    "udf_embed_batch_inference", "agg_histogram",
     "source_compaction_plan",
     # round-14 output changes (trainer unification, nprobe=4): re-gate now
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
+    "recall_multi_provider_rerank",
 ]
 
 

@@ -161,12 +161,13 @@ _R14_REGATES: set[str] = {
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "udf_embed_batch_inference", "agg_histogram", "agg_kmv_distinct",
+    "udf_embed_batch_inference", "agg_histogram",
     "source_compaction_plan",
     # round-14 output changes (IVF trainer unification + nprobe=4 retune):
     # evidence for changed code outranks evidence age, so these three
     # r12-evidenced queries take re-gate slots
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
+    "recall_multi_provider_rerank",
 }
 
 
