@@ -50,6 +50,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.sources.catalog",
     "opencode_hive_archon_spark.sources.bucketed",
     "opencode_hive_archon_spark.sources.zorder",
+    "opencode_hive_archon_spark.sources.deltalog",
     "opencode_hive_archon_spark.streaming.jobs",
 ]
 
@@ -62,15 +63,16 @@ _SPEC_MODULES = [
 #   (a) ALL 30 queries whose latest driver row is r9 (derived from the
 #       committed CORRECTNESS_r01..r13 artifacts — sampling/corpus family,
 #       events funnel/path/retention, mid-suite TPC-H, sources, zorder);
-#   (b) 20 re-gates drawn from the OLDEST remaining evidence (r10 rows),
-#       preferring the modules round 14 touches (similarity.py's IVF
-#       trainer unification + semantic-prune greedy rework; the MV/CDC
+#   (b) 20 remaining slots: r10 re-gates drawn from the OLDEST remaining
+#       evidence, preferring the modules round 14 touches (similarity.py's
+#       IVF trainer unification + semantic-prune greedy rework; the MV/CDC
 #       manifest family behind streaming/jobs.py's bucket-read guard) —
-#       EXCEPT three slots spent on the queries whose OUTPUT round 14
+#       EXCEPT (i) four slots for the queries whose OUTPUT round 14
 #       changes (ann_ivf_topk / ann_ivf_kmeans_topk / ann_ivf_recall:
 #       the unified trainer + nprobe=4 retune; recall_multi_provider_rerank:
-#       data-derived channel/success features), because evidence for
-#       changed code outranks evidence age.
+#       data-derived channel/success features), and (ii) two slots for the
+#       queries REGISTERED this round (the delta-protocol table layer) —
+#       evidence for changed/new code outranks evidence age.
 # After this round the max driver-row age anywhere in the registry is r10.
 _PRIORITY = [
     # (a) every query whose latest driver row is r9
@@ -92,8 +94,13 @@ _PRIORITY = [
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "udf_embed_batch_inference", "agg_histogram",
-    "source_compaction_plan",
+    "udf_embed_batch_inference",
+    # Queries REGISTERED this round (the delta-protocol table layer,
+    # VERDICT r13 missing #1) have no driver evidence at all, which
+    # outranks an r10 re-gate — they take the agg_histogram /
+    # source_compaction_plan slots (both stay r10-evidenced, still
+    # inside the max-age<=r10 target).
+    "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
     # round-14 output changes (trainer unification, nprobe=4): re-gate now
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
     "recall_multi_provider_rerank",

@@ -6,14 +6,14 @@ fail loudly, and inference costs an extra pass at scale). Writes default to
 snappy parquet; partitioned writes use ``partitionBy`` so downstream scans
 get partition pruning.
 
-Table formats (Delta Lake / Apache Iceberg): both plug into the SAME
-``write_any``/``read_any`` path — they are DataSourceV2 format names
-(``fmt="delta"`` / a configured Iceberg catalog), so no dedicated code is
-needed here. This image ships neither the delta-spark nor the
-iceberg-spark-runtime jars and has no network access to fetch them, so the
-round-trip query exercises the four built-in formats; a deployment with the
-jars on the classpath extends FORMATS and configures spark.sql.extensions /
-spark.sql.catalog.* at session build (session.get_spark extra_conf).
+Table formats: the delta-spark / iceberg-runtime JARS are absent from this
+image (no network to fetch them) — with them, ``fmt="delta"`` / an Iceberg
+catalog plug into this same ``write_any``/``read_any`` path via
+spark.sql.extensions / spark.sql.catalog.* at session build. The table
+FORMAT itself, however, is not environmental: ``sources/deltalog.py``
+implements the public Delta transaction-log protocol (PROTOCOL.md) in pure
+PySpark — atomic commits, log replay, checkpoints, time travel,
+copy-on-write delete — and carries its own oracle-exact driver queries.
 """
 
 from __future__ import annotations

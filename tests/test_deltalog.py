@@ -1,0 +1,168 @@
+"""Delta-protocol table layer (sources/deltalog.py): ACID commit
+semantics, snapshot replay, checkpoints, time travel, copy-on-write
+delete — pinned against the behaviors the public PROTOCOL.md requires."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.sources import deltalog as dl
+
+
+def _df(spark, lo, hi, g="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(g).alias("g")
+    )
+
+
+def _ks(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_append_time_travel_and_stats_count(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    assert dl.delta_write(spark, _df(spark, 0, 10), tbl) == 0
+    assert dl.delta_write(spark, _df(spark, 10, 20), tbl) == 1
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(20))
+    assert _ks(dl.delta_snapshot(spark, tbl, version=0)) == list(range(10))
+    # COUNT(*) from add-action numRecords stats only — no data files read.
+    assert dl.delta_count(spark, tbl) == 20
+    assert dl.delta_count(spark, tbl, version=0) == 10
+
+
+def test_overwrite_replaces_entire_live_set(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10), tbl)
+    dl.delta_write(spark, _df(spark, 100, 103), tbl, mode="overwrite")
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [100, 101, 102]
+    # Old rows remain reachable via time travel (remove != erase).
+    assert _ks(dl.delta_snapshot(spark, tbl, version=0)) == list(range(10))
+
+
+def test_delete_is_file_granular_copy_on_write(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_write(spark, _df(spark, 10, 20).repartition(1), tbl)
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    assert len(before) == 2
+    untouched = next(p for p in before if p.startswith("part-00000"))
+    dl.delta_delete(spark, tbl, "k >= 15")
+    after_state = dl._snapshot_state(spark, tbl)
+    after = {f["path"] for f in after_state["files"]}
+    # The file with no matching rows keeps its ORIGINAL add entry; the
+    # file containing matches was rewritten under the delete's version.
+    assert untouched in after
+    assert not any(p.startswith("part-00001") for p in after)
+    assert any(p.startswith("part-00002") for p in after)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(15))
+
+
+def test_delete_without_matches_commits_noop(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5).repartition(1), tbl)
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    v = dl.delta_delete(spark, tbl, "k > 999")
+    assert v == 1
+    assert {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]} == before
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "k long, val long"
+    )
+    dl.delta_write(spark, df, tbl)
+    dl.delta_delete(spark, tbl, "val >= 10")
+    # SQL DELETE semantics: only predicate-TRUE rows go; NULL stays.
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2]
+
+
+def test_checkpoint_bounds_replay_and_survives_log_truncation(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    for i in range(7):  # v0..v6; auto-checkpoint at v4
+        dl.delta_write(spark, _df(spark, i * 10, i * 10 + 10), tbl)
+    st = dl._snapshot_state(spark, tbl)
+    assert st["checkpoint_version"] == 4
+    assert st["json_replayed"] == 2  # v5, v6 only
+    # Spec metadata cleanup: commits at/before the checkpoint may be
+    # deleted; the snapshot must still reconstruct from the checkpoint.
+    for v in range(5):
+        os.remove(dl._version_file(tbl, v))
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(70))
+    # ...but time travel past the checkpoint horizon fails LOUDLY.
+    with pytest.raises(dl.DeltaProtocolError, match="gap"):
+        dl.delta_snapshot(spark, tbl, version=2)
+
+
+def test_concurrent_commit_put_if_absent(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    with pytest.raises(dl.DeltaConcurrentCommit):
+        dl._commit(tbl, 0, [{"commitInfo": {"operation": "RACE"}}])
+
+
+def test_reader_version_gate(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    dl._commit(tbl, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+    ])
+    with pytest.raises(dl.DeltaProtocolError, match="minReaderVersion"):
+        dl.delta_snapshot(spark, tbl)
+    # Older versions predate the upgrade and stay readable.
+    assert _ks(dl.delta_snapshot(spark, tbl, version=0)) == list(range(5))
+
+
+def test_append_schema_enforcement(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    drifted = spark.range(0, 3).select(F.col("id").alias("other"))
+    with pytest.raises(dl.DeltaProtocolError, match="schema enforcement"):
+        dl.delta_write(spark, drifted, tbl)
+
+
+def test_partitioned_table_values_and_scoped_delete(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = _df(spark, 0, 10, "a").union(_df(spark, 10, 20, "b"))
+    dl.delta_write(spark, df, tbl, partition_by=["g"])
+    st = dl._snapshot_state(spark, tbl)
+    assert st["partition_columns"] == ["g"]
+    pvals = {f["partitionValues"]["g"] for f in st["files"]}
+    assert pvals == {"a", "b"}
+    snap = dl.delta_snapshot(spark, tbl)
+    assert snap.filter(F.col("g") == "b").count() == 10
+    # Partition-scoped delete rewrites only partition b's files.
+    a_files = {
+        f["path"] for f in st["files"] if f["partitionValues"]["g"] == "a"
+    }
+    dl.delta_delete(spark, tbl, "g = 'b' AND k >= 15")
+    after = dl._snapshot_state(spark, tbl)["files"]
+    assert a_files <= {f["path"] for f in after}
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(15))
+
+
+def test_commit_file_is_spec_shaped_json(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    actions = [
+        json.loads(line)
+        for line in open(dl._version_file(tbl, 0))
+        if line.strip()
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds == ["commitInfo", "protocol", "metaData", "add"] or kinds[
+        :3
+    ] == ["commitInfo", "protocol", "metaData"]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"]["provider"] == "parquet"
+    # schemaString is the Spark StructType JSON (what delta-spark writes).
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    adds = [a["add"] for a in actions if "add" in a]
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 5
+    assert all(a["dataChange"] is True for a in adds)
+    # No zero-row add actions: empty-partition files are never committed.
+    assert all(json.loads(a["stats"])["numRecords"] > 0 for a in adds)
