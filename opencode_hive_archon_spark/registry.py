@@ -94,13 +94,13 @@ _PRIORITY = [
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "udf_embed_batch_inference",
     # Queries REGISTERED this round (the delta-protocol table layer,
     # VERDICT r13 missing #1) have no driver evidence at all, which
     # outranks an r10 re-gate — they take the agg_histogram /
-    # source_compaction_plan slots (both stay r10-evidenced, still
-    # inside the max-age<=r10 target).
+    # source_compaction_plan / udf_embed_batch_inference slots (all
+    # three stay r10-evidenced, still inside the max-age<=r10 target).
     "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
+    "source_delta_merge_upsert",
     # round-14 output changes (trainer unification, nprobe=4): re-gate now
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
     "recall_multi_provider_rerank",

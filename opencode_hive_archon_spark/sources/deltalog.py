@@ -570,6 +570,86 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
     return v
 
 
+def delta_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """MERGE INTO (SCD-1 upsert): WHEN MATCHED THEN UPDATE SET * /
+    WHEN NOT MATCHED THEN INSERT *; returns the new version.
+
+    File-granular copy-on-write, like DELETE: one distributed pass finds
+    the target files containing matched keys; ONLY those files are
+    rewritten (their unmatched rows kept, matched rows replaced by the
+    source row), and never-matched source rows are appended. A merge
+    whose keys land in one partition rewrites one partition. Guards the
+    spec's cardinality rule — more than one source row per key is an
+    error, not a nondeterministic pick."""
+    state = _snapshot_state(spark, table)
+    v = state["version"] + 1
+    if json.loads(_peek_schema_json(spark, table, state["version"]) or "{}") != \
+            json.loads(source.schema.json()):
+        raise DeltaProtocolError(
+            "schema enforcement: merge source schema does not match table"
+        )
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise DeltaProtocolError(
+            "merge cardinality violation: multiple source rows share a key"
+        )
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "MERGE",
+            "operationParameters": {"matchedPredicates": "update",
+                                    "notMatchedPredicates": "insert"},
+        }
+    }]
+    target = _read_state(spark, table, state)
+    inserts = source.join(target.select(*on), on, "left_anti")
+    if state["files"]:
+        with_file = target.withColumn("_file", F.input_file_name())
+        hit_uris = [
+            r["_file"]
+            for r in with_file.join(source.select(*on), on, "left_semi")
+            .select("_file").distinct().collect()
+        ]
+        base = os.path.abspath(table)
+        hit_rel = {
+            os.path.relpath(
+                urllib.parse.unquote(urllib.parse.urlparse(u).path), base
+            ).replace(os.sep, "/")
+            for u in hit_uris
+        }
+        hit_files = [f for f in state["files"] if f["path"] in hit_rel]
+    else:
+        hit_files = []
+    if hit_files:
+        hit_state = dict(state, files=hit_files)
+        hit_rows = _read_state(spark, table, hit_state)
+        kept = hit_rows.join(source.select(*on), on, "left_anti")
+        updated = source.join(hit_rows.select(*on), on, "left_semi")
+        rewrite = kept.unionByName(updated).unionByName(inserts)
+        ts = _now_ms()
+        removes = [
+            {"remove": {"path": f["path"], "deletionTimestamp": ts,
+                        "dataChange": True}}
+            for f in hit_files
+        ]
+    else:
+        rewrite = inserts
+        removes = []
+    actions.extend(
+        _stage_data_files(rewrite, table, v, state["partition_columns"])
+    )
+    actions.extend(removes)
+    _commit(table, v, actions)
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
 def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
     """Materialize the state at `version` as {v:020d}.checkpoint.parquet
     and point `_last_checkpoint` at it. Single-file here; the multi-part
@@ -751,6 +831,89 @@ FROM customer
 """
 
 
+MERGE_PRIORITY = "3-MEDIUM"
+MERGE_KEY_OFFSET = 10_000_000_000
+
+
+def source_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the delta table (WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *): seed the table with MEDIUM-priority orders, then
+    merge a deterministic changeset — updates (keys ≡3 mod 10, price
+    doubled) + inserts (keys ≡0 mod 97 cloned to a disjoint key range,
+    price tripled) — in ONE atomic commit, and aggregate the final
+    snapshot per order status. The oracle reconstructs the merged state
+    from `orders` directly, so the upsert's row-level semantics are
+    hash-checked end to end (the deterministic-changeset recipe of
+    source_upsert_pattern, now through an ACID table format).
+
+    Scale shape: the merge pass rewrites only the files containing
+    matched keys (file-granular copy-on-write, same as DELETE); inserts
+    append. Replay/read cost is file-list-bounded as in the other delta
+    queries."""
+    table = _demo_table(sf_dir, "merge", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == MERGE_PRIORITY)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        )
+        delta_write(
+            spark, base.repartitionByRange(4, "o_orderkey"), table
+        )
+        updates = base.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        inserts = base.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + F.lit(MERGE_KEY_OFFSET)).alias("o_orderkey"),
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        delta_merge(
+            spark, table, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    snap = delta_snapshot(spark, table)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            _cents("o_totalprice").alias("price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_MERGE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderpriority = '{MERGE_PRIORITY}'
+),
+merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM base
+  UNION ALL
+  SELECT o_orderkey + {MERGE_KEY_OFFSET}, o_totalprice * 3, o_orderstatus
+  FROM base WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 SPECS = [
     QuerySpec(
         "source_delta_acid_roundtrip", source_delta_acid_roundtrip,
@@ -764,5 +927,12 @@ SPECS = [
         _ORACLE_CKPTLOG, "sources",
         "Delta-protocol checkpointing: 12 commits, parquet checkpoint + "
         "_last_checkpoint, replay bounded to one checkpoint + JSON tail",
+    ),
+    QuerySpec(
+        "source_delta_merge_upsert", source_delta_merge_upsert,
+        _ORACLE_MERGE, "sources",
+        "MERGE INTO on the delta table: matched-update + not-matched-insert "
+        "in one atomic file-granular copy-on-write commit, final snapshot "
+        "hash-checked",
     ),
 ]

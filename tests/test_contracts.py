@@ -161,12 +161,12 @@ _R14_REGATES: set[str] = {
     "embedding_label_centroids", "embedding_random_projection",
     "stream_dedup_ladder", "stream_ohlc_bars",
     "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    "udf_embed_batch_inference",
     # Registered in round 14 (delta-protocol table layer): zero driver
     # evidence outranks an r10 re-gate, so these take the agg_histogram /
-    # source_compaction_plan slots (both remain r10-evidenced — still
-    # within the max-age<=r10 rotation target).
+    # source_compaction_plan / udf_embed_batch_inference slots (all three
+    # remain r10-evidenced — still within the max-age<=r10 target).
     "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
+    "source_delta_merge_upsert",
     # round-14 output changes (IVF trainer unification + nprobe=4 retune):
     # evidence for changed code outranks evidence age, so these three
     # r12-evidenced queries take re-gate slots
@@ -367,6 +367,7 @@ _CENSUS = [
     "source_compaction_plan",
     "source_delta_acid_roundtrip",
     "source_delta_checkpoint_log",
+    "source_delta_merge_upsert",
     "source_partitioned_pruning",
     "source_roundtrip_formats",
     "source_schema_evolution",

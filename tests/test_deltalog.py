@@ -145,6 +145,61 @@ def test_partitioned_table_values_and_scoped_delete(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(15))
 
 
+def test_merge_updates_inserts_and_file_granularity(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, val double"
+    ).repartition(1)
+    dl.delta_write(spark, df, tbl)
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(4, 40.0), (5, 50.0)], "k long, val double")
+        .repartition(1),
+        tbl,
+    )
+    src = spark.createDataFrame(
+        [(2, 99.0), (6, 60.0)], "k long, val double"
+    )
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    dl.delta_merge(spark, tbl, src, on=["k"])
+    got = {
+        r["k"]: r["val"] for r in dl.delta_snapshot(spark, tbl).collect()
+    }
+    # matched k=2 updated, unmatched source k=6 inserted, rest untouched.
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 50.0, 6: 60.0}
+    after = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    # Only the file containing k=2 was rewritten; the (4,5) file's add
+    # entry survived the merge commit untouched.
+    assert any(p.startswith("part-00001") for p in before & after)
+    assert not any(p.startswith("part-00000") for p in after)
+    # Pre-merge state is still time-travelable.
+    assert _ks(dl.delta_snapshot(spark, tbl, version=1)) == [1, 2, 3, 4, 5]
+
+
+def test_merge_cardinality_and_schema_guards(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark, spark.createDataFrame([(1, 10.0)], "k long, val double"), tbl
+    )
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "k long, val double"
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="cardinality"):
+        dl.delta_merge(spark, tbl, dup, on=["k"])
+    drifted = spark.createDataFrame([(1, "x")], "k long, other string")
+    with pytest.raises(dl.DeltaProtocolError, match="schema"):
+        dl.delta_merge(spark, tbl, drifted, on=["k"])
+
+
+def test_merge_into_empty_table_inserts_all(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "k long, val double")
+    dl.delta_write(spark, empty, tbl)
+    src = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, val double")
+    dl.delta_merge(spark, tbl, src, on=["k"])
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2]
+
+
 def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
