@@ -131,13 +131,19 @@ _COMMITINFO_T = T.StructType([
     T.StructField("operation", T.StringType()),
     T.StructField("operationParameters", T.MapType(T.StringType(), T.StringType())),
 ])
-# Checkpoints carry table STATE (no commitInfo, per spec); commits may
-# carry all five. unionByName(allowMissingColumns) reconciles the two.
+_TXN_T = T.StructType([
+    T.StructField("appId", T.StringType()),
+    T.StructField("version", T.LongType()),
+    T.StructField("lastUpdated", T.LongType()),
+])
+# Checkpoints carry table STATE (incl. txn watermarks, no commitInfo, per
+# spec); commits may carry all six. unionByName reconciles the two.
 STATE_SCHEMA = T.StructType([
     T.StructField("protocol", _PROTOCOL_T),
     T.StructField("metaData", _METADATA_T),
     T.StructField("add", _ADD_T),
     T.StructField("remove", _REMOVE_T),
+    T.StructField("txn", _TXN_T),
 ])
 ACTION_SCHEMA = T.StructType(
     list(STATE_SCHEMA.fields) + [T.StructField("commitInfo", _COMMITINFO_T)]
@@ -403,7 +409,15 @@ def _snapshot_state(
                 f"table requires minReaderVersion={mrv}; this reader "
                 f"supports {SUPPORTED_READER_VERSION}"
             )
+    txns = {
+        r["appId"]: r["v"]
+        for r in acts.filter(F.col("txn.appId").isNotNull())
+        .groupBy(F.col("txn.appId").alias("appId"))
+        .agg(F.max("txn.version").alias("v"))
+        .collect()
+    }
     return {
+        "txns": txns,
         "version": target,
         "schema": T.StructType.fromJson(json.loads(meta["schemaString"])),
         "partition_columns": list(meta["partitionColumns"] or []),
@@ -450,15 +464,27 @@ def delta_write(
     mode: str = "append",
     partition_by: list[str] | None = None,
     name: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit df as the table's next version; returns the version.
 
     First commit carries protocol + metaData (schemaString = Spark
     StructType JSON, deterministic table id). `overwrite` removes every
     currently-live file in the same atomic commit that adds the new ones
-    — readers see the old table or the new one, never a mix."""
+    — readers see the old table or the new one, never a mix.
+
+    `txn=(appId, version)` attaches the spec's transaction-identifier
+    action: if the table has already recorded this appId at >= version,
+    the write is SKIPPED (idempotent) — the exactly-once contract a
+    streaming foreachBatch sink needs across batch retries. The txn
+    watermark survives checkpoint truncation (checkpoints carry the
+    latest txn per appId, per spec)."""
     partition_by = list(partition_by or [])
     v = latest_version(table) + 1
+    if txn is not None and v > 0:
+        seen = _snapshot_state(spark, table, v - 1)["txns"].get(txn[0], -1)
+        if seen >= txn[1]:
+            return v - 1  # already committed by a prior attempt
     actions: list[dict] = [{
         "commitInfo": {
             "timestamp": _now_ms(),
@@ -466,6 +492,11 @@ def delta_write(
             "operationParameters": {"mode": mode.upper()},
         }
     }]
+    if txn is not None:
+        actions.append({"txn": {
+            "appId": txn[0], "version": int(txn[1]),
+            "lastUpdated": _now_ms(),
+        }})
     if v == 0:
         table_id = hashlib.sha1(
             (os.path.abspath(table) + df.schema.json()).encode()
@@ -660,6 +691,10 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": state["meta"]},
     ]
+    rows.extend(
+        {"txn": {"appId": app, "version": int(tv), "lastUpdated": None}}
+        for app, tv in sorted(state["txns"].items())
+    )
     rows.extend({"add": f} for f in state["files"])
     out_tmp = os.path.join(_log_dir(table), f".ckpt-{version:020d}")
     spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
@@ -677,6 +712,26 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
     return final
+
+
+def delta_stream_sink(table: str, app_id: str):
+    """foreachBatch sink with exactly-once semantics via the txn action:
+
+        stream.writeStream.foreachBatch(delta_stream_sink(path, "job1"))
+
+    Structured Streaming may re-invoke a batch after a failure; the
+    (appId, batchId) txn watermark makes the replayed write a no-op, so
+    the table sees each micro-batch exactly once. This is precisely how
+    delta-spark's streaming sink achieves idempotency (PROTOCOL.md
+    transaction identifiers)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        delta_write(
+            batch_df.sparkSession, batch_df, table,
+            mode="append", txn=(app_id, int(batch_id)),
+        )
+
+    return _write
 
 
 # --------------------------------------------------------------------------

@@ -200,6 +200,50 @@ def test_merge_into_empty_table_inserts_all(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2]
 
 
+def test_txn_idempotent_stream_sink(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    sink = dl.delta_stream_sink(tbl, "job1")
+    sink(_df(spark, 0, 5), 0)
+    sink(_df(spark, 5, 10), 1)
+    # Retry of batch 1 (even with different content — the failure-replay
+    # case) must be a no-op: the txn watermark already covers version 1.
+    sink(_df(spark, 100, 200), 1)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(10))
+    sink(_df(spark, 10, 15), 2)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(15))
+    # A different appId is an independent watermark.
+    assert dl._snapshot_state(spark, tbl)["txns"] == {"job1": 2}
+
+
+def test_txn_watermark_survives_checkpoint_truncation(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    sink = dl.delta_stream_sink(tbl, "jobX")
+    for b in range(6):  # v0..v5, auto-checkpoint at v4
+        sink(_df(spark, b * 10, b * 10 + 10), b)
+    for v in range(5):  # spec metadata cleanup behind the checkpoint
+        os.remove(dl._version_file(tbl, v))
+    # The checkpoint carries the txn watermark: replaying batch 3 after
+    # log truncation must STILL be a no-op.
+    sink(_df(spark, 900, 910), 3)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(60))
+
+
+def test_partitioned_snapshot_read_is_partition_pruned(spark, tmp_path):
+    """Plan pin: filtering a partitioned delta snapshot on its partition
+    column lands in PartitionFilters (directory pruning), not a row
+    filter — the delta read path keeps the lakehouse pruning story."""
+    tbl = str(tmp_path / "t")
+    df = _df(spark, 0, 10, "a").union(_df(spark, 10, 20, "b"))
+    dl.delta_write(spark, df, tbl, partition_by=["g"])
+    snap = dl.delta_snapshot(spark, tbl).filter(F.col("g") == "a")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "g" in m.group(1), plan
+
+
 def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
