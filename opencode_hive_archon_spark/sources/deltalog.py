@@ -180,13 +180,17 @@ def _list_log(table: str, rx: re.Pattern) -> list[int]:
 
 
 def latest_version(table: str) -> int:
-    """Highest committed version, -1 for a nonexistent table. The listing
-    alone would be O(#commits); the spec's fast path is `_last_checkpoint`
-    + a bounded tail listing, which `_snapshot_state` uses for replay —
-    here a plain listdir is fine because writers call this once per
-    commit and the retained JSON tail is GC-bounded in real deployments."""
-    vs = _list_log(table, _VERSION_RE)
-    return vs[-1] if vs else -1
+    """Highest committed version, -1 for a nonexistent table. Considers
+    BOTH commit JSONs and checkpoints: after spec metadata cleanup a
+    table can be checkpoint-only (every JSON at/behind the checkpoint
+    deleted), and a writer that looked at JSONs alone would restart at
+    version 0 — producing a commit that replay silently ignores. The
+    listing alone would be O(#commits); the spec's fast path is
+    `_last_checkpoint` + a bounded tail listing, which `_snapshot_state`
+    uses for replay — here a plain listdir is fine because writers call
+    this once per commit and the retained JSON tail is GC-bounded."""
+    vs = _list_log(table, _VERSION_RE) + _list_log(table, _CKPT_RE)
+    return max(vs) if vs else -1
 
 
 def _commit(table: str, version: int, actions: list[dict]) -> None:
@@ -245,6 +249,17 @@ def _peek_schema_json(spark: SparkSession, table: str, version: int) -> str | No
         return None
 
 
+def _same_shape(a_json: str | None, b_json: str) -> bool:
+    """Column-name/type equality with nullability and metadata stripped
+    (simpleString canonicalization): enforcement rejects TYPE drift, not
+    the nullable-flag tightening a lit()/agg-derived frame picks up —
+    matching delta's append contract."""
+    if a_json is None:
+        return True
+    to_simple = lambda s: T.StructType.fromJson(json.loads(s)).simpleString()  # noqa: E731
+    return to_simple(a_json) == to_simple(b_json)
+
+
 # --------------------------------------------------------------------------
 # data file staging
 # --------------------------------------------------------------------------
@@ -266,7 +281,13 @@ def _stage_data_files(
     root (same filesystem, so publishing each file is a rename); files
     are then moved to their spec-shaped names. Partitioned writes keep
     their hive dirs, and the dir segments become partitionValues."""
-    staging = os.path.join(table, f".staging-{version:020d}")
+    os.makedirs(table, exist_ok=True)
+    # Unique per attempt: two writers racing the same version must not
+    # clobber each other's staged files — the commit race is decided by
+    # put-if-absent later, and the loser's moved files are orphans (never
+    # referenced by any committed add), the same debris real delta leaves
+    # for VACUUM after a failed transaction.
+    staging = tempfile.mkdtemp(prefix=f".staging-{version:020d}-", dir=table)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -446,11 +467,18 @@ def delta_snapshot(
 
 
 def delta_count(spark: SparkSession, table: str, version: int | None = None) -> int:
-    """COUNT(*) from add-action stats alone — zero data files read."""
+    """COUNT(*) from add-action stats alone — zero data files read. A
+    foreign writer may omit stats (they are optional in the spec); only
+    those files pay a footer read, everything else stays metadata-only."""
     state = _snapshot_state(spark, table, version)
-    return sum(
-        json.loads(f["stats"])["numRecords"] for f in state["files"]
-    )
+    total = 0
+    for f in state["files"]:
+        stats = json.loads(f["stats"]) if f["stats"] else {}
+        n = stats.get("numRecords")
+        if n is None:
+            n = _num_records(os.path.join(table, f["path"]))
+        total += n
+    return total
 
 
 # --------------------------------------------------------------------------
@@ -526,9 +554,7 @@ def delta_write(
         # Schema enforcement (the delta write-path contract): an append
         # whose schema drifted from the table's must fail, not corrupt.
         existing = _peek_schema_json(spark, table, v - 1)
-        if existing is not None and json.loads(existing) != json.loads(
-            df.schema.json()
-        ):
+        if not _same_shape(existing, df.schema.json()):
             raise DeltaProtocolError(
                 f"schema enforcement: append schema does not match table "
                 f"schema at {table} (use mode='overwrite' to replace)"
@@ -619,8 +645,9 @@ def delta_merge(
     error, not a nondeterministic pick."""
     state = _snapshot_state(spark, table)
     v = state["version"] + 1
-    if json.loads(_peek_schema_json(spark, table, state["version"]) or "{}") != \
-            json.loads(source.schema.json()):
+    if not _same_shape(
+        _peek_schema_json(spark, table, state["version"]), source.schema.json()
+    ):
         raise DeltaProtocolError(
             "schema enforcement: merge source schema does not match table"
         )

@@ -244,6 +244,33 @@ def test_partitioned_snapshot_read_is_partition_pruned(spark, tmp_path):
     assert m and "g" in m.group(1), plan
 
 
+def test_write_after_full_log_truncation_continues_versions(spark, tmp_path):
+    """Checkpoint-only table (every JSON GC'd): a new write must continue
+    the version sequence past the checkpoint, not restart at 0 — a v0
+    commit behind a v4 checkpoint would be silently invisible to replay."""
+    tbl = str(tmp_path / "t")
+    for i in range(5):  # v0..v4, checkpoint at v4
+        dl.delta_write(spark, _df(spark, i * 10, i * 10 + 10), tbl)
+    for v in range(5):
+        os.remove(dl._version_file(tbl, v))
+    assert dl.latest_version(tbl) == 4
+    v = dl.delta_write(spark, _df(spark, 50, 60), tbl)
+    assert v == 5
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(60))
+
+
+def test_append_tolerates_nullability_drift(spark, tmp_path):
+    """Enforcement rejects TYPE drift, not the non-nullable flags a
+    lit()-derived frame carries (delta's append contract)."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    tightened = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("z").alias("g")
+    )  # both columns non-nullable here, nullable in the table schema
+    dl.delta_write(spark, tightened, tbl)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(8))
+
+
 def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
