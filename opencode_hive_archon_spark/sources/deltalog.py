@@ -78,6 +78,10 @@ from opencode_hive_archon_spark.spec import QuerySpec
 LOG_DIR = "_delta_log"
 CHECKPOINT_INTERVAL = 5
 SUPPORTED_READER_VERSION = 1
+# How long a removed file's tombstone (and the physical file) must be
+# retained before VACUUM may drop it — delta's default, 7 days. Time
+# travel inside the window stays readable; past it, storage is reclaimed.
+TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -394,18 +398,30 @@ def _snapshot_state(
         F.col("add.path").alias("path"), F.col("_v").alias("av"), "add"
     )
     rems = acts.filter(F.col("remove.path").isNotNull()).select(
-        F.col("remove.path").alias("path"), F.col("_v").alias("rv")
+        F.col("remove.path").alias("path"), F.col("_v").alias("rv"), "remove"
     )
     last_add = adds.groupBy("path").agg(
         F.max_by("add", "av").alias("add"), F.max("av").alias("av")
     )
-    last_rem = rems.groupBy("path").agg(F.max("rv").alias("rv"))
-    live = (
-        last_add.join(last_rem, "path", "left")
-        .filter(F.col("rv").isNull() | (F.col("av") > F.col("rv")))
-        .select("add")
+    last_rem = rems.groupBy("path").agg(
+        F.max_by("remove", "rv").alias("remove"), F.max("rv").alias("rv")
     )
+    joined = last_add.join(last_rem, "path", "full")
+    live = joined.filter(
+        F.col("add").isNotNull()
+        & (F.col("rv").isNull() | (F.col("av") > F.col("rv")))
+    ).select("add")
     files = [row["add"].asDict() for row in live.collect()]
+    # Tombstones: paths whose newest action is a remove — retained in
+    # state (and in checkpoints, per spec) so VACUUM can find the
+    # physical files after the removing commits are GC'd.
+    tombstones = [
+        row["remove"].asDict()
+        for row in joined.filter(
+            F.col("remove").isNotNull()
+            & (F.col("av").isNull() | (F.col("rv") >= F.col("av")))
+        ).select("remove").collect()
+    ]
     meta_rows = (
         acts.filter(F.col("metaData.schemaString").isNotNull())
         .orderBy(F.col("_v").desc())
@@ -439,6 +455,7 @@ def _snapshot_state(
     }
     return {
         "txns": txns,
+        "tombstones": tombstones,
         "version": target,
         "schema": T.StructType.fromJson(json.loads(meta["schemaString"])),
         "partition_columns": list(meta["partitionColumns"] or []),
@@ -723,6 +740,16 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
         for app, tv in sorted(state["txns"].items())
     )
     rows.extend({"add": f} for f in state["files"])
+    # Unexpired remove tombstones ride the checkpoint (spec) so VACUUM
+    # still finds the physical files after their commits are GC'd;
+    # expired ones drop out here, which is what bounds checkpoint size
+    # on a long-lived table (expired files fall to the orphan sweep).
+    cutoff = _now_ms() - TOMBSTONE_RETENTION_MS
+    rows.extend(
+        {"remove": t}
+        for t in state["tombstones"]
+        if (t["deletionTimestamp"] or 0) >= cutoff
+    )
     out_tmp = os.path.join(_log_dir(table), f".ckpt-{version:020d}")
     spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
@@ -739,6 +766,60 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
     return final
+
+
+def delta_vacuum(
+    spark: SparkSession, table: str, retain_ms: int = TOMBSTONE_RETENTION_MS
+) -> list[str]:
+    """Physically reclaim storage: delete data files unreachable from the
+    LATEST snapshot once past retention — (a) tombstoned files whose
+    deletionTimestamp aged out, (b) orphans (staging debris from crashed
+    or commit-losing writers, judged by mtime). Returns deleted paths.
+
+    Matches delta VACUUM semantics: time travel to a version that
+    referenced a vacuumed file becomes unreadable; anything within the
+    retention window stays intact. The live set is never touched — a
+    path both live and tombstoned (can't happen with versioned file
+    names, but belt-and-braces) is skipped."""
+    state = _snapshot_state(spark, table)
+    now = _now_ms()
+    live = {f["path"] for f in state["files"]}
+    known = live | {t["path"] for t in state["tombstones"]}
+    deleted: list[str] = []
+    for t in state["tombstones"]:
+        if t["path"] in live:
+            continue
+        if now - (t["deletionTimestamp"] or 0) >= retain_ms:
+            full = os.path.join(table, t["path"])
+            if os.path.exists(full):
+                os.remove(full)
+                deleted.append(t["path"])
+    for root, dirs, names in os.walk(table):
+        dirs[:] = [d for d in dirs if d != LOG_DIR]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
+            if rel in known:
+                continue
+            try:
+                age_ms = now - os.stat(full).st_mtime * 1000
+            except OSError:
+                continue
+            if age_ms >= retain_ms:
+                os.remove(full)
+                deleted.append(rel)
+    for name in os.listdir(table):
+        if name.startswith(".staging-"):
+            full = os.path.join(table, name)
+            try:
+                old = now - os.stat(full).st_mtime * 1000 >= retain_ms
+            except OSError:
+                continue
+            if old:
+                shutil.rmtree(full, ignore_errors=True)
+    return sorted(set(deleted))
 
 
 def delta_stream_sink(table: str, app_id: str):

@@ -271,6 +271,51 @@ def test_append_tolerates_nullability_drift(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(8))
 
 
+def test_vacuum_reclaims_tombstones_and_orphans(spark, tmp_path):
+    import shutil as _shutil
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_write(spark, _df(spark, 10, 20).repartition(1), tbl)
+    dl.delta_delete(spark, tbl, "k >= 15")  # tombstones the (10..19) file
+    # Plant an orphan (a crashed writer's never-committed file).
+    live_file = next(
+        f["path"] for f in dl._snapshot_state(spark, tbl)["files"]
+    )
+    orphan = os.path.join(tbl, "part-orphan-c000.snappy.parquet")
+    _shutil.copy(os.path.join(tbl, live_file), orphan)
+    os.utime(orphan, (0, 0))  # ancient mtime
+    # Default retention: nothing is old enough except the planted orphan.
+    assert dl.delta_vacuum(spark, tbl) == ["part-orphan-c000.snappy.parquet"]
+    # Zero retention: the tombstoned file goes too.
+    gone = dl.delta_vacuum(spark, tbl, retain_ms=0)
+    assert any(p.startswith("part-00001") for p in gone)
+    # Latest snapshot is untouched...
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(15))
+    # ...but time travel to the pre-delete version is now unreadable,
+    # exactly like delta after VACUUM.
+    with pytest.raises(Exception):  # noqa: B017 - Spark surfaces AnalysisException/IO
+        dl.delta_snapshot(spark, tbl, version=1).collect()
+
+
+def test_tombstones_survive_checkpoint_for_vacuum(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_delete(spark, tbl, "k >= 5")  # v1: tombstone
+    for i in range(3):  # v2..v4; auto-checkpoint at v4
+        dl.delta_write(spark, _df(spark, 100 + i, 101 + i), tbl)
+    for v in range(5):  # GC every JSON at/behind the checkpoint
+        os.remove(dl._version_file(tbl, v))
+    st = dl._snapshot_state(spark, tbl)
+    # The remove action's commit is gone; the checkpoint carried it.
+    assert any(
+        t["path"].startswith("part-00000") for t in st["tombstones"]
+    )
+    gone = dl.delta_vacuum(spark, tbl, retain_ms=0)
+    assert any(p.startswith("part-00000") for p in gone)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
 def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
