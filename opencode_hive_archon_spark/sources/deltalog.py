@@ -277,7 +277,11 @@ def _num_records(path: str) -> int:
 
 
 def _stage_data_files(
-    df: DataFrame, table: str, version: int, partition_by: list[str]
+    df: DataFrame,
+    table: str,
+    version: int,
+    partition_by: list[str],
+    data_change: bool = True,
 ) -> list[dict]:
     """Write df's data files for one commit and return their add actions.
 
@@ -329,7 +333,7 @@ def _stage_data_files(
                     "partitionValues": part_values,
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": json.dumps({"numRecords": num}),
                 }
             })
@@ -766,6 +770,63 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
     return final
+
+
+def delta_optimize(
+    spark: SparkSession, table: str, target_bytes: int = 128 << 20
+) -> int | None:
+    """OPTIMIZE (bin-packing compaction): coalesce live files smaller
+    than `target_bytes` into ~target-sized files, per partition, in ONE
+    atomic commit whose add/remove actions carry ``dataChange: false`` —
+    the protocol's signal that the commit rearranges bytes without
+    changing table content, so a streaming reader tailing the log skips
+    it instead of re-emitting rows. Returns the new version, or None if
+    no partition had two or more small files to pack.
+
+    This is the execution half of the small-file story whose PLANNING
+    side `source_compaction_plan` (sources/io.py) already covers: at
+    100 TB a micro-batch ingest leaves thousands of KB-files per
+    partition, and scan task count tracks file count until OPTIMIZE
+    packs them. Old files become tombstones (time travel intact) and are
+    reclaimed by `delta_vacuum` after retention."""
+    state = _snapshot_state(spark, table)
+    by_part: dict[tuple, list[dict]] = {}
+    for f in state["files"]:
+        if f["size"] >= target_bytes:
+            continue
+        key = tuple(sorted((f["partitionValues"] or {}).items()))
+        by_part.setdefault(key, []).append(f)
+    to_pack = {k: fs for k, fs in by_part.items() if len(fs) >= 2}
+    if not to_pack:
+        return None
+    v = state["version"] + 1
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "OPTIMIZE",
+            "operationParameters": {"targetBytes": str(target_bytes)},
+        }
+    }]
+    ts = _now_ms()
+    for fs in to_pack.values():
+        pack_state = dict(state, files=fs)
+        n_out = max(1, -(-sum(f["size"] for f in fs) // target_bytes))
+        packed = _read_state(spark, table, pack_state).coalesce(n_out)
+        actions.extend(
+            _stage_data_files(
+                packed, table, v, state["partition_columns"],
+                data_change=False,
+            )
+        )
+        actions.extend(
+            {"remove": {"path": f["path"], "deletionTimestamp": ts,
+                        "dataChange": False}}
+            for f in fs
+        )
+    _commit(table, v, actions)
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
 
 
 def delta_vacuum(

@@ -271,6 +271,57 @@ def test_append_tolerates_nullability_drift(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(8))
 
 
+def test_optimize_bin_packs_without_data_change(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    for i in range(6):
+        dl.delta_write(spark, _df(spark, i * 5, i * 5 + 5).repartition(1), tbl)
+    pre_files = len(dl._snapshot_state(spark, tbl)["files"])
+    assert pre_files == 6
+    v = dl.delta_optimize(spark, tbl, target_bytes=1 << 30)
+    assert v == 6
+    st = dl._snapshot_state(spark, tbl)
+    assert len(st["files"]) == 1
+    # Content identical, stats-only count still exact, time travel intact.
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(30))
+    assert dl.delta_count(spark, tbl) == 30
+    assert _ks(dl.delta_snapshot(spark, tbl, version=5)) == list(range(30))
+    # The OPTIMIZE commit is dataChange: false on BOTH sides — a
+    # streaming log reader must be able to skip it.
+    actions = [
+        json.loads(line)
+        for line in open(dl._version_file(tbl, 6))
+        if line.strip()
+    ]
+    flags = [
+        a["add"]["dataChange"] if "add" in a else a["remove"]["dataChange"]
+        for a in actions
+        if "add" in a or "remove" in a
+    ]
+    assert flags and not any(flags)
+    # Re-running is a no-op once nothing is packable.
+    assert dl.delta_optimize(spark, tbl, target_bytes=1 << 30) is None
+
+
+def test_optimize_packs_within_partitions(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    for i in range(3):
+        df = _df(spark, i * 10, i * 10 + 5, "a").union(
+            _df(spark, i * 10 + 5, i * 10 + 10, "b")
+        )
+        dl.delta_write(spark, df, tbl, partition_by=["g"])
+    dl.delta_optimize(spark, tbl, target_bytes=1 << 30)
+    st = dl._snapshot_state(spark, tbl)
+    per_part: dict[str, int] = {}
+    for f in st["files"]:
+        per_part[f["partitionValues"]["g"]] = (
+            per_part.get(f["partitionValues"]["g"], 0) + 1
+        )
+    assert per_part == {"a": 1, "b": 1}
+    snap = dl.delta_snapshot(spark, tbl)
+    assert snap.count() == 30
+    assert snap.filter(F.col("g") == "b").count() == 15
+
+
 def test_vacuum_reclaims_tombstones_and_orphans(spark, tmp_path):
     import shutil as _shutil
 
