@@ -965,7 +965,10 @@ def _mv_write_manifest(mv_dir: str, version: str, mapping: dict) -> None:
     Driver-local POSIX I/O: the atomic-rename guarantee holds because
     mv_dir is a driver-local path (tempfile.mkdtemp in every caller) —
     on HDFS/S3 this whole manifest layer is replaced by the Delta/Iceberg
-    commit log already named as the production swap (ADVICE r12 #3)."""
+    commit log already named as the production swap (ADVICE r12 #3) —
+    implemented in-repo since round 14: sources/deltalog.py provides the
+    same atomic-commit + checkpointed-replay contract (put-if-absent
+    versions, _last_checkpoint head pointer, retention GC = VACUUM)."""
     import json
 
     path = _mv_manifest_path(mv_dir, version)
@@ -1209,7 +1212,10 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes only those buckets into v{batch_id}; a batch_id-keyed manifest
     maps bucket -> latest version dir. Untouched buckets are never read
     or rewritten — the parquet analogue of MERGE INTO on a Delta/Iceberg
-    MV, which is the production swap. Retry is idempotent because prev
+    MV, which is the production swap (in-repo realization:
+    sources/deltalog.py::delta_merge, file-granular copy-on-write, plus
+    delta_stream_sink's txn watermark for the retry story). Retry is
+    idempotent because prev
     resolves from the manifest BELOW batch_id, never from mutable driver
     state (_mv_merge_batch).
 
