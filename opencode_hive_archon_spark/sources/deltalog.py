@@ -350,7 +350,9 @@ def _snapshot_state(
 ) -> dict:
     """Replay the log to `version` (latest if None) and return table state:
     {version, schema (StructType incl. partition cols), partition_columns,
-    files (list of add dicts), checkpoint_version, json_replayed}.
+    meta (raw metaData dict), files (list of live add dicts), tombstones
+    (newest-action-is-remove dicts, for VACUUM), txns (latest version per
+    appId, for idempotent sinks), checkpoint_version, json_replayed}.
 
     Replay is a Spark job over the bounded slice (newest checkpoint ≤
     target, plus the JSON commits after it); live files are
