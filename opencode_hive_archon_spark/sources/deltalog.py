@@ -774,6 +774,73 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
     return final
 
 
+def delta_changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change feed over (from_version, to_version]: every row added or
+    removed by DATA-CHANGING commits, tagged `_change_type`
+    ('insert' / 'delete') and `_commit_version`. File-level CDF: a
+    copy-on-write rewrite (DELETE / MERGE) surfaces as delete-rows +
+    insert-rows for the rewritten files — the same net effect as delta's
+    CDF without the update_pre/postimage split, which needs per-row
+    change files this layer doesn't write. OPTIMIZE commits carry
+    ``dataChange: false`` and are skipped entirely — an incremental
+    consumer never re-processes rows a compaction merely moved.
+
+    Scale shape: reads ONLY the commit JSONs in the range (they must
+    still be retained; gaps raise) and the data files those commits
+    touched — cost tracks churn, never table size. This is the feed an
+    incremental MV maintainer consumes (operators/cdc.py computes the
+    same classes by diffing snapshots; this derives them from the log
+    for free)."""
+    versions = _list_log(table, _VERSION_RE)
+    need = list(range(from_version + 1, to_version + 1))
+    missing = [v for v in need if v not in versions]
+    if missing:
+        raise DeltaProtocolError(
+            f"change feed needs commits {missing} of {table}, but they "
+            "were GC'd — changes older than the retained JSON tail are "
+            "only available as snapshot diffs"
+        )
+    state = _snapshot_state(spark, table, to_version)
+    schema = state["schema"]
+    out: DataFrame | None = None
+    for v in need:
+        with open(_version_file(table, v)) as fh:
+            actions = [json.loads(line) for line in fh if line.strip()]
+        for kind, tag in (("add", "insert"), ("remove", "delete")):
+            paths = [
+                a[kind]["path"]
+                for a in actions
+                if kind in a and a[kind].get("dataChange", True)
+            ]
+            if not paths:
+                continue
+            reader = spark.read.schema(schema)
+            if state["partition_columns"]:
+                reader = reader.option("basePath", table)
+            part = reader.parquet(
+                *[os.path.join(table, p) for p in paths]
+            ).select(
+                "*",
+                F.lit(tag).alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                ]
+            ),
+        )
+    return out
+
+
 def delta_optimize(
     spark: SparkSession, table: str, target_bytes: int = 128 << 20
 ) -> int | None:

@@ -322,6 +322,61 @@ def test_optimize_packs_within_partitions(spark, tmp_path):
     assert snap.filter(F.col("g") == "b").count() == 15
 
 
+def test_change_feed_reconciles_to_snapshot(spark, tmp_path):
+    from collections import Counter
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(5)], "k long, val double"
+        ).repartition(1),
+        tbl,
+    )  # v0
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(5, 10)], "k long, val double"
+        ).repartition(1),
+        tbl,
+    )  # v1
+    dl.delta_delete(spark, tbl, "k >= 8")  # v2: rewrite
+    v3 = dl.delta_optimize(spark, tbl, target_bytes=1 << 30)  # v3
+    assert v3 == 3
+    dl.delta_merge(
+        spark,
+        tbl,
+        spark.createDataFrame([(0, 99.0), (20, 20.0)], "k long, val double"),
+        on=["k"],
+    )  # v4
+    feed = dl.delta_changes(spark, tbl, 0, 4).collect()
+    # The OPTIMIZE commit contributes nothing (dataChange: false).
+    assert not [r for r in feed if r["_commit_version"] == 3]
+    # Replaying the feed over snapshot v0 reproduces snapshot v4 exactly.
+    current = Counter(
+        (r["k"], r["val"])
+        for r in dl.delta_snapshot(spark, tbl, version=0).collect()
+    )
+    for v in (1, 2, 3, 4):
+        current -= Counter(
+            (r["k"], r["val"]) for r in feed
+            if r["_commit_version"] == v and r["_change_type"] == "delete"
+        )
+        current += Counter(
+            (r["k"], r["val"]) for r in feed
+            if r["_commit_version"] == v and r["_change_type"] == "insert"
+        )
+    final = Counter(
+        (r["k"], r["val"]) for r in dl.delta_snapshot(spark, tbl).collect()
+    )
+    assert current == final
+    assert final[(0, 99.0)] == 1 and final[(20, 20.0)] == 1
+    # A rearrangement-only range yields an empty, correctly-typed feed.
+    empty = dl.delta_changes(spark, tbl, 2, 3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
 def test_vacuum_reclaims_tombstones_and_orphans(spark, tmp_path):
     import shutil as _shutil
 
