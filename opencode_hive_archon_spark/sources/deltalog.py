@@ -674,7 +674,13 @@ def delta_merge(
         raise DeltaProtocolError(
             "schema enforcement: merge source schema does not match table"
         )
-    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    dup = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__merge_n"))
+        .filter(F.col("__merge_n") > 1)
+        .limit(1)
+        .count()
+    )
     if dup:
         raise DeltaProtocolError(
             "merge cardinality violation: multiple source rows share a key"
