@@ -979,6 +979,118 @@ def delta_stream_sink(table: str, app_id: str):
 
 
 # --------------------------------------------------------------------------
+# streaming SOURCE: the delta log as a Structured Streaming input
+# --------------------------------------------------------------------------
+
+def _peek_schema_json_fs(table: str) -> str:
+    """schemaString without a SparkSession (DataSource.schema() runs
+    before any job): version 0's commit if retained, else the newest
+    checkpoint's metaData row via a pyarrow footer-and-rows read."""
+    v0 = _version_file(table, 0)
+    if os.path.exists(v0):
+        with open(v0) as fh:
+            for line in fh:
+                if line.strip():
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        return action["metaData"]["schemaString"]
+    ckpts = _list_log(table, _CKPT_RE)
+    if ckpts:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(
+            _checkpoint_file(table, max(ckpts)), columns=["metaData"]
+        ).to_pylist()
+        for r in rows:
+            meta = r.get("metaData")
+            if meta and meta.get("schemaString"):
+                return meta["schemaString"]
+    raise DeltaProtocolError(f"no metaData action found in log of {table}")
+
+
+try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _DeltaFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class DeltaLogStreamReader(DataSourceStreamReader):
+        """Tails the transaction log: offsets are commit versions; each
+        micro-batch reads the data files ADDED with ``dataChange: true``
+        in (start, end] — so appends/rewrites flow downstream while
+        OPTIMIZE rearrangements are skipped, exactly the contract the
+        dataChange flag exists for. Rows are served as Arrow record
+        batches straight from the parquet files (no Python row loop)."""
+
+        def __init__(self, table: str):
+            self._table = table
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            return {"version": latest_version(self._table)}
+
+        def partitions(self, start: dict, end: dict):
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                vf = _version_file(self._table, v)
+                if not os.path.exists(vf):
+                    raise DeltaProtocolError(
+                        f"stream needs commit {v} of {self._table}, but "
+                        "it was GC'd — start a fresh stream from a "
+                        "snapshot instead"
+                    )
+                with open(vf) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        action = json.loads(line)
+                        add = action.get("add")
+                        if add and add.get("dataChange", True):
+                            parts.append(_DeltaFilePartition(
+                                os.path.join(self._table, add["path"])
+                            ))
+            return parts
+
+        def read(self, partition):  # executor-side
+            import pyarrow.parquet as pq
+
+            yield from pq.read_table(partition.path).to_batches()
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class DeltaLogStreamSource(DataSource):
+        """``spark.readStream.format("delta_log_stream")
+        .option("path", table).load()`` — the read-side complement of
+        ``delta_stream_sink``. Unpartitioned tables only (partitioned
+        data files don't carry their partition columns; re-deriving them
+        per file is the documented extension)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "delta_log_stream"
+
+        def schema(self):
+            return T.StructType.fromJson(
+                json.loads(_peek_schema_json_fs(self.options["path"]))
+            )
+
+        def streamReader(self, schema) -> DeltaLogStreamReader:
+            return DeltaLogStreamReader(self.options["path"])
+
+    HAS_STREAM_SOURCE = True
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    HAS_STREAM_SOURCE = False
+
+
+# --------------------------------------------------------------------------
 # driver queries
 # --------------------------------------------------------------------------
 

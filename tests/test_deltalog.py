@@ -422,6 +422,43 @@ def test_tombstones_survive_checkpoint_for_vacuum(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4, 100, 101, 102]
 
 
+def test_streaming_source_tails_data_changes_only(spark, tmp_path):
+    """The delta log as a Structured Streaming SOURCE: appends flow
+    through micro-batches, OPTIMIZE rearrangements are skipped, and new
+    commits made while the stream runs are picked up."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5).repartition(1), tbl)
+    dl.delta_write(spark, _df(spark, 5, 10).repartition(1), tbl)
+    assert dl.delta_optimize(spark, tbl, target_bytes=1 << 30) == 2
+    dl.delta_write(spark, _df(spark, 10, 15).repartition(1), tbl)
+    spark.dataSource.register(dl.DeltaLogStreamSource)
+    q = (
+        spark.readStream.format("delta_log_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("delta_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["k"] for r in spark.sql("SELECT k FROM delta_tail").collect()
+        )
+        # 0..14 exactly once: the OPTIMIZE commit's rewritten copies of
+        # 0..9 were dataChange:false and must not re-emit.
+        assert got == list(range(15))
+        dl.delta_write(spark, _df(spark, 15, 20).repartition(1), tbl)
+        q.processAllAvailable()
+        got = sorted(
+            r["k"] for r in spark.sql("SELECT k FROM delta_tail").collect()
+        )
+        assert got == list(range(20))
+    finally:
+        q.stop()
+
+
 def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
