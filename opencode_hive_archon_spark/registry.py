@@ -70,9 +70,9 @@ _SPEC_MODULES = [
 #       EXCEPT (i) four slots for the queries whose OUTPUT round 14
 #       changes (ann_ivf_topk / ann_ivf_kmeans_topk / ann_ivf_recall:
 #       the unified trainer + nprobe=4 retune; recall_multi_provider_rerank:
-#       data-derived channel/success features), and (ii) two slots for the
-#       queries REGISTERED this round (the delta-protocol table layer) —
-#       evidence for changed/new code outranks evidence age.
+#       data-derived channel/success features), and (ii) three slots for
+#       the queries REGISTERED this round (the delta-protocol table
+#       layer) — evidence for changed/new code outranks evidence age.
 # After this round the max driver-row age anywhere in the registry is r10.
 _PRIORITY = [
     # (a) every query whose latest driver row is r9

@@ -66,6 +66,7 @@ import shutil
 import tempfile
 import time
 import urllib.parse
+import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -231,24 +232,25 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-def _peek_schema_json(spark: SparkSession, table: str, version: int) -> str | None:
-    """Current schemaString, cheaply: version 0's commit carries metaData,
-    and it is one small JSON file — driver-side parse, no Spark job. If
-    v0 was GC'd behind a checkpoint, fall back to a replay."""
-    v0 = _version_file(table, 0)
-    if os.path.exists(v0):
-        with open(v0) as fh:
+def _peek_meta(spark: SparkSession, table: str, version: int) -> dict | None:
+    """Newest retained metaData action at or below `version`, driver-side:
+    scan commit JSONs newest-first (a metaData action can appear in ANY
+    commit — overwrite-with-new-schema writes one, so v0 alone is stale
+    after schema evolution). Falls back to a checkpoint replay when every
+    retained JSON predates the checkpoint. The scan is metadata-sized:
+    commit files are small and the retained tail is GC-bounded."""
+    for v in sorted(_list_log(table, _VERSION_RE), reverse=True):
+        if v > version:
+            continue
+        with open(_version_file(table, v)) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "metaData" in action:
-                    return action["metaData"]["schemaString"]
-        return None
+                    return action["metaData"]
     try:
-        return json.dumps(
-            _snapshot_state(spark, table, version)["schema"].jsonValue()
-        )
+        return _snapshot_state(spark, table, version)["meta"]
     except DeltaProtocolError:
         return None
 
@@ -302,6 +304,11 @@ def _stage_data_files(
     writer.parquet(staging)
     adds: list[dict] = []
     seq = 0
+    # Per-attempt unique token in every file name: two writers racing the
+    # same version must not publish to the same destination (shutil.move
+    # would silently replace) — the commit race alone can't protect file
+    # CONTENT if names collide. Real delta writers embed a uuid the same way.
+    token = uuid.uuid4().hex[:8]
     for root, dirs, files in os.walk(staging):
         dirs.sort()
         for name in sorted(files):
@@ -314,7 +321,7 @@ def _stage_data_files(
             for seg in segs:
                 k, _, val = seg.partition("=")
                 part_values[k] = urllib.parse.unquote(val)
-            fname = f"part-{version:05d}-{seq:05d}-c000.snappy.parquet"
+            fname = f"part-{version:05d}-{seq:05d}-{token}.snappy.parquet"
             seq += 1
             rel_path = "/".join(segs + [fname])
             dest = os.path.join(table, *segs, fname)
@@ -529,7 +536,14 @@ def delta_write(
     the write is SKIPPED (idempotent) — the exactly-once contract a
     streaming foreachBatch sink needs across batch retries. The txn
     watermark survives checkpoint truncation (checkpoints carry the
-    latest txn per appId, per spec)."""
+    latest txn per appId, per spec).
+
+    Appends inherit the table's committed partitionColumns when the
+    caller omits partition_by, and reject a mismatch; an overwrite whose
+    schema or partitioning differs writes an updated metaData action in
+    the same commit (schema evolution), so replay always reads the new
+    files with the right schema."""
+    partition_by_arg = partition_by
     partition_by = list(partition_by or [])
     v = latest_version(table) + 1
     if txn is not None and v > 0:
@@ -573,15 +587,44 @@ def delta_write(
             }}
             for f in prior["files"]
         )
+        if partition_by_arg is None:
+            # Caller said nothing about partitioning: keep the table's —
+            # an overwrite should not silently flatten a partitioned
+            # layout. Repartitioning is an explicit partition_by=[...].
+            partition_by = prior["partition_columns"]
+        if not _same_shape(
+            prior["meta"]["schemaString"], df.schema.json()
+        ) or partition_by != prior["partition_columns"]:
+            # Schema evolution: the SAME commit that swaps the file set
+            # updates the metaData, so replay reads the new files with
+            # the new schema (v0's metaData alone would be stale).
+            actions.append({"metaData": {
+                **prior["meta"],
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by,
+            }})
     elif mode == "append":
-        # Schema enforcement (the delta write-path contract): an append
-        # whose schema drifted from the table's must fail, not corrupt.
-        existing = _peek_schema_json(spark, table, v - 1)
-        if not _same_shape(existing, df.schema.json()):
-            raise DeltaProtocolError(
-                f"schema enforcement: append schema does not match table "
-                f"schema at {table} (use mode='overwrite' to replace)"
-            )
+        # Write-path enforcement (the delta append contract): schema or
+        # partitioning drift must fail, not corrupt. Omitted partition_by
+        # inherits the table's committed partitionColumns — a sink (e.g.
+        # delta_stream_sink) appending to a partitioned table keeps the
+        # layout without having to know it.
+        meta = _peek_meta(spark, table, v - 1)
+        if meta is not None:
+            if not _same_shape(meta["schemaString"], df.schema.json()):
+                raise DeltaProtocolError(
+                    f"schema enforcement: append schema does not match "
+                    f"table schema at {table} (use mode='overwrite' to "
+                    "replace)"
+                )
+            table_parts = list(meta.get("partitionColumns") or [])
+            if partition_by_arg is not None and partition_by != table_parts:
+                raise DeltaProtocolError(
+                    f"partition enforcement: append partition_by="
+                    f"{partition_by} does not match table "
+                    f"partitionColumns={table_parts} at {table}"
+                )
+            partition_by = table_parts
     else:
         raise ValueError(f"unsupported mode: {mode!r}")
     actions.extend(_stage_data_files(df, table, v, partition_by))
@@ -669,7 +712,7 @@ def delta_merge(
     state = _snapshot_state(spark, table)
     v = state["version"] + 1
     if not _same_shape(
-        _peek_schema_json(spark, table, state["version"]), source.schema.json()
+        state["meta"]["schemaString"], source.schema.json()
     ):
         raise DeltaProtocolError(
             "schema enforcement: merge source schema does not match table"
@@ -716,7 +759,10 @@ def delta_merge(
         hit_state = dict(state, files=hit_files)
         hit_rows = _read_state(spark, table, hit_state)
         kept = hit_rows.join(source.select(*on), on, "left_anti")
-        updated = source.join(hit_rows.select(*on), on, "left_semi")
+        # UPDATE SET * applies to EVERY matched target row (duplicates
+        # included): one output row per matched target row, payload from
+        # the source (whose per-key uniqueness the guard above enforced).
+        updated = hit_rows.select(*on).join(source, on, "inner")
         rewrite = kept.unionByName(updated).unionByName(inserts)
         ts = _now_ms()
         removes = [
@@ -822,6 +868,21 @@ def delta_changes(
             ]
             if not paths:
                 continue
+            vacuumed = [
+                p for p in paths
+                if not os.path.exists(os.path.join(table, p))
+            ]
+            if vacuumed:
+                # JSON retention and VACUUM are independent: the commit
+                # can outlive the tombstoned file it references. Fail
+                # with the feed horizon named, not a mid-job
+                # path-not-found from the scan.
+                raise DeltaProtocolError(
+                    f"change feed needs data file(s) {vacuumed[:3]} of "
+                    f"commit v{v}, but they were vacuumed — changes past "
+                    "the VACUUM retention are only available as snapshot "
+                    "diffs"
+                )
             reader = spark.read.schema(schema)
             if state["partition_columns"]:
                 reader = reader.option("basePath", table)
@@ -982,18 +1043,17 @@ def delta_stream_sink(table: str, app_id: str):
 # streaming SOURCE: the delta log as a Structured Streaming input
 # --------------------------------------------------------------------------
 
-def _peek_schema_json_fs(table: str) -> str:
-    """schemaString without a SparkSession (DataSource.schema() runs
-    before any job): version 0's commit if retained, else the newest
-    checkpoint's metaData row via a pyarrow footer-and-rows read."""
-    v0 = _version_file(table, 0)
-    if os.path.exists(v0):
-        with open(v0) as fh:
+def _peek_meta_fs(table: str) -> dict:
+    """Newest metaData without a SparkSession (DataSource.schema() runs
+    before any job): scan retained commit JSONs newest-first, else the
+    newest checkpoint's metaData row via a pyarrow read."""
+    for v in sorted(_list_log(table, _VERSION_RE), reverse=True):
+        with open(_version_file(table, v)) as fh:
             for line in fh:
                 if line.strip():
                     action = json.loads(line)
                     if "metaData" in action:
-                        return action["metaData"]["schemaString"]
+                        return action["metaData"]
     ckpts = _list_log(table, _CKPT_RE)
     if ckpts:
         import pyarrow.parquet as pq
@@ -1004,7 +1064,7 @@ def _peek_schema_json_fs(table: str) -> str:
         for r in rows:
             meta = r.get("metaData")
             if meta and meta.get("schemaString"):
-                return meta["schemaString"]
+                return meta
     raise DeltaProtocolError(f"no metaData action found in log of {table}")
 
 
@@ -1078,9 +1138,18 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             return "delta_log_stream"
 
         def schema(self):
-            return T.StructType.fromJson(
-                json.loads(_peek_schema_json_fs(self.options["path"]))
-            )
+            meta = _peek_meta_fs(self.options["path"])
+            if meta.get("partitionColumns"):
+                # Data files of a partitioned table don't carry their
+                # partition columns; re-deriving them per file is the
+                # documented extension. Fail HERE with a named reason,
+                # not executor-side with an Arrow column-count mismatch.
+                raise DeltaProtocolError(
+                    "delta_log_stream supports unpartitioned tables only "
+                    f"(table has partitionColumns="
+                    f"{list(meta['partitionColumns'])})"
+                )
+            return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
         def streamReader(self, schema) -> DeltaLogStreamReader:
             return DeltaLogStreamReader(self.options["path"])
@@ -1227,9 +1296,12 @@ def source_delta_checkpoint_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 12 commits are v0..v11; checkpoints land at v4 and v9 ((v+1) % 5 == 0),
-# so replay to v11 reads checkpoint v9 + JSON v10, v11 => 2 tail files.
-_CKPT_AT = ((N_SLICES - 1) // CHECKPOINT_INTERVAL) * CHECKPOINT_INTERVAL - 1
+# 12 commits are v0..v11; checkpoints land at versions v with
+# (v+1) % INTERVAL == 0 (v4, v9), so the newest checkpoint for N commits
+# is INTERVAL*floor(N/INTERVAL) - 1 and replay to v11 reads checkpoint v9
+# + JSON v10, v11 => 2 tail files. (The previous ((N-1)//I)*I - 1 form
+# agreed only when N is not a multiple of I — coincidence at N=12.)
+_CKPT_AT = (N_SLICES // CHECKPOINT_INTERVAL) * CHECKPOINT_INTERVAL - 1
 _ORACLE_CKPTLOG = f"""
 SELECT {N_SLICES} AS n_commits,
        {_CKPT_AT} AS checkpoint_version,

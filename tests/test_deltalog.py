@@ -191,6 +191,82 @@ def test_merge_cardinality_and_schema_guards(spark, tmp_path):
         dl.delta_merge(spark, tbl, drifted, on=["k"])
 
 
+def test_merge_updates_every_duplicate_matched_row(spark, tmp_path):
+    """MERGE's UPDATE SET * applies to EVERY matched target row — a table
+    holding a key twice gets two updated rows, not a silent collapse."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark, spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, val double"), tbl
+    )
+    dl.delta_write(
+        spark, spark.createDataFrame([(1, 11.0)], "k long, val double"), tbl
+    )
+    dl.delta_merge(
+        spark, tbl,
+        spark.createDataFrame([(1, 99.0)], "k long, val double"), on=["k"],
+    )
+    rows = sorted(
+        (r["k"], r["val"]) for r in dl.delta_snapshot(spark, tbl).collect()
+    )
+    assert rows == [(1, 99.0), (1, 99.0), (2, 20.0)]
+
+
+def test_append_inherits_and_enforces_partition_layout(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10, "a"), tbl, partition_by=["g"])
+    # A sink-style append (no partition_by) keeps the hive layout.
+    dl.delta_write(spark, _df(spark, 10, 15, "b"), tbl)
+    st = dl._snapshot_state(spark, tbl)
+    assert all(f["partitionValues"].get("g") for f in st["files"])
+    snap = dl.delta_snapshot(spark, tbl)
+    assert snap.filter(F.col("g") == "b").count() == 5
+    # An explicit conflicting layout is rejected, not silently mixed.
+    with pytest.raises(dl.DeltaProtocolError, match="partition enforcement"):
+        dl.delta_write(spark, _df(spark, 15, 20), tbl, partition_by=["k"])
+
+
+def test_overwrite_with_new_schema_updates_metadata(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    evolved = spark.createDataFrame(
+        [(1, 2.5, "x")], "a long, b double, c string"
+    )
+    dl.delta_write(spark, evolved, tbl, mode="overwrite")
+    snap = dl.delta_snapshot(spark, tbl)
+    assert snap.columns == ["a", "b", "c"]
+    assert snap.collect()[0]["c"] == "x"
+    # Appends now enforce against the EVOLVED schema, not v0's.
+    with pytest.raises(dl.DeltaProtocolError, match="schema enforcement"):
+        dl.delta_write(spark, _df(spark, 5, 10), tbl)
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(2, 3.5, "y")], "a long, b double, c string"),
+        tbl,
+    )
+    assert dl.delta_snapshot(spark, tbl).count() == 2
+    # Time travel to the pre-overwrite version serves the OLD schema.
+    assert dl.delta_snapshot(spark, tbl, version=0).columns == ["k", "g"]
+
+
+def test_stream_source_rejects_partitioned_tables(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10, "a"), tbl, partition_by=["g"])
+    spark.dataSource.register(dl.DeltaLogStreamSource)
+    with pytest.raises(Exception, match="unpartitioned"):
+        spark.readStream.format("delta_log_stream").option(
+            "path", tbl
+        ).load()
+
+
+def test_change_feed_names_vacuumed_horizon(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_delete(spark, tbl, "k >= 5")
+    dl.delta_vacuum(spark, tbl, retain_ms=0)
+    with pytest.raises(dl.DeltaProtocolError, match="vacuumed"):
+        dl.delta_changes(spark, tbl, 0, 1).collect()
+
+
 def test_merge_into_empty_table_inserts_all(spark, tmp_path):
     tbl = str(tmp_path / "t")
     empty = spark.createDataFrame([], "k long, val double")
