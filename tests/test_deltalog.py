@@ -535,6 +535,57 @@ def test_streaming_source_tails_data_changes_only(spark, tmp_path):
         q.stop()
 
 
+def test_reads_foreign_writer_table(spark, tmp_path):
+    """Interop: a table whose log was written by ANOTHER implementation —
+    hand-built spec-shaped actions, no stats on the add, different file
+    naming — must snapshot correctly, and delta_count must fall back to
+    the parquet footer for the stats-less file."""
+    tbl = str(tmp_path / "t")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    data_file = next(
+        n for n in os.listdir(tmp_path / "stage") if n.endswith(".parquet")
+    )
+    os.rename(
+        tmp_path / "stage" / data_file,
+        os.path.join(tbl, "some-foreign-name.parquet"),
+    )
+    size = os.path.getsize(os.path.join(tbl, "some-foreign-name.parquet"))
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-id", "name": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {
+            "path": "some-foreign-name.parquet", "partitionValues": {},
+            "size": size, "modificationTime": 0, "dataChange": True,
+        }},  # note: no stats field at all
+    ]
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2]
+    assert dl.delta_count(spark, tbl) == 2  # footer fallback path
+    # And our writer can continue a foreign table's version sequence.
+    dl.delta_write(
+        spark, spark.createDataFrame([(3, "c")], "k long, g string"), tbl
+    )
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2, 3]
+
+
+def test_time_travel_out_of_range_raises(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    with pytest.raises(dl.DeltaProtocolError, match="out of range"):
+        dl.delta_snapshot(spark, tbl, version=7)
+    with pytest.raises(dl.DeltaProtocolError, match="out of range"):
+        dl.delta_snapshot(spark, tbl, version=-1)
+
+
 def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
