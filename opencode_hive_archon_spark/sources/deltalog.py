@@ -83,9 +83,35 @@ SUPPORTED_READER_VERSION = 1
 # retained before VACUUM may drop it — delta's default, 7 days. Time
 # travel inside the window stays readable; past it, storage is reclaimed.
 TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+# Floor for the VACUUM ORPHAN sweep only. Tombstoned files are committed
+# removes — reclaiming them early is an explicit time-travel-horizon
+# choice the caller may make (delta's retentionDurationCheck toggle). An
+# UNREFERENCED parquet is different: mtime alone cannot distinguish a
+# crashed writer's debris from a concurrent IN-FLIGHT writer's staged
+# files (staging moves files into place BEFORE the commit race is
+# decided), so sweeping orphans younger than this window could delete
+# files the winning commit is about to reference. delta-spark guards the
+# same race with a minimum-retention check.
+ORPHAN_SAFETY_WINDOW_MS = 3600 * 1000
 
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+def _encode_path(rel: str) -> str:
+    """Spec encoding for add/remove `path` fields (PROTOCOL.md: a
+    percent-encoded relative path). `/` and `=` stay literal — both are
+    legal in an RFC 2396 path segment and delta-spark leaves hive
+    `key=value` dirs readable; everything else non-unreserved (including
+    a literal `%` from Spark's own partition-dir escaping) is encoded,
+    so encode→decode round-trips any on-disk name exactly."""
+    return urllib.parse.quote(rel, safe="/=")
+
+
+def _decode_path(path: str) -> str:
+    """Inverse of `_encode_path`: action-field path → filesystem-relative
+    path. Also what makes FOREIGN tables with encoded paths resolve."""
+    return urllib.parse.unquote(path)
 
 
 class DeltaConcurrentCommit(RuntimeError):
@@ -224,6 +250,15 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
                 f"version {version} already committed at {target}; "
                 "re-read the log and retry"
             ) from None
+        # Durability: fsync the LOG DIRECTORY too — the payload fsync
+        # above makes the bytes durable, but the directory entry created
+        # by link(2) is not until the dir itself is synced; without this
+        # a crash can lose an already-acknowledged commit.
+        dfd = os.open(log, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
         os.unlink(tmp)
 
@@ -278,6 +313,68 @@ def _num_records(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+# Physical parquet types whose footer min/max are exact and totally
+# ordered — safe to surface as delta minValues/maxValues. Strings are
+# EXCLUDED in this build: a writer may truncate string stats, and a
+# truncated max is a PREFIX of the true max, i.e. an UNSOUND upper bound
+# (delta solves this with its own truncate-plus-0x7F-tiebreaker at write
+# time — the documented extension); skipping must never be wrong, so we
+# index the numeric columns only, like a conservative
+# dataSkippingNumIndexedCols.
+_STATS_PHYSICAL = ("INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN")
+
+
+def _file_stats(path: str) -> dict:
+    """The add action's `stats` JSON from the parquet footer alone:
+    numRecords plus per-column minValues / maxValues / nullCount
+    aggregated across row groups (spec field names — what delta-spark
+    writes and what its data-skipping reader consumes). A column whose
+    stats any row group lacks (e.g. all-null, or a NaN-poisoned double
+    chunk) is omitted entirely — absent stats mean "cannot skip", never
+    "skip wrongly"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete: set = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            # Top-level columns only: a nested path ("a.b") has list/map
+            # repetition semantics min/max can't summarize per-row.
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if rg == 0:
+                complete.add(name)
+            if (
+                st is None
+                or not st.has_min_max
+                or st.physical_type not in _STATS_PHYSICAL
+            ):
+                complete.discard(name)
+                continue
+            if name not in complete:
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], st.min)
+                maxs[name] = max(maxs[name], st.max)
+            else:
+                mins[name] = st.min
+                maxs[name] = st.max
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    out = {"numRecords": md.num_rows}
+    kept = {n for n in mins if n in complete}
+    if kept:
+        out["minValues"] = {n: mins[n] for n in sorted(kept)}
+        out["maxValues"] = {n: maxs[n] for n in sorted(kept)}
+        out["nullCount"] = {n: nulls.get(n, 0) for n in sorted(kept)}
+    return out
+
+
 def _stage_data_files(
     df: DataFrame,
     table: str,
@@ -323,11 +420,11 @@ def _stage_data_files(
                 part_values[k] = urllib.parse.unquote(val)
             fname = f"part-{version:05d}-{seq:05d}-{token}.snappy.parquet"
             seq += 1
-            rel_path = "/".join(segs + [fname])
+            rel_path = _encode_path("/".join(segs + [fname]))
             dest = os.path.join(table, *segs, fname)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
-            num = _num_records(src)
-            if num == 0:
+            stats = _file_stats(src)
+            if stats["numRecords"] == 0:
                 # Empty-partition artifacts: a 0-row add is dead metadata
                 # (real delta writers never emit one) — drop it here.
                 seq -= 1
@@ -341,7 +438,7 @@ def _stage_data_files(
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": data_change,
-                    "stats": json.dumps({"numRecords": num}),
+                    "stats": json.dumps(stats),
                 }
             })
     shutil.rmtree(staging, ignore_errors=True)
@@ -482,7 +579,9 @@ def _snapshot_state(
 def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
     if not state["files"]:
         return spark.createDataFrame([], state["schema"])
-    paths = [os.path.join(table, f["path"]) for f in state["files"]]
+    paths = [
+        os.path.join(table, _decode_path(f["path"])) for f in state["files"]
+    ]
     reader = spark.read.schema(state["schema"])
     if state["partition_columns"]:
         reader = reader.option("basePath", table)
@@ -506,7 +605,7 @@ def delta_count(spark: SparkSession, table: str, version: int | None = None) -> 
         stats = json.loads(f["stats"]) if f["stats"] else {}
         n = stats.get("numRecords")
         if n is None:
-            n = _num_records(os.path.join(table, f["path"]))
+            n = _num_records(os.path.join(table, _decode_path(f["path"])))
         total += n
     return total
 
@@ -543,6 +642,10 @@ def delta_write(
     schema or partitioning differs writes an updated metaData action in
     the same commit (schema evolution), so replay always reads the new
     files with the right schema."""
+    if mode not in ("append", "overwrite"):
+        # Validate BEFORE the v==0 branch: a first commit must not treat
+        # 'ignore' / 'errorifexists' / a typo as a normal write.
+        raise ValueError(f"unsupported mode: {mode!r}")
     partition_by_arg = partition_by
     partition_by = list(partition_by or [])
     v = latest_version(table) + 1
@@ -625,8 +728,6 @@ def delta_write(
                     f"partitionColumns={table_parts} at {table}"
                 )
             partition_by = table_parts
-    else:
-        raise ValueError(f"unsupported mode: {mode!r}")
     actions.extend(_stage_data_files(df, table, v, partition_by))
     _commit(table, v, actions)
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
@@ -666,7 +767,9 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
         for uri in hit_uris:
             p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
             hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
-        hit_files = [f for f in state["files"] if f["path"] in hit_rel]
+        hit_files = [
+            f for f in state["files"] if _decode_path(f["path"]) in hit_rel
+        ]
         if hit_files:
             # Re-plan the rewrite scan over ONLY the hit files — the
             # copy-on-write pass does I/O proportional to the files it
@@ -752,7 +855,9 @@ def delta_merge(
             ).replace(os.sep, "/")
             for u in hit_uris
         }
-        hit_files = [f for f in state["files"] if f["path"] in hit_rel]
+        hit_files = [
+            f for f in state["files"] if _decode_path(f["path"]) in hit_rel
+        ]
     else:
         hit_files = []
     if hit_files:
@@ -856,6 +961,37 @@ def delta_changes(
         )
     state = _snapshot_state(spark, table, to_version)
     schema = state["schema"]
+    # Schema-evolution guard: every file in the range is read with the
+    # to_version schema below, so an overwrite-with-new-schema INSIDE the
+    # range would silently surface its delete-rows (pre-evolution files)
+    # as null columns. Walk the metaData timeline across the range and
+    # fail loudly instead — the consumer must split the feed at the
+    # evolution commit (or fall back to snapshot diffs).
+    before = None
+    if from_version >= 0:
+        before = _peek_meta(spark, table, from_version)
+    current_json = before["schemaString"] if before else None
+    current_parts = list(before.get("partitionColumns") or []) if before else None
+    for v in need:
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                meta = json.loads(line).get("metaData")
+                if meta and meta.get("schemaString"):
+                    parts_v = list(meta.get("partitionColumns") or [])
+                    if not _same_shape(current_json, meta["schemaString"]) or (
+                        current_parts is not None and parts_v != current_parts
+                    ):
+                        raise DeltaProtocolError(
+                            f"change feed range ({from_version}, "
+                            f"{to_version}] crosses a schema or partition "
+                            f"layout change at commit v{v} of {table}; "
+                            "split the feed at that version or use "
+                            "snapshot diffs"
+                        )
+                    current_json = meta["schemaString"]
+                    current_parts = parts_v
     out: DataFrame | None = None
     for v in need:
         with open(_version_file(table, v)) as fh:
@@ -870,7 +1006,7 @@ def delta_changes(
                 continue
             vacuumed = [
                 p for p in paths
-                if not os.path.exists(os.path.join(table, p))
+                if not os.path.exists(os.path.join(table, _decode_path(p)))
             ]
             if vacuumed:
                 # JSON retention and VACUUM are independent: the commit
@@ -887,7 +1023,7 @@ def delta_changes(
             if state["partition_columns"]:
                 reader = reader.option("basePath", table)
             part = reader.parquet(
-                *[os.path.join(table, p) for p in paths]
+                *[os.path.join(table, _decode_path(p)) for p in paths]
             ).select(
                 "*",
                 F.lit(tag).alias("_change_type"),
@@ -977,20 +1113,31 @@ def delta_vacuum(
     referenced a vacuumed file becomes unreadable; anything within the
     retention window stays intact. The live set is never touched — a
     path both live and tombstoned (can't happen with versioned file
-    names, but belt-and-braces) is skipped."""
+    names, but belt-and-braces) is skipped.
+
+    `retain_ms` governs TOMBSTONES only (a short value is an explicit
+    choice to shrink the time-travel horizon, like delta with the
+    retention-duration check disabled). The ORPHAN sweep never goes
+    below ORPHAN_SAFETY_WINDOW_MS: an unreferenced parquet younger than
+    that may be a concurrent in-flight writer's already-staged file
+    (staging precedes the commit race), and deleting it would leave the
+    winning commit's add actions pointing at nothing. vacuum(0) is
+    therefore safe to run beside live writers."""
     state = _snapshot_state(spark, table)
     now = _now_ms()
-    live = {f["path"] for f in state["files"]}
-    known = live | {t["path"] for t in state["tombstones"]}
+    orphan_retain_ms = max(retain_ms, ORPHAN_SAFETY_WINDOW_MS)
+    live = {_decode_path(f["path"]) for f in state["files"]}
+    known = live | {_decode_path(t["path"]) for t in state["tombstones"]}
     deleted: list[str] = []
     for t in state["tombstones"]:
-        if t["path"] in live:
+        rel = _decode_path(t["path"])
+        if rel in live:
             continue
         if now - (t["deletionTimestamp"] or 0) >= retain_ms:
-            full = os.path.join(table, t["path"])
+            full = os.path.join(table, rel)
             if os.path.exists(full):
                 os.remove(full)
-                deleted.append(t["path"])
+                deleted.append(rel)
     for root, dirs, names in os.walk(table):
         dirs[:] = [d for d in dirs if d != LOG_DIR]
         for name in names:
@@ -1004,19 +1151,105 @@ def delta_vacuum(
                 age_ms = now - os.stat(full).st_mtime * 1000
             except OSError:
                 continue
-            if age_ms >= retain_ms:
+            if age_ms >= orphan_retain_ms:
                 os.remove(full)
                 deleted.append(rel)
     for name in os.listdir(table):
         if name.startswith(".staging-"):
             full = os.path.join(table, name)
             try:
-                old = now - os.stat(full).st_mtime * 1000 >= retain_ms
+                old = now - os.stat(full).st_mtime * 1000 >= orphan_retain_ms
             except OSError:
                 continue
             if old:
                 shutil.rmtree(full, ignore_errors=True)
     return sorted(set(deleted))
+
+
+def delta_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic-concurrency append: stage the data files ONCE, then
+    race for the commit; a lost race (DeltaConcurrentCommit) re-reads
+    the head and retries with the SAME staged adds — an append conflicts
+    with no other commit class (the spec's trivially-serializable case),
+    so the retry needs no new data write, only re-validation against the
+    new head. This is the loop a 1000-executor ingest fleet runs: N
+    writers appending to one table serialize on the log, each paying one
+    data write no matter how many commit races it loses.
+
+    Overwrite / DELETE / MERGE retries must re-run their READ phase
+    (their remove sets depend on the head they read), so those surface
+    DeltaConcurrentCommit to the caller instead of looping here. If the
+    table's schema or partition layout changes underneath a retry, the
+    staged files are restaged (layout) or the append fails loudly
+    (schema), never silently committed stale."""
+    staged: list[dict] | None = None
+    staged_parts: list[str] | None = None
+    for _ in range(max_retries + 1):
+        v = latest_version(table) + 1
+        if v == 0:
+            try:
+                return delta_write(
+                    spark, df, table, mode="append",
+                    partition_by=partition_by, txn=txn,
+                )
+            except DeltaConcurrentCommit:
+                continue  # another writer created the table; append to it
+        if txn is not None:
+            seen = _snapshot_state(spark, table, v - 1)["txns"].get(
+                txn[0], -1
+            )
+            if seen >= txn[1]:
+                return v - 1  # staged files (if any) are vacuum debris
+        meta = _peek_meta(spark, table, v - 1)
+        table_parts = list(partition_by or [])
+        if meta is not None:
+            if not _same_shape(meta["schemaString"], df.schema.json()):
+                raise DeltaProtocolError(
+                    f"schema enforcement: append schema does not match "
+                    f"table schema at {table}"
+                )
+            table_parts = list(meta.get("partitionColumns") or [])
+            if partition_by is not None and list(partition_by) != table_parts:
+                raise DeltaProtocolError(
+                    f"partition enforcement: append partition_by="
+                    f"{list(partition_by)} does not match table "
+                    f"partitionColumns={table_parts} at {table}"
+                )
+        if staged is not None and staged_parts != table_parts:
+            staged = None  # layout changed under us: restage
+        if staged is None:
+            staged = _stage_data_files(df, table, v, table_parts)
+            staged_parts = table_parts
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "WRITE",
+                "operationParameters": {"mode": "APPEND"},
+            }
+        }]
+        if txn is not None:
+            actions.append({"txn": {
+                "appId": txn[0], "version": int(txn[1]),
+                "lastUpdated": _now_ms(),
+            }})
+        actions.extend(staged)
+        try:
+            _commit(table, v, actions)
+        except DeltaConcurrentCommit:
+            continue
+        if (v + 1) % CHECKPOINT_INTERVAL == 0:
+            delta_checkpoint(spark, table, v)
+        return v
+    raise DeltaConcurrentCommit(
+        f"append to {table} lost the commit race {max_retries + 1} times"
+    )
 
 
 def delta_stream_sink(table: str, app_id: str):
@@ -1114,7 +1347,9 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                         add = action.get("add")
                         if add and add.get("dataChange", True):
                             parts.append(_DeltaFilePartition(
-                                os.path.join(self._table, add["path"])
+                                os.path.join(
+                                    self._table, _decode_path(add["path"])
+                                )
                             ))
             return parts
 
@@ -1397,7 +1632,103 @@ ORDER BY o_orderstatus
 """
 
 
+CDF_PRIORITY = "5-LOW"
+CDF_PRICE_SPLIT = 150_000.0
+
+
+def source_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the transaction log: v0 appends the
+    low-price half of the LOW-priority orders as one file, v1 appends
+    the high-price half as another, v2 copy-on-write-deletes keys ≡3
+    mod 10 from the LOW band. `delta_changes(0, 2)` then yields exactly:
+    v1's rows as inserts, plus — because the delete rewrites the one
+    file it hits — ALL v0 rows as deletes and the survivors as
+    re-inserts (file-level CDF). Grouped by (_change_type,
+    _commit_version) with count / key checksum / exact-cents sum, every
+    emitted row class is hash-checked against an oracle that reconstructs
+    the same feed relationally (EXISTS-guarded, so the hit-file
+    derivation is data-exact, not assumed).
+
+    Scale shape: the feed reads ONLY the two commits' JSON and the data
+    files they name — cost tracks churn, never table size. This is the
+    log-derived input an incremental MV maintainer consumes."""
+    table = _demo_table(sf_dir, "cdf", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == CDF_PRIORITY)
+            .select("o_orderkey", "o_totalprice")
+        )
+        lo = base.filter(F.col("o_totalprice") < CDF_PRICE_SPLIT)
+        hi = base.filter(F.col("o_totalprice") >= CDF_PRICE_SPLIT)
+        delta_write(spark, lo.repartition(1), table, mode="append")
+        delta_write(spark, hi.repartition(1), table, mode="append")
+        delta_delete(
+            spark, table,
+            f"o_orderkey % 10 = 3 AND o_totalprice < {CDF_PRICE_SPLIT}",
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    feed = delta_changes(spark, table, 0, 2)
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            _cents("o_totalprice").alias("price_cents"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+_ORACLE_CDF = f"""
+WITH lo AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderpriority = '{CDF_PRIORITY}'
+    AND o_totalprice < {CDF_PRICE_SPLIT}
+),
+hi AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderpriority = '{CDF_PRIORITY}'
+    AND o_totalprice >= {CDF_PRICE_SPLIT}
+)
+SELECT 'insert' AS change_type, 1 AS commit_version,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM hi GROUP BY 1, 2
+UNION ALL
+SELECT 'delete', 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM lo
+WHERE EXISTS (SELECT 1 FROM lo WHERE o_orderkey % 10 = 3)
+GROUP BY 1, 2
+UNION ALL
+SELECT 'insert', 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM lo
+WHERE EXISTS (SELECT 1 FROM lo WHERE o_orderkey % 10 = 3)
+  AND NOT (o_orderkey % 10 = 3)
+GROUP BY 1, 2
+ORDER BY commit_version, change_type
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "source_delta_change_feed", source_delta_change_feed,
+        _ORACLE_CDF, "sources",
+        "Delta change data feed: insert/delete row classes derived from "
+        "the transaction log over an append+append+delete history, "
+        "grouped per commit and hash-checked against a relational "
+        "reconstruction",
+    ),
     QuerySpec(
         "source_delta_acid_roundtrip", source_delta_acid_roundtrip,
         _ORACLE_ACID, "sources",

@@ -607,3 +607,103 @@ def test_commit_file_is_spec_shaped_json(spark, tmp_path):
     assert all(a["dataChange"] is True for a in adds)
     # No zero-row add actions: empty-partition files are never committed.
     assert all(json.loads(a["stats"])["numRecords"] > 0 for a in adds)
+
+
+def test_write_rejects_unknown_mode_even_on_new_table(spark, tmp_path):
+    """Mode is validated BEFORE the v==0 branch: 'ignore' /
+    'errorifexists' / a typo must not silently create the table."""
+    tbl = str(tmp_path / "t")
+    for bad in ("ignore", "errorifexists", "apend"):
+        with pytest.raises(ValueError, match="unsupported mode"):
+            dl.delta_write(spark, _df(spark, 0, 5), tbl, mode=bad)
+    assert not os.path.exists(tbl) or not os.listdir(tbl)
+
+
+def test_vacuum_orphan_sweep_honors_safety_window(spark, tmp_path):
+    """vacuum(0) reclaims aged TOMBSTONES but must NOT sweep a FRESH
+    unreferenced parquet: mtime cannot distinguish crashed-writer debris
+    from a concurrent in-flight writer's staged-and-moved files, so the
+    orphan sweep has a safety floor (ORPHAN_SAFETY_WINDOW_MS)."""
+    import shutil as _shutil
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_delete(spark, tbl, "k >= 5")  # tombstones the original file
+    live_file = dl._decode_path(
+        dl._snapshot_state(spark, tbl)["files"][0]["path"]
+    )
+    fresh = os.path.join(tbl, "part-inflight-c000.snappy.parquet")
+    _shutil.copy(os.path.join(tbl, live_file), fresh)  # current mtime
+    stale = os.path.join(tbl, "part-crashed-c000.snappy.parquet")
+    _shutil.copy(os.path.join(tbl, live_file), stale)
+    os.utime(stale, (0, 0))  # ancient mtime: genuinely crashed debris
+    gone = dl.delta_vacuum(spark, tbl, retain_ms=0)
+    assert any(p.startswith("part-00000") for p in gone)  # tombstone: yes
+    assert "part-crashed-c000.snappy.parquet" in gone  # aged orphan: yes
+    assert os.path.exists(fresh)  # fresh orphan: protected by the floor
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4]
+
+
+def test_change_feed_rejects_schema_evolution_inside_range(spark, tmp_path):
+    """A feed range crossing an overwrite-with-new-schema must raise, not
+    silently read the pre-evolution delete-rows under the new schema
+    (which would surface them as null columns)."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)  # v0: (k, g)
+    dl.delta_write(spark, _df(spark, 5, 8), tbl)  # v1: same schema
+    evolved = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1.5).alias("score")
+    )
+    dl.delta_write(spark, evolved, tbl, mode="overwrite")  # v2: new schema
+    # Range NOT crossing the evolution: fine.
+    assert dl.delta_changes(spark, tbl, 0, 1).count() == 3
+    # Ranges crossing v2 (from before-creation or mid-log): loud failure.
+    with pytest.raises(dl.DeltaProtocolError, match="schema or partition"):
+        dl.delta_changes(spark, tbl, -1, 2)
+    with pytest.raises(dl.DeltaProtocolError, match="schema or partition"):
+        dl.delta_changes(spark, tbl, 1, 2)
+
+
+def test_action_paths_are_percent_encoded_and_roundtrip(spark, tmp_path):
+    """PROTOCOL.md: add/remove `path` is percent-encoded. Spark's own
+    partition-dir escaping puts literal '%' in dir names (e.g. ':' ->
+    '%3A'); the action path must encode that '%' so a spec-strict
+    foreign reader decodes back to the exact on-disk name."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain")], "k long, g string"
+    )
+    dl.delta_write(spark, df, tbl, partition_by=["g"])
+    state = dl._snapshot_state(spark, tbl)
+    enc = {f["path"] for f in state["files"]}
+    # Spark writes dir g=a%3Ab; the action path encodes the '%' itself.
+    assert any("g=a%253Ab/" in p for p in enc)
+    # Decoded paths resolve to real files; snapshot reads everything.
+    for p in enc:
+        assert os.path.exists(os.path.join(tbl, dl._decode_path(p)))
+    snap = dl.delta_snapshot(spark, tbl)
+    assert _ks(snap) == [1, 2, 3]
+    assert sorted(
+        r["g"] for r in snap.select("g").distinct().collect()
+    ) == ["a:b", "plain"]
+    # Copy-on-write delete still maps files correctly through encoding.
+    dl.delta_delete(spark, tbl, "k = 1")
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [2, 3]
+
+
+def test_reads_foreign_encoded_paths(spark, tmp_path):
+    """A foreign writer that percent-encodes MORE than we do (any valid
+    RFC 2396 encoding) must still resolve: unquote is the reader-side
+    contract, whatever the writer left literal."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5).repartition(1), tbl)
+    vf = dl._version_file(tbl, 0)
+    text = open(vf).read()
+    assert "part-00000" in text
+    # Re-encode the add.path with extra (legal) percent-escapes.
+    patched = text.replace("part-00000", "part%2D00000")
+    os.remove(vf)
+    with open(vf, "w") as fh:
+        fh.write(patched)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4]
+    assert dl.delta_count(spark, tbl) == 5
