@@ -1,0 +1,339 @@
+"""Data skipping over the delta layer's per-file column stats.
+
+`sources/deltalog.py` writes spec-shaped ``stats`` JSON (numRecords +
+minValues / maxValues / nullCount from the parquet footer) on every add
+action. This module is the READ half: prune the snapshot's file list
+with a predicate BEFORE planning the scan, the way delta-spark's
+data-skipping reader turns min/max metadata into skipped I/O. At 100 TB
+this is the difference between "scan the table" and "scan the band the
+predicate names": the file list is driver-side metadata (the same
+metadata any FileIndex holds), so pruning costs a metadata walk and
+saves data-proportional I/O. When the live file list outgrows the
+driver, the spec's answer is evaluating the same bounds as a Spark job
+over the checkpoint's stats column — an extension of this layer, not a
+redesign.
+
+Soundness contract: `delta_scan` NEVER changes results — the predicate
+is also applied as a normal filter on the surviving files, so pruning is
+purely an I/O optimization. The bounds evaluator only skips a file when
+the predicate is provably false everywhere in it:
+
+- conjunction/disjunction distribute over per-file "can this file
+  contain a matching row?" (AND may prune more; OR prunes only when
+  every branch does);
+- atoms `col op literal` check the file's [min, max] interval (numeric
+  stats only — deltalog.py deliberately indexes numeric columns, see
+  `_STATS_PHYSICAL`);
+- a partition column compares EXACTLY against the file's
+  partitionValues (partition pruning through the same path);
+- anything unknown — missing stats, unparseable predicate shape, NULL
+  semantics, strings — conservatively keeps the file.
+
+The reference repo (/root/reference) has no storage layer; this family
+is north-star capability per SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.session import read_table
+from opencode_hive_archon_spark.spec import QuerySpec
+from opencode_hive_archon_spark.sources.deltalog import (
+    _cents,
+    _demo_table,
+    _read_state,
+    _snapshot_state,
+    delta_write,
+)
+
+# ---------------------------------------------------------------------------
+# restricted predicate parser
+# ---------------------------------------------------------------------------
+#
+# Grammar (a deliberate subset — anything outside it falls back to
+# "scan everything", never to a wrong answer):
+#   expr   := term ('OR' term)*
+#   term   := factor ('AND' factor)*
+#   factor := '(' expr ')' | atom
+#   atom   := ident op literal | literal op ident
+#   op     := '<=' '>=' '<' '>' '=' '==' '!=' '<>'
+#   literal:= integer | float
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<op><=|>=|==|!=|<>|<|>|=)"
+    r"|(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*))"
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
+
+
+def _tokenize(text: str) -> list[tuple[str, object]] | None:
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            return None if text[pos:].strip() else out
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", float(m.group("num"))))
+        elif m.lastgroup == "word":
+            word = m.group("word")
+            upper = word.upper()
+            if upper in ("AND", "OR"):
+                out.append((upper, upper))
+            elif upper in ("NOT", "NULL", "IS", "IN", "LIKE", "BETWEEN"):
+                return None  # outside the supported subset
+            else:
+                out.append(("ident", word))
+        elif m.lastgroup == "op":
+            op = m.group("op")
+            out.append(("op", {"==": "=", "<>": "!="}.get(op, op)))
+        else:
+            out.append((m.lastgroup, m.group()))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, object]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, object] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self, kind: str) -> object | None:
+        t = self.peek()
+        if t and t[0] == kind:
+            self.i += 1
+            return t[1]
+        return None
+
+    def expr(self):
+        node = self.term()
+        branches = [node]
+        while node is not None and self.take("OR"):
+            node = self.term()
+            branches.append(node)
+        if any(b is None for b in branches):
+            return None
+        return branches[0] if len(branches) == 1 else ("or", branches)
+
+    def term(self):
+        node = self.factor()
+        branches = [node]
+        while node is not None and self.take("AND"):
+            node = self.factor()
+            branches.append(node)
+        if any(b is None for b in branches):
+            return None
+        return branches[0] if len(branches) == 1 else ("and", branches)
+
+    def factor(self):
+        if self.take("lpar") is not None:
+            node = self.expr()
+            if node is None or self.take("rpar") is None:
+                return None
+            return node
+        return self.atom()
+
+    def atom(self):
+        col = self.take("ident")
+        if col is not None:
+            op = self.take("op")
+            if op is None:
+                return None
+            lit = self.take("num")
+            if lit is None:
+                return None
+            return ("atom", col, op, lit)
+        lit = self.take("num")
+        if lit is not None:
+            op = self.take("op")
+            if op is None:
+                return None
+            col = self.take("ident")
+            if col is None:
+                return None
+            return ("atom", col, _FLIP[op], lit)
+        return None
+
+
+def parse_skipping_predicate(text: str):
+    """AST for the supported subset, or None (→ no skipping)."""
+    tokens = _tokenize(text)
+    if not tokens:
+        return None
+    p = _Parser(tokens)
+    node = p.expr()
+    if node is None or p.i != len(p.toks):
+        return None
+    return node
+
+
+# ---------------------------------------------------------------------------
+# per-file bounds evaluation
+# ---------------------------------------------------------------------------
+
+def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
+    """Could `col op lit` be true for ANY row of this file? Partition
+    values are exact (every row shares them); data columns use the
+    footer [min, max]; anything unresolvable keeps the file."""
+    pv = add.get("partitionValues") or {}
+    if col in pv:
+        try:
+            val = float(pv[col])
+        except (TypeError, ValueError):
+            return True
+        return {
+            "<": val < lit, "<=": val <= lit, ">": val > lit,
+            ">=": val >= lit, "=": val == lit, "!=": val != lit,
+        }[op]
+    stats = json.loads(add["stats"]) if add.get("stats") else {}
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    if col not in mins or col not in maxs:
+        return True
+    lo, hi = mins[col], maxs[col]
+    if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+        return True
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    if op == ">=":
+        return hi >= lit
+    if op == "=":
+        return lo <= lit <= hi
+    # '!=': only an all-constant file equal to the literal is skippable.
+    return not (lo == hi == lit)
+
+
+def _can_match(node, add: dict) -> bool:
+    kind = node[0]
+    if kind == "and":
+        return all(_can_match(b, add) for b in node[1])
+    if kind == "or":
+        return any(_can_match(b, add) for b in node[1])
+    _, col, op, lit = node
+    return _atom_can_match(col, op, lit, add)
+
+
+def prune_files(state: dict, predicate: str) -> list[dict]:
+    """The subset of state['files'] that could contain a matching row.
+    Unsupported predicate shapes return the full list."""
+    node = parse_skipping_predicate(predicate)
+    if node is None:
+        return list(state["files"])
+    return [f for f in state["files"] if _can_match(node, f)]
+
+
+def delta_scan(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    version: int | None = None,
+) -> DataFrame:
+    """`delta_snapshot(...).filter(predicate)` with stats-based file
+    skipping: plans the scan over ONLY the files whose [min, max] /
+    partitionValues admit the predicate, then applies the predicate as a
+    normal filter — identical results, less I/O."""
+    state = _snapshot_state(spark, table, version)
+    pruned = dict(state, files=prune_files(state, predicate))
+    return _read_state(spark, table, pruned).filter(F.expr(predicate))
+
+
+def delta_scan_accounting(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(n_files_total, n_files_scanned) for a predicate — the skipping
+    arithmetic, driver-side metadata only."""
+    state = _snapshot_state(spark, table, version)
+    return len(state["files"]), len(prune_files(state, predicate))
+
+
+# ---------------------------------------------------------------------------
+# driver query
+# ---------------------------------------------------------------------------
+
+# Price bands; each becomes one single-file commit so every file's
+# min/max interval is a known band. All four bands are populated at
+# every shipped sf (TPC-H o_totalprice spans ~900..560k).
+_BANDS = [(0.0, 100_000.0), (100_000.0, 200_000.0),
+          (200_000.0, 300_000.0), (300_000.0, 10_000_000.0)]
+_SKIP_LO, _SKIP_HI = 100_000.0, 200_000.0  # predicate picks band 2 only
+
+
+def source_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping on footer stats: four single-file commits, one per
+    o_totalprice band, then a banded predicate scan that provably plans
+    ONE of the four files (n_files_total / n_files_scanned are protocol
+    arithmetic the oracle pins as constants) and whose content columns
+    (count, key checksum, exact-cents sum) hash-check the surviving rows
+    against the orders table.
+
+    Scale shape: pruning walks the driver-side file list (the metadata a
+    FileIndex already holds) and the scan reads one band's bytes — I/O
+    tracks the predicate's selectivity, not table size. The oracle pins
+    the same aggregate computed directly, so a pruning bug that skipped
+    a matching file would hash-mismatch, not just slow down."""
+    table = _demo_table(sf_dir, "skip", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        for lo, hi in _BANDS:
+            band = orders.filter(
+                (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+            ).repartition(1)
+            delta_write(spark, band, table, mode="append")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    predicate = (
+        f"o_totalprice >= {_SKIP_LO} AND o_totalprice < {_SKIP_HI}"
+    )
+    n_total, n_scanned = delta_scan_accounting(spark, table, predicate)
+    return delta_scan(spark, table, predicate).agg(
+        F.lit(n_total).alias("n_files_total"),
+        F.lit(n_scanned).alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+
+
+_ORACLE_SKIP = f"""
+SELECT {len(_BANDS)} AS n_files_total,
+       1 AS n_files_scanned,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_totalprice >= {_SKIP_LO} AND o_totalprice < {_SKIP_HI}
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "source_delta_stats_skipping", source_delta_stats_skipping,
+        _ORACLE_SKIP, "sources",
+        "Delta data skipping: per-file min/max footer stats prune a "
+        "banded predicate scan to 1 of 4 files; skipping arithmetic "
+        "pinned as constants, surviving rows hash-checked",
+    ),
+]

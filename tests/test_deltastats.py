@@ -1,0 +1,162 @@
+"""Data skipping over delta per-file stats (sources/deltastats.py):
+parser subset boundaries, pruning soundness (never skip a file that
+could match), partition-value pruning, and conservative fallbacks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.sources import deltalog as dl
+from opencode_hive_archon_spark.sources import deltastats as ds
+
+
+def _banded_table(spark, tmp_path, bands=((0, 10), (10, 20), (20, 30))):
+    tbl = str(tmp_path / "t")
+    for lo, hi in bands:
+        dl.delta_write(
+            spark,
+            spark.range(lo, hi).select(F.col("id").alias("k")).repartition(1),
+            tbl,
+        )
+    return tbl
+
+
+def test_parser_supported_subset():
+    p = ds.parse_skipping_predicate
+    assert p("k >= 5") == ("atom", "k", ">=", 5.0)
+    assert p("5 <= k") == ("atom", "k", ">=", 5.0)  # literal-first flips
+    assert p("k == 5") == ("atom", "k", "=", 5.0)
+    assert p("k <> 5") == ("atom", "k", "!=", 5.0)
+    assert p("k >= 5 AND k < 7")[0] == "and"
+    assert p("(k < 2 OR k > 25) AND k != 9")[0] == "and"
+    # Outside the subset -> None (fallback to scan-all), never a guess.
+    assert p("k IS NULL") is None
+    assert p("NOT k = 5") is None
+    assert p("name = 'x'") is None  # string literal unsupported
+    assert p("k BETWEEN 1 AND 2") is None
+    assert p("k + 1 > 5") is None
+    assert p("") is None
+    assert p("k >") is None
+
+
+def test_add_actions_carry_min_max_stats(spark, tmp_path):
+    tbl = _banded_table(spark, tmp_path)
+    files = dl._snapshot_state(spark, tbl)["files"]
+    stats = [json.loads(f["stats"]) for f in files]
+    ks = sorted((s["minValues"]["k"], s["maxValues"]["k"]) for s in stats)
+    assert ks == [(0, 9), (10, 19), (20, 29)]
+    assert all(s["nullCount"]["k"] == 0 for s in stats)
+
+
+def test_scan_prunes_files_and_matches_plain_filter(spark, tmp_path):
+    tbl = _banded_table(spark, tmp_path)
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "k >= 10 AND k < 20")
+    assert (total, scanned) == (3, 1)
+    got = sorted(
+        r["k"] for r in ds.delta_scan(spark, tbl, "k >= 10 AND k < 20").collect()
+    )
+    assert got == list(range(10, 20))
+    # OR prunes only when every branch does; boundary atoms stay sound.
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "k < 5 OR k >= 25")
+    assert (total, scanned) == (3, 2)
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "k = 9")
+    assert (total, scanned) == (3, 1)
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "k = 10")
+    assert (total, scanned) == (3, 1)
+    # Unsupported shape: all files kept, result still exact.
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "k % 10 = 3")
+    assert (total, scanned) == (3, 3)
+    got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, "k % 10 = 3").collect())
+    assert got == [3, 13, 23]
+
+
+def test_soundness_exhaustive_vs_plain_filter(spark, tmp_path):
+    """Every supported predicate shape over every band boundary: pruning
+    must NEVER change the result set (the soundness contract)."""
+    tbl = _banded_table(spark, tmp_path)
+    snap = dl.delta_snapshot(spark, tbl)
+    for op in ("<", "<=", ">", ">=", "=", "!="):
+        for lit in (0, 9, 10, 15, 29, 30, -1):
+            pred = f"k {op} {lit}"
+            want = sorted(r["k"] for r in snap.filter(pred).collect())
+            got = sorted(
+                r["k"] for r in ds.delta_scan(spark, tbl, pred).collect()
+            )
+            assert got == want, pred
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")
+    )
+    dl.delta_write(spark, df, tbl, partition_by=["bucket"])
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "bucket = 1")
+    assert scanned < total
+    got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, "bucket = 1").collect())
+    assert got == [k for k in range(30) if k % 3 == 1]
+
+
+def test_missing_stats_keep_file(spark, tmp_path):
+    """A foreign add without stats can never be skipped."""
+    tbl = _banded_table(spark, tmp_path, bands=((0, 10),))
+    state = dl._snapshot_state(spark, tbl)
+    bare = [dict(f, stats=None) for f in state["files"]]
+    assert ds.prune_files(dict(state, files=bare), "k > 999") == bare
+
+
+def test_string_columns_not_indexed(spark, tmp_path):
+    """deltalog deliberately indexes numeric physical types only — a
+    string column must not appear in minValues (truncated string max
+    would be an unsound bound)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "aa"), (2, "zz")], "k long, s string")
+    dl.delta_write(spark, df, tbl)
+    stats = json.loads(dl._snapshot_state(spark, tbl)["files"][0]["stats"])
+    assert "k" in stats["minValues"]
+    assert "s" not in stats["minValues"]
+
+
+def test_append_retry_stages_once_and_wins_next_version(spark, tmp_path):
+    """delta_append loses a commit race (the next version file already
+    exists) and must retry at the following version WITHOUT duplicating
+    rows — the staged files are committed exactly once."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark, spark.range(0, 5).select(F.col("id").alias("k")), tbl
+    )
+    # Occupy v1, as a racing writer would (a valid no-data commit).
+    dl._commit(tbl, 1, [{
+        "commitInfo": {"timestamp": 0, "operation": "WRITE",
+                       "operationParameters": {"mode": "APPEND"}},
+    }])
+    v = dl.delta_append(
+        spark,
+        spark.range(5, 8).select(F.col("id").alias("k")).repartition(1),
+        tbl,
+    )
+    assert v == 2
+    assert sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7
+    ]
+    # Exactly one data file was staged for the retried append.
+    with open(dl._version_file(tbl, 2)) as fh:
+        adds = [json.loads(l) for l in fh if l.strip() and "add" in l]
+    assert len([a for a in adds if "add" in a]) == 1
+
+
+def test_append_retry_creates_table_and_enforces_schema(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v = dl.delta_append(
+        spark, spark.range(0, 3).select(F.col("id").alias("k")), tbl
+    )
+    assert v == 0
+    with pytest.raises(dl.DeltaProtocolError, match="schema enforcement"):
+        dl.delta_append(
+            spark,
+            spark.range(0, 3).select(F.col("id").alias("other")),
+            tbl,
+        )
