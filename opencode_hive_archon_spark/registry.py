@@ -51,6 +51,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.sources.bucketed",
     "opencode_hive_archon_spark.sources.zorder",
     "opencode_hive_archon_spark.sources.deltalog",
+    "opencode_hive_archon_spark.sources.deltastats",
     "opencode_hive_archon_spark.streaming.jobs",
 ]
 
@@ -58,52 +59,43 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-14 ROTATION (oldest-evidence-first, VERDICT r13 task #2): after the
-# r13 snapshot the stalest evidence is the r9-aged set. Slots:
-#   (a) ALL 30 queries whose latest driver row is r9 (derived from the
-#       committed CORRECTNESS_r01..r13 artifacts — sampling/corpus family,
-#       events funnel/path/retention, mid-suite TPC-H, sources, zorder);
-#   (b) 20 remaining slots: r10 re-gates drawn from the OLDEST remaining
-#       evidence, preferring the modules round 14 touches (similarity.py's
-#       IVF trainer unification + semantic-prune greedy rework; the MV/CDC
-#       manifest family behind streaming/jobs.py's bucket-read guard) —
-#       EXCEPT (i) four slots for the queries whose OUTPUT round 14
-#       changes (ann_ivf_topk / ann_ivf_kmeans_topk / ann_ivf_recall:
-#       the unified trainer + nprobe=4 retune; recall_multi_provider_rerank:
-#       data-derived channel/success features), and (ii) three slots for
-#       the queries REGISTERED this round (the delta-protocol table
-#       layer) — evidence for changed/new code outranks evidence age.
-# After this round the max driver-row age anywhere in the registry is r10.
+# ROUND-15 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
+# after the r14 snapshot the stalest evidence is the r10-aged set. Slots:
+#   (a) ALL 37 queries whose latest driver row is r10 (derived from the
+#       committed CORRECTNESS_r01..r14 artifacts — sketches, timeseries,
+#       events/behavioral, graph, BPE/tokenize, late TPC-H, linkage,
+#       constraints, compaction plan, batch-inference UDF);
+#   (b) 2 slots for the queries REGISTERED this round (delta change
+#       feed + stats skipping) — new code outranks evidence age;
+#   (c) 11 slots: r12 re-gates, led by the module families this round
+#       touches (sources: source_roundtrip_formats) then the
+#       alphabetically-first remaining r12 entries for determinism.
+# After this round the max driver-row age anywhere in the registry is r12.
 _PRIORITY = [
-    # (a) every query whose latest driver row is r9
-    "agg_heavy_hitters", "corpus_bpe_pair_stats", "corpus_curation",
-    "corpus_importance_sample", "corpus_pack_sequences",
-    "corpus_pretraining_pipeline", "corpus_stratified_sample",
-    "events_funnel", "events_path_analysis", "events_retention",
-    "join_skew_salted", "multimodal_frame_sample", "multimodal_frame_table",
-    "q10_returned_items", "q12_shipmode_priority", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "recall_score_topk",
-    "source_schema_evolution", "source_upsert_pattern", "source_zorder_layout",
-    "window_analytics",
-    # (b) oldest-r10 re-gates from the round-14-touched modules
-    "ann_lsh_recall", "ann_lsh_topk", "ann_pq_topk", "ann_quantized_topk",
-    "dedup_embedding_cosine", "embedding_kmeans_lloyd",
-    "embedding_label_centroids", "embedding_random_projection",
-    "stream_dedup_ladder", "stream_ohlc_bars",
-    "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    # Queries REGISTERED this round (the delta-protocol table layer,
-    # VERDICT r13 missing #1) have no driver evidence at all, which
-    # outranks an r10 re-gate — they take the agg_histogram /
-    # source_compaction_plan / udf_embed_batch_inference slots (all
-    # three stay r10-evidenced, still inside the max-age<=r10 target).
-    "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
-    "source_delta_merge_upsert",
-    # round-14 output changes (trainer unification, nprobe=4): re-gate now
-    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
-    "recall_multi_provider_rerank",
+    # (a) every query whose latest driver row is r10
+    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "agg_percentile_disc", "corpus_bpe_train", "corpus_chunk_overlap",
+    "corpus_gopher_rules", "corpus_shard_plan", "corpus_tfidf_topterms",
+    "corpus_tokenize_ids", "corpus_vocab_growth", "events_anomaly_zscore",
+    "events_attribution", "events_gapfill_locf", "events_grouping_sets",
+    "events_ohlc_bars", "events_rolling_active_users",
+    "events_session_overlap", "events_state_intervals",
+    "events_time_weighted_avg", "events_user_streaks", "graph_pagerank",
+    "graph_triangle_stats", "join_asof_nearest", "orders_market_basket",
+    "orders_open_backlog", "orders_revenue_concentration",
+    "orders_rfm_segmentation", "part_name_linkage", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_potential_promotion",
+    "q2_min_cost_supplier", "quality_constraint_suite",
+    "source_compaction_plan", "text_bigram_coverage",
+    "udf_embed_batch_inference",
+    # (b) queries registered this round (delta protocol extensions)
+    "source_delta_change_feed", "source_delta_stats_skipping",
+    # (c) r12 re-gates: touched-family first, then alphabetical
+    "source_roundtrip_formats",
+    "agg_approx_distinct_error", "agg_skew_salted", "ann_batch_topk",
+    "corpus_tokenize_trained", "dedup_minhash_lsh_recall",
+    "dedup_semantic_prune", "dedup_simhash_recall", "events_sessionize",
+    "join_asof_event_order", "join_broadcast",
 ]
 
 

@@ -130,55 +130,52 @@ class TestBranchProperties:
 #   r14:   ALL 30 queries whose latest driver row is r9 + 20 r10 re-gates
 #          from the round-14-touched modules (similarity.py, MV/CDC).
 #          After r14 the max driver-row age is r10.
+#   r15:   ALL 37 queries whose latest driver row is r10 + the 2 queries
+#          registered this round (delta change feed + stats skipping) +
+#          11 r12 re-gates. After r15 the max driver-row age is r12.
 
-# Every query whose LATEST driver correctness row is r9 — derived from the
-# committed CORRECTNESS_r01..r13 artifacts (max round containing each
-# name), not hand-maintained intuition. All 30 must be in the r14 window
-# so no r9-aged evidence survives the round.
-_R14_STALE_R9: set[str] = {
-    "agg_heavy_hitters", "corpus_bpe_pair_stats", "corpus_curation",
-    "corpus_importance_sample", "corpus_pack_sequences",
-    "corpus_pretraining_pipeline", "corpus_stratified_sample",
-    "events_funnel", "events_path_analysis", "events_retention",
-    "join_skew_salted", "multimodal_frame_sample", "multimodal_frame_table",
-    "q10_returned_items", "q12_shipmode_priority", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "recall_score_topk",
-    "source_schema_evolution", "source_upsert_pattern", "source_zorder_layout",
-    "window_analytics",
+# Every query whose LATEST driver correctness row is r10 — derived from
+# the committed CORRECTNESS_r01..r14 artifacts (max round containing each
+# name), not hand-maintained intuition. All 37 must be in the r15 window
+# so no r10-aged evidence survives the round.
+_R15_STALE_R10: set[str] = {
+    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
+    "agg_percentile_disc", "corpus_bpe_train", "corpus_chunk_overlap",
+    "corpus_gopher_rules", "corpus_shard_plan", "corpus_tfidf_topterms",
+    "corpus_tokenize_ids", "corpus_vocab_growth", "events_anomaly_zscore",
+    "events_attribution", "events_gapfill_locf", "events_grouping_sets",
+    "events_ohlc_bars", "events_rolling_active_users",
+    "events_session_overlap", "events_state_intervals",
+    "events_time_weighted_avg", "events_user_streaks", "graph_pagerank",
+    "graph_triangle_stats", "join_asof_nearest", "orders_market_basket",
+    "orders_open_backlog", "orders_revenue_concentration",
+    "orders_rfm_segmentation", "part_name_linkage", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_potential_promotion",
+    "q2_min_cost_supplier", "quality_constraint_suite",
+    "source_compaction_plan", "text_bigram_coverage",
+    "udf_embed_batch_inference",
 }
 
-# The 20 r10 re-gate slots: oldest remaining evidence, drawn from the
-# modules round 14 touches (similarity.py IVF trainer unification +
-# semantic-prune greedy; the MV/CDC manifest family behind
-# streaming/jobs.py's bucket-read guard) — every one carries r10
-# driver-green evidence already.
-_R14_REGATES: set[str] = {
-    "ann_lsh_recall", "ann_lsh_topk", "ann_pq_topk", "ann_quantized_topk",
-    "dedup_embedding_cosine", "embedding_kmeans_lloyd",
-    "embedding_label_centroids", "embedding_random_projection",
-    "stream_dedup_ladder", "stream_ohlc_bars",
-    "mv_incremental_refresh", "source_cdc_diff", "catalog_column_stats",
-    # Registered in round 14 (delta-protocol table layer): zero driver
-    # evidence outranks an r10 re-gate, so these take the agg_histogram /
-    # source_compaction_plan / udf_embed_batch_inference slots (all three
-    # remain r10-evidenced — still within the max-age<=r10 target).
-    "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
-    "source_delta_merge_upsert",
-    # round-14 output changes (IVF trainer unification + nprobe=4 retune):
-    # evidence for changed code outranks evidence age, so these three
-    # r12-evidenced queries take re-gate slots
-    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_recall",
-    "recall_multi_provider_rerank",
+# The 13 remaining slots: 2 for the queries REGISTERED this round (the
+# delta-protocol extensions — zero driver evidence outranks evidence
+# age), then r12 re-gates led by the touched sources family and filled
+# alphabetically for determinism.
+_R15_REGATES: set[str] = {
+    # registered in round 15 (delta change feed + data skipping)
+    "source_delta_change_feed", "source_delta_stats_skipping",
+    # r12 re-gates
+    "source_roundtrip_formats",
+    "agg_approx_distinct_error", "agg_skew_salted", "ann_batch_topk",
+    "corpus_tokenize_trained", "dedup_minhash_lsh_recall",
+    "dedup_semantic_prune", "dedup_simhash_recall", "events_sessionize",
+    "join_asof_event_order", "join_broadcast",
 }
 
 
 def test_priority_window_contents():
-    """Round-14 rotation pin: the window is exactly 50 deep, carries EVERY
-    query whose latest driver row is r9, and fills the rest with pinned r10
-    re-gates. A query registered during round 14 must be added BOTH here
+    """Round-15 rotation pin: the window is exactly 50 deep, carries EVERY
+    query whose latest driver row is r10, and fills the rest with pinned
+    re-gates. A query registered during round 15 must be added BOTH here
     and to the window, or this test fails naming it."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
@@ -186,21 +183,21 @@ def test_priority_window_contents():
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    missing = _R14_STALE_R9 - set(window)
-    assert not missing, f"r9-aged queries outside the r14 window: {missing}"
-    # Every remaining slot is an explicitly pinned r10 re-gate.
-    extra = set(window) - _R14_STALE_R9
-    assert extra <= _R14_REGATES, (
-        f"window slots that are neither r9-aged nor pinned r10 re-gates: "
-        f"{sorted(extra - _R14_REGATES)}"
+    missing = _R15_STALE_R10 - set(window)
+    assert not missing, f"r10-aged queries outside the r15 window: {missing}"
+    # Every remaining slot is an explicitly pinned re-gate or new query.
+    extra = set(window) - _R15_STALE_R10
+    assert extra <= _R15_REGATES, (
+        f"window slots that are neither r10-aged nor pinned re-gates: "
+        f"{sorted(extra - _R15_REGATES)}"
     )
 
 
-def test_r14_window_is_oldest_evidence_first():
+def test_r15_window_is_oldest_evidence_first():
     """The rotation CLAIM, checked against the artifacts of record: every
-    registry query outside the r14 window has a driver row in
-    CORRECTNESS_r10..r13 — i.e. after this round's snapshot lands, no
-    driver evidence anywhere is older than r10."""
+    registry query outside the r15 window has a driver row in
+    CORRECTNESS_r12..r14 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r12."""
     import glob
     import json
     import re
@@ -213,8 +210,8 @@ def test_r14_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    aged = sorted(n for n in outside if latest.get(n, 0) < 10)
-    assert not aged, f"queries outside the window with pre-r10 evidence: {aged}"
+    aged = sorted(n for n in outside if latest.get(n, 0) < 12)
+    assert not aged, f"queries outside the window with pre-r12 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff
@@ -366,8 +363,10 @@ _CENSUS = [
     "source_cdc_diff",
     "source_compaction_plan",
     "source_delta_acid_roundtrip",
+    "source_delta_change_feed",
     "source_delta_checkpoint_log",
     "source_delta_merge_upsert",
+    "source_delta_stats_skipping",
     "source_partitioned_pruning",
     "source_roundtrip_formats",
     "source_schema_evolution",
