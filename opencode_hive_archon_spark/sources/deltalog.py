@@ -743,7 +743,15 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
     non-matching rows re-added, the originals removed). Rows where the
     predicate is NULL are kept, matching SQL DELETE semantics. Files with
     no matches keep their original add entries — at 100 TB a pruned
-    predicate rewrites the partitions it touches, nothing else."""
+    predicate rewrites the partitions it touches, nothing else.
+
+    The hit-discovery scan itself is stats-pruned first (deltastats):
+    files whose [min, max] / partitionValues provably exclude the
+    predicate never enter the distributed pass, so discovery I/O tracks
+    the predicate's selectivity, not the table's live size."""
+    # Function-level import: deltastats imports this module at load time.
+    from opencode_hive_archon_spark.sources.deltastats import prune_files
+
     state = _snapshot_state(spark, table)
     v = state["version"] + 1
     pred = F.coalesce(F.expr(predicate), F.lit(False))
@@ -754,8 +762,10 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
             "operationParameters": {"predicate": predicate},
         }
     }]
-    if state["files"]:
-        full = _read_state(spark, table, state).withColumn(
+    candidates = prune_files(state, predicate) if state["files"] else []
+    if candidates:
+        cand_state = dict(state, files=candidates)
+        full = _read_state(spark, table, cand_state).withColumn(
             "_file", F.input_file_name()
         )
         hit_uris = [
@@ -768,7 +778,7 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
             p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
             hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
         hit_files = [
-            f for f in state["files"] if _decode_path(f["path"]) in hit_rel
+            f for f in candidates if _decode_path(f["path"]) in hit_rel
         ]
         if hit_files:
             # Re-plan the rewrite scan over ONLY the hit files — the
@@ -841,8 +851,41 @@ def delta_merge(
     }]
     target = _read_state(spark, table, state)
     inserts = source.join(target.select(*on), on, "left_anti")
-    if state["files"]:
-        with_file = target.withColumn("_file", F.input_file_name())
+    # MERGE-side data skipping: bound the hit-discovery scan to target
+    # files whose key stats overlap the source's [min, max] per key — one
+    # small agg over the (typically much smaller) source buys skipping
+    # data-proportional target I/O. Non-numeric keys keep every file.
+    candidates = list(state["files"])
+    if candidates:
+        from opencode_hive_archon_spark.sources.deltastats import (
+            prune_files_by_key_bounds,
+        )
+
+        numeric = {
+            f.name
+            for f in source.schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double")
+        }
+        key_cols = [c for c in on if c in numeric]
+        if key_cols:
+            row = source.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in key_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in key_cols],
+            ).collect()[0]
+            if any(row[f"lo_{c}"] is None for c in key_cols):
+                candidates = []  # empty source: nothing can match
+            else:
+                bounds = {
+                    c: (float(row[f"lo_{c}"]), float(row[f"hi_{c}"]))
+                    for c in key_cols
+                }
+                candidates = prune_files_by_key_bounds(candidates, bounds)
+    if candidates:
+        cand_state = dict(state, files=candidates)
+        with_file = _read_state(spark, table, cand_state).withColumn(
+            "_file", F.input_file_name()
+        )
         hit_uris = [
             r["_file"]
             for r in with_file.join(source.select(*on), on, "left_semi")
@@ -856,7 +899,7 @@ def delta_merge(
             for u in hit_uris
         }
         hit_files = [
-            f for f in state["files"] if _decode_path(f["path"]) in hit_rel
+            f for f in candidates if _decode_path(f["path"]) in hit_rel
         ]
     else:
         hit_files = []

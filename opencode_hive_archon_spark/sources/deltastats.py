@@ -235,6 +235,35 @@ def prune_files(state: dict, predicate: str) -> list[dict]:
     return [f for f in state["files"] if _can_match(node, f)]
 
 
+def prune_files_by_key_bounds(
+    files: list[dict], bounds: dict[str, tuple[float, float]]
+) -> list[dict]:
+    """Files that could contain a row whose key columns all fall inside
+    `bounds` ({col: (lo, hi)}) — the MERGE-side pruning: a target file is
+    skippable when ANY key column's [min, max] is disjoint from the
+    source's [lo, hi] (per-column overlap is necessary for a match, so
+    skipping on any disjoint column is sound). Missing / non-numeric
+    stats keep the file."""
+    out: list[dict] = []
+    for f in files:
+        stats = json.loads(f["stats"]) if f.get("stats") else {}
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        keep = True
+        for col, (lo, hi) in bounds.items():
+            fmin, fmax = mins.get(col), maxs.get(col)
+            if not isinstance(fmin, (int, float)) or not isinstance(
+                fmax, (int, float)
+            ):
+                continue
+            if fmax < lo or fmin > hi:
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def delta_scan(
     spark: SparkSession,
     table: str,

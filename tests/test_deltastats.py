@@ -160,3 +160,50 @@ def test_append_retry_creates_table_and_enforces_schema(spark, tmp_path):
             spark.range(0, 3).select(F.col("id").alias("other")),
             tbl,
         )
+
+
+def test_delete_discovery_is_stats_pruned_and_exact(spark, tmp_path):
+    """DELETE runs its hit-discovery over the stats-pruned candidate set;
+    band-boundary predicates (supported shape) and modulo predicates
+    (unsupported shape -> full scan) must both delete exactly the right
+    rows, and files outside the pruned set keep their ORIGINAL adds."""
+    tbl = _banded_table(spark, tmp_path)
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    dl.delta_delete(spark, tbl, "k >= 10 AND k < 15")
+    state = dl._snapshot_state(spark, tbl)
+    after = {f["path"] for f in state["files"]}
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == list(range(10)) + list(range(15, 30))
+    # The two out-of-band files were never rewritten.
+    assert len(before & after) == 2
+    # Unsupported predicate shape still deletes correctly (full-scan path).
+    dl.delta_delete(spark, tbl, "k % 2 = 1")
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == [k for k in list(range(10)) + list(range(15, 30)) if k % 2 == 0]
+
+
+def test_delete_all_files_pruned_commits_noop(spark, tmp_path):
+    tbl = _banded_table(spark, tmp_path)
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    v = dl.delta_delete(spark, tbl, "k >= 1000")
+    assert v == 3
+    assert {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]} == before
+
+
+def test_merge_discovery_is_key_bound_pruned_and_exact(spark, tmp_path):
+    """MERGE bounds its hit-discovery by the source's key [min, max]:
+    a source whose keys live in one band rewrites ONLY that band's file;
+    an empty source inserts nothing and rewrites nothing."""
+    tbl = _banded_table(spark, tmp_path)
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    src = spark.createDataFrame([(12,), (14,), (31,)], "k long")
+    dl.delta_merge(spark, tbl, src, on=["k"])
+    state = dl._snapshot_state(spark, tbl)
+    after = {f["path"] for f in state["files"]}
+    assert len(before & after) == 2  # bands 1 and 3 untouched
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == sorted(set(range(30)) | {31})
+    # Empty source: no candidates, no rewrite, insert set empty.
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    dl.delta_merge(spark, tbl, spark.createDataFrame([], "k long"), on=["k"])
+    assert {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]} == before
