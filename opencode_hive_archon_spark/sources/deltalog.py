@@ -589,10 +589,99 @@ def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
 
 
 def delta_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Table contents at `version` (latest if None) — time travel."""
+    """Table contents at `version` / at `timestamp_ms` (TIMESTAMP AS OF;
+    latest if neither) — time travel."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(table, timestamp_ms)
     return _read_state(spark, table, _snapshot_state(spark, table, version))
+
+
+def version_at_timestamp(table: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest commit whose commitInfo
+    timestamp is <= ts_ms (delta's rule). Reads only the retained commit
+    JSONs (metadata-sized); a timestamp older than the earliest retained
+    commit fails loudly — that history is behind the checkpoint horizon."""
+    stamps: list[tuple[int, int]] = []
+    for v in _list_log(table, _VERSION_RE):
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("timestamp") is not None:
+                    stamps.append((v, ci["timestamp"]))
+                break  # commitInfo is the first action our writer emits
+    if not stamps:
+        raise DeltaProtocolError(f"no dated commits in log of {table}")
+    eligible = [v for v, ts in stamps if ts <= ts_ms]
+    if not eligible:
+        raise DeltaProtocolError(
+            f"timestamp {ts_ms} predates the earliest retained commit of "
+            f"{table} (v{stamps[0][0]} at {stamps[0][1]}) — that history "
+            "is behind the checkpoint horizon"
+        )
+    return max(eligible)
+
+
+def delta_restore(spark: SparkSession, table: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF `version`: ONE commit that removes
+    the currently-live files absent at the target version and re-adds
+    the target's files missing now (same add payloads — restore moves
+    METADATA, it rewrites no data), resetting metaData if the shape
+    changed. The restore itself is a normal commit: the pre-restore
+    state stays time-travelable, and an incremental consumer sees the
+    restore as inserts + deletes, not a history rewrite.
+
+    Fails loudly if any target file was already vacuumed — a restore
+    that silently resurrects missing paths would corrupt the table."""
+    cur = _snapshot_state(spark, table)
+    if version == cur["version"]:
+        return cur["version"]
+    tgt = _snapshot_state(spark, table, version)
+    missing = [
+        f["path"] for f in tgt["files"]
+        if not os.path.exists(os.path.join(table, _decode_path(f["path"])))
+    ]
+    if missing:
+        raise DeltaProtocolError(
+            f"cannot restore {table} to v{version}: data file(s) "
+            f"{missing[:3]} were vacuumed"
+        )
+    v = cur["version"] + 1
+    cur_paths = {f["path"] for f in cur["files"]}
+    tgt_paths = {f["path"] for f in tgt["files"]}
+    ts = _now_ms()
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": ts,
+            "operation": "RESTORE",
+            "operationParameters": {"version": str(version)},
+        }
+    }]
+    if not _same_shape(
+        cur["meta"]["schemaString"], tgt["meta"]["schemaString"]
+    ) or cur["partition_columns"] != tgt["partition_columns"]:
+        actions.append({"metaData": tgt["meta"]})
+    actions.extend(
+        {"remove": {"path": f["path"], "deletionTimestamp": ts,
+                    "dataChange": True}}
+        for f in cur["files"] if f["path"] not in tgt_paths
+    )
+    actions.extend(
+        {"add": dict(f, dataChange=True)}
+        for f in tgt["files"] if f["path"] not in cur_paths
+    )
+    _commit(table, v, actions)
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
 
 
 def delta_count(spark: SparkSession, table: str, version: int | None = None) -> int:
@@ -1087,46 +1176,137 @@ def delta_changes(
     return out
 
 
+_ZORDER_BITS = 16
+
+
+def _morton_col(cols: list[str], bounds: dict[str, tuple[float, float]]):
+    """N-column Morton code: each column is min/max-normalized into a
+    2^bits integer grid (the bounds come from the files' OWN stats, so
+    no extra scan), then bit i of column j lands at bit n*i+j. Same
+    device as sources/zorder.py's 2-D `_interleave`, generalized —
+    locality in every indexed column maps to locality in the sort key,
+    which is what turns per-file min/max into tight, skippable
+    intervals."""
+    n = len(cols)
+    grid = (1 << _ZORDER_BITS) - 1
+    ints = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        norm = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        clamped = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
+        ints.append(F.round(clamped * F.lit(float(grid))).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(_ZORDER_BITS):
+        for j, x in enumerate(ints):
+            z = z + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (n * i + j)
+            )
+    return z
+
+
+def _stats_bounds(
+    spark: SparkSession, table: str, state: dict, files: list[dict],
+    cols: list[str],
+) -> dict[str, tuple[float, float]]:
+    """Global [min, max] per column over `files`, from add-action stats
+    when every file carries them, else one agg scan (foreign writers)."""
+    mins: dict[str, float] = {}
+    maxs: dict[str, float] = {}
+    complete = True
+    for f in files:
+        stats = json.loads(f["stats"]) if f.get("stats") else {}
+        fmin = stats.get("minValues") or {}
+        fmax = stats.get("maxValues") or {}
+        for c in cols:
+            if not isinstance(fmin.get(c), (int, float)) or not isinstance(
+                fmax.get(c), (int, float)
+            ):
+                complete = False
+                break
+            mins[c] = min(mins.get(c, fmin[c]), fmin[c])
+            maxs[c] = max(maxs.get(c, fmax[c]), fmax[c])
+        if not complete:
+            break
+    if complete and mins:
+        return {c: (float(mins[c]), float(maxs[c])) for c in cols}
+    row = _read_state(spark, table, dict(state, files=files)).agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    return {
+        c: (float(row[f"lo_{c}"] or 0), float(row[f"hi_{c}"] or 0))
+        for c in cols
+    }
+
+
 def delta_optimize(
-    spark: SparkSession, table: str, target_bytes: int = 128 << 20
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
-    """OPTIMIZE (bin-packing compaction): coalesce live files smaller
-    than `target_bytes` into ~target-sized files, per partition, in ONE
+    """OPTIMIZE (bin-packing compaction), optionally ZORDER BY: in ONE
     atomic commit whose add/remove actions carry ``dataChange: false`` —
     the protocol's signal that the commit rearranges bytes without
     changing table content, so a streaming reader tailing the log skips
     it instead of re-emitting rows. Returns the new version, or None if
-    no partition had two or more small files to pack.
+    nothing qualified.
 
-    This is the execution half of the small-file story whose PLANNING
-    side `source_compaction_plan` (sources/io.py) already covers: at
-    100 TB a micro-batch ingest leaves thousands of KB-files per
-    partition, and scan task count tracks file count until OPTIMIZE
-    packs them. Old files become tombstones (time travel intact) and are
-    reclaimed by `delta_vacuum` after retention."""
+    Plain OPTIMIZE coalesces live files smaller than `target_bytes`
+    into ~target-sized files, per partition — the execution half of the
+    small-file story whose PLANNING side `source_compaction_plan`
+    (sources/io.py) covers: at 100 TB a micro-batch ingest leaves
+    thousands of KB-files per partition, and scan task count tracks
+    file count until OPTIMIZE packs them.
+
+    OPTIMIZE ZORDER BY rewrites EVERY live file of each partition
+    (delta's semantics — clustering is a property of the whole
+    partition, not of small files): rows are range-partitioned and
+    sorted by the Morton code of the named numeric columns, so each
+    output file covers a tight interval in every indexed column and
+    `deltastats.prune_files` skipping becomes effective on ALL of them
+    at once — the write-side half of the data-skipping story. Old files
+    become tombstones (time travel intact), reclaimed by `delta_vacuum`
+    after retention."""
     state = _snapshot_state(spark, table)
     by_part: dict[tuple, list[dict]] = {}
     for f in state["files"]:
-        if f["size"] >= target_bytes:
+        if zorder_by is None and f["size"] >= target_bytes:
             continue
         key = tuple(sorted((f["partitionValues"] or {}).items()))
         by_part.setdefault(key, []).append(f)
-    to_pack = {k: fs for k, fs in by_part.items() if len(fs) >= 2}
+    min_files = 1 if zorder_by else 2
+    to_pack = {k: fs for k, fs in by_part.items() if len(fs) >= min_files}
     if not to_pack:
         return None
     v = state["version"] + 1
+    params = {"targetBytes": str(target_bytes)}
+    if zorder_by:
+        params["zOrderBy"] = json.dumps(list(zorder_by))
     actions: list[dict] = [{
         "commitInfo": {
             "timestamp": _now_ms(),
             "operation": "OPTIMIZE",
-            "operationParameters": {"targetBytes": str(target_bytes)},
+            "operationParameters": params,
         }
     }]
     ts = _now_ms()
     for fs in to_pack.values():
         pack_state = dict(state, files=fs)
         n_out = max(1, -(-sum(f["size"] for f in fs) // target_bytes))
-        packed = _read_state(spark, table, pack_state).coalesce(n_out)
+        packed = _read_state(spark, table, pack_state)
+        if zorder_by:
+            bounds = _stats_bounds(spark, table, state, fs, list(zorder_by))
+            z = _morton_col(list(zorder_by), bounds)
+            packed = (
+                packed.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            packed = packed.coalesce(n_out)
         actions.extend(
             _stage_data_files(
                 packed, table, v, state["partition_columns"],

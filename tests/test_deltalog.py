@@ -707,3 +707,94 @@ def test_reads_foreign_encoded_paths(spark, tmp_path):
         fh.write(patched)
     assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4]
     assert dl.delta_count(spark, tbl) == 5
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    _time.sleep(0.05)
+    t_mid = dl._now_ms()
+    _time.sleep(0.05)
+    dl.delta_write(spark, _df(spark, 5, 10), tbl)
+    assert dl.version_at_timestamp(tbl, t_mid) == 0
+    assert _ks(dl.delta_snapshot(spark, tbl, timestamp_ms=t_mid)) == list(range(5))
+    # After the newest commit: latest version.
+    assert _ks(dl.delta_snapshot(spark, tbl, timestamp_ms=dl._now_ms() + 1000)) == list(range(10))
+    with pytest.raises(dl.DeltaProtocolError, match="predates"):
+        dl.version_at_timestamp(tbl, 1)
+    with pytest.raises(ValueError, match="not both"):
+        dl.delta_snapshot(spark, tbl, version=0, timestamp_ms=t_mid)
+
+
+def test_restore_to_old_version(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)   # v0
+    dl.delta_write(spark, _df(spark, 10, 20).repartition(1), tbl)  # v1
+    dl.delta_delete(spark, tbl, "k < 5")                           # v2
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(5, 20))
+    v = dl.delta_restore(spark, tbl, 1)
+    assert v == 3
+    # Restored contents == v1; the pre-restore state stays travelable.
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(20))
+    assert _ks(dl.delta_snapshot(spark, tbl, version=2)) == list(range(5, 20))
+    # Restore-to-self is a no-op (no new commit).
+    assert dl.delta_restore(spark, tbl, 3) == 3
+    assert dl.latest_version(tbl) == 3
+
+
+def test_restore_resets_evolved_schema(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)  # v0: (k, g)
+    evolved = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1.5).alias("score")
+    )
+    dl.delta_write(spark, evolved, tbl, mode="overwrite")  # v1: new schema
+    dl.delta_restore(spark, tbl, 0)
+    snap = dl.delta_snapshot(spark, tbl)
+    assert set(snap.columns) == {"k", "g"}
+    assert _ks(snap) == list(range(5))
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_write(spark, _df(spark, 100, 103).repartition(1), tbl, mode="overwrite")
+    dl.delta_vacuum(spark, tbl, retain_ms=0)  # reclaims v0's tombstoned file
+    with pytest.raises(dl.DeltaProtocolError, match="vacuumed"):
+        dl.delta_restore(spark, tbl, 0)
+
+
+def test_optimize_zorder_clusters_for_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: a hash-scattered 2-D table where every file
+    spans the full k1 range (skipping useless) becomes range-clustered
+    on the Morton code — same rows, dataChange:false, and a k1-band
+    predicate now provably skips files."""
+    from opencode_hive_archon_spark.sources import deltastats as ds
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("k1"), (F.col("id") / 64).cast("long").alias("k2")
+    )
+    dl.delta_write(spark, df.repartition(8), tbl)
+    pred = "k1 < 8"
+    total, scanned = ds.delta_scan_accounting(spark, tbl, pred)
+    assert total == 8 and scanned == 8  # hash layout: nothing skippable
+    state = dl._snapshot_state(spark, tbl)
+    target = max(1, sum(f["size"] for f in state["files"]) // 4)
+    v = dl.delta_optimize(spark, tbl, target_bytes=target, zorder_by=["k1", "k2"])
+    assert v == 1
+    with open(dl._version_file(tbl, 1)) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    )
+    assert all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    )
+    total2, scanned2 = ds.delta_scan_accounting(spark, tbl, pred)
+    assert scanned2 < total2  # clustering made the band skippable
+    got = sorted(r["k1"] * 100000 + r["k2"] for r in dl.delta_snapshot(spark, tbl).collect())
+    want = sorted((i % 64) * 100000 + i // 64 for i in range(4096))
+    assert got == want
