@@ -96,6 +96,12 @@ ORPHAN_SAFETY_WINDOW_MS = 3600 * 1000
 
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# Multi-part checkpoint (spec): %020d.checkpoint.%010d.%010d.parquet =
+# (version, part i, of n), i in 1..n — the format's answer when the live
+# file list outgrows one parquet file.
+_CKPT_MP_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 
 def _encode_path(rel: str) -> str:
@@ -210,6 +216,42 @@ def _list_log(table: str, rx: re.Pattern) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_versions(table: str) -> list[int]:
+    """Versions with a checkpoint on disk — single-file or multi-part
+    (part completeness is validated at read time by `_checkpoint_parts`)."""
+    return sorted(
+        set(_list_log(table, _CKPT_RE)) | set(_list_log(table, _CKPT_MP_RE))
+    )
+
+
+def _checkpoint_parts(table: str, v: int) -> list[str]:
+    """The parquet file(s) of checkpoint `v`, completeness-validated: a
+    single-file checkpoint is itself; a multi-part one must have parts
+    1..n all present (a partial upload must fail loudly, not replay a
+    partial table state)."""
+    single = _checkpoint_file(table, v)
+    if os.path.exists(single):
+        return [single]
+    parts: list[tuple[int, int, str]] = []
+    for name in os.listdir(_log_dir(table)):
+        m = _CKPT_MP_RE.match(name)
+        if m and int(m.group(1)) == v:
+            parts.append((int(m.group(2)), int(m.group(3)), name))
+    if not parts:
+        raise DeltaProtocolError(f"no checkpoint files for v{v} of {table}")
+    n = parts[0][1]
+    if any(p[1] != n for p in parts) or sorted(p[0] for p in parts) != list(
+        range(1, n + 1)
+    ):
+        raise DeltaProtocolError(
+            f"incomplete multi-part checkpoint at v{v} of {table}: have "
+            f"parts {sorted(p[0] for p in parts)} of {n}"
+        )
+    return [
+        os.path.join(_log_dir(table), p[2]) for p in sorted(parts)
+    ]
+
+
 def latest_version(table: str) -> int:
     """Highest committed version, -1 for a nonexistent table. Considers
     BOTH commit JSONs and checkpoints: after spec metadata cleanup a
@@ -220,7 +262,7 @@ def latest_version(table: str) -> int:
     `_last_checkpoint` + a bounded tail listing, which `_snapshot_state`
     uses for replay — here a plain listdir is fine because writers call
     this once per commit and the retained JSON tail is GC-bounded."""
-    vs = _list_log(table, _VERSION_RE) + _list_log(table, _CKPT_RE)
+    vs = _list_log(table, _VERSION_RE) + _checkpoint_versions(table)
     return max(vs) if vs else -1
 
 
@@ -463,7 +505,7 @@ def _snapshot_state(
     last-writer-wins per path. A gap in the required JSON range means
     metadata cleanup removed commits this read needs — fail loudly."""
     versions = _list_log(table, _VERSION_RE)
-    ckpts = _list_log(table, _CKPT_RE)
+    ckpts = _checkpoint_versions(table)
     newest = max(versions + ckpts, default=-1)
     if newest < 0:
         raise DeltaProtocolError(f"not a delta table (no {LOG_DIR}): {table}")
@@ -486,7 +528,7 @@ def _snapshot_state(
     parts: list[DataFrame] = []
     if ckpt_v is not None:
         ck = spark.read.schema(STATE_SCHEMA).parquet(
-            _checkpoint_file(table, ckpt_v)
+            *_checkpoint_parts(table, ckpt_v)
         )
         parts.append(ck.withColumn("_v", F.lit(ckpt_v).cast("long")))
     if need:
@@ -601,6 +643,99 @@ def delta_snapshot(
     if timestamp_ms is not None:
         version = version_at_timestamp(table, timestamp_ms)
     return _read_state(spark, table, _snapshot_state(spark, table, version))
+
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
+    """Write-path CHECK enforcement (PROTOCOL.md: `delta.constraints.*`
+    keys in metaData configuration): every incoming row must satisfy
+    every constraint expression under SQL CHECK semantics (NULL passes).
+    All constraints are fused into ONE violation predicate evaluated in
+    a single limit(1) pass — the scan stops at the first bad row, and a
+    clean batch costs one extra pass over the data being written (real
+    delta fuses the same check into the write job as an invariant
+    expression; that fusion is the documented extension)."""
+    if not meta:
+        return
+    conf = meta.get("configuration") or {}
+    checks = {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in conf.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+    if not checks:
+        return
+    violated = reduce(
+        lambda a, b: a | b,
+        (
+            ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+            for e in checks.values()
+        ),
+    )
+    if df.filter(violated).limit(1).count():
+        raise DeltaProtocolError(
+            f"CHECK constraint violation: a written row fails one of "
+            f"{sorted(checks)}"
+        )
+
+
+def delta_add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validates the EXISTING rows first
+    (one scan, limit(1) short-circuit), then commits a metaData update
+    carrying `delta.constraints.<name>`; every subsequent write path
+    enforces it. Returns the new version."""
+    state = _snapshot_state(spark, table)
+    key = _CONSTRAINT_PREFIX + name
+    if key in (state["meta"].get("configuration") or {}):
+        raise DeltaProtocolError(f"constraint {name!r} already exists")
+    current = _read_state(spark, table, state)
+    bad = current.filter(
+        ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+    ).limit(1).count()
+    if bad:
+        raise DeltaProtocolError(
+            f"cannot add constraint {name!r}: existing rows violate {expr!r}"
+        )
+    v = state["version"] + 1
+    conf = dict(state["meta"].get("configuration") or {})
+    conf[key] = expr
+    _commit(table, v, [
+        {"commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "ADD CONSTRAINT",
+            "operationParameters": {"name": name, "expr": expr},
+        }},
+        {"metaData": {**state["meta"], "configuration": conf}},
+    ])
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
+def delta_drop_constraint(spark: SparkSession, table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT; unknown names fail loudly."""
+    state = _snapshot_state(spark, table)
+    key = _CONSTRAINT_PREFIX + name
+    conf = dict(state["meta"].get("configuration") or {})
+    if key not in conf:
+        raise DeltaProtocolError(f"no such constraint: {name!r}")
+    del conf[key]
+    v = state["version"] + 1
+    _commit(table, v, [
+        {"commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "DROP CONSTRAINT",
+            "operationParameters": {"name": name},
+        }},
+        {"metaData": {**state["meta"], "configuration": conf}},
+    ])
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
 
 
 def version_at_timestamp(table: str, ts_ms: int) -> int:
@@ -772,6 +907,7 @@ def delta_write(
         }})
     elif mode == "overwrite":
         prior = _snapshot_state(spark, table, v - 1)
+        _enforce_constraints(df, prior["meta"])
         ts = _now_ms()
         actions.extend(
             {"remove": {
@@ -802,6 +938,7 @@ def delta_write(
         # delta_stream_sink) appending to a partitioned table keeps the
         # layout without having to know it.
         meta = _peek_meta(spark, table, v - 1)
+        _enforce_constraints(df, meta)
         if meta is not None:
             if not _same_shape(meta["schemaString"], df.schema.json()):
                 raise DeltaProtocolError(
@@ -919,6 +1056,9 @@ def delta_merge(
         raise DeltaProtocolError(
             "schema enforcement: merge source schema does not match table"
         )
+    # Every newly-written payload (updates + inserts) comes from source;
+    # kept rows satisfy the constraints by induction.
+    _enforce_constraints(source, state["meta"])
     dup = (
         source.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__merge_n"))
@@ -1020,11 +1160,43 @@ def delta_merge(
     return v
 
 
-def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
-    """Materialize the state at `version` as {v:020d}.checkpoint.parquet
-    and point `_last_checkpoint` at it. Single-file here; the multi-part
-    naming (%020d.checkpoint.%010d.%010d.parquet) is the spec's extension
-    when the live file list outgrows one parquet file."""
+# Actions per checkpoint part before the writer splits into the spec's
+# multi-part form. Sized for the test/driver scale; at 100 TB the same
+# knob is what keeps one part's file list readable in one task.
+CHECKPOINT_PART_ACTIONS = 1_000_000
+
+
+def _write_state_parquet(
+    spark: SparkSession, table: str, version: int, rows: list[dict],
+    final: str,
+) -> None:
+    out_tmp = os.path.join(
+        _log_dir(table), f".ckpt-{version:020d}-{uuid.uuid4().hex[:8]}"
+    )
+    spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_tmp)
+    part = next(
+        n for n in sorted(os.listdir(out_tmp))
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+    shutil.move(os.path.join(out_tmp, part), final)
+    shutil.rmtree(out_tmp, ignore_errors=True)
+
+
+def delta_checkpoint(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    max_actions_per_part: int = CHECKPOINT_PART_ACTIONS,
+) -> list[str]:
+    """Materialize the state at `version` as a checkpoint and point
+    `_last_checkpoint` at it. Single-file ({v:020d}.checkpoint.parquet)
+    while the state fits `max_actions_per_part`; beyond that, the spec's
+    multi-part form ({v:020d}.checkpoint.{i:010d}.{n:010d}.parquet,
+    i in 1..n) — parts are written BEFORE `_last_checkpoint` flips, so a
+    crashed multi-part upload is invisible (readers validate part
+    completeness and a gap fails loudly, never a partial state)."""
     state = _snapshot_state(spark, table, version)
     rows: list[dict] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -1045,22 +1217,33 @@ def delta_checkpoint(spark: SparkSession, table: str, version: int) -> str:
         for t in state["tombstones"]
         if (t["deletionTimestamp"] or 0) >= cutoff
     )
-    out_tmp = os.path.join(_log_dir(table), f".ckpt-{version:020d}")
-    spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(out_tmp)
-    part = next(
-        n for n in sorted(os.listdir(out_tmp))
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    )
-    final = _checkpoint_file(table, version)
-    shutil.move(os.path.join(out_tmp, part), final)
-    shutil.rmtree(out_tmp, ignore_errors=True)
+    n_parts = max(1, -(-len(rows) // max_actions_per_part))
+    finals: list[str] = []
+    if n_parts == 1:
+        final = _checkpoint_file(table, version)
+        _write_state_parquet(spark, table, version, rows, final)
+        finals.append(final)
+    else:
+        chunk = -(-len(rows) // n_parts)
+        for i in range(n_parts):
+            final = os.path.join(
+                _log_dir(table),
+                f"{version:020d}.checkpoint."
+                f"{i + 1:010d}.{n_parts:010d}.parquet",
+            )
+            _write_state_parquet(
+                spark, table, version,
+                rows[i * chunk:(i + 1) * chunk], final,
+            )
+            finals.append(final)
     lc_tmp = os.path.join(_log_dir(table), ".tmp_last_checkpoint")
+    lc: dict = {"version": version, "size": len(rows)}
+    if n_parts > 1:
+        lc["parts"] = n_parts
     with open(lc_tmp, "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+        json.dump(lc, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
-    return final
+    return finals
 
 
 def delta_changes(
@@ -1431,6 +1614,10 @@ def delta_append(
             if seen >= txn[1]:
                 return v - 1  # staged files (if any) are vacuum debris
         meta = _peek_meta(spark, table, v - 1)
+        if staged is None:
+            # Constraints are checked once, against the data actually
+            # being staged — a lost commit race doesn't re-pay the scan.
+            _enforce_constraints(df, meta)
         table_parts = list(partition_by or [])
         if meta is not None:
             if not _same_shape(meta["schemaString"], df.schema.json()):
@@ -1510,17 +1697,16 @@ def _peek_meta_fs(table: str) -> dict:
                     action = json.loads(line)
                     if "metaData" in action:
                         return action["metaData"]
-    ckpts = _list_log(table, _CKPT_RE)
+    ckpts = _checkpoint_versions(table)
     if ckpts:
         import pyarrow.parquet as pq
 
-        rows = pq.read_table(
-            _checkpoint_file(table, max(ckpts)), columns=["metaData"]
-        ).to_pylist()
-        for r in rows:
-            meta = r.get("metaData")
-            if meta and meta.get("schemaString"):
-                return meta
+        for part in _checkpoint_parts(table, max(ckpts)):
+            rows = pq.read_table(part, columns=["metaData"]).to_pylist()
+            for r in rows:
+                meta = r.get("metaData")
+                if meta and meta.get("schemaString"):
+                    return meta
     raise DeltaProtocolError(f"no metaData action found in log of {table}")
 
 

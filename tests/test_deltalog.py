@@ -798,3 +798,67 @@ def test_optimize_zorder_clusters_for_skipping(spark, tmp_path):
     got = sorted(r["k1"] * 100000 + r["k2"] for r in dl.delta_snapshot(spark, tbl).collect())
     want = sorted((i % 64) * 100000 + i // 64 for i in range(4096))
     assert got == want
+
+
+def test_check_constraints_enforced_on_all_write_paths(spark, tmp_path):
+    """PROTOCOL.md delta.constraints.*: added only when existing rows
+    satisfy it; append / overwrite / merge / append-retry all reject a
+    violating batch; NULL passes (SQL CHECK semantics); drop lifts it."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0), (2, None)], "k long, val double"),
+        tbl,
+    )
+    # Existing violation blocks ADD.
+    with pytest.raises(dl.DeltaProtocolError, match="existing rows violate"):
+        dl.delta_add_constraint(spark, tbl, "big", "val >= 100")
+    v = dl.delta_add_constraint(spark, tbl, "pos", "val >= 0")  # NULL passes
+    assert v == 1
+    bad = spark.createDataFrame([(3, -1.0)], "k long, val double")
+    good = spark.createDataFrame([(3, 3.0)], "k long, val double")
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_write(spark, bad, tbl)
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_write(spark, bad, tbl, mode="overwrite")
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_merge(spark, tbl, bad, on=["k"])
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_append(spark, bad, tbl)
+    dl.delta_write(spark, good, tbl)  # clean batch passes
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2, 3]
+    # Constraint survives overwrite (configuration rides the metaData).
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_write(spark, bad, tbl, mode="overwrite")
+    dl.delta_drop_constraint(spark, tbl, "pos")
+    dl.delta_write(spark, bad, tbl)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2, 3, 3]
+    with pytest.raises(dl.DeltaProtocolError, match="no such constraint"):
+        dl.delta_drop_constraint(spark, tbl, "pos")
+
+
+def test_multipart_checkpoint_roundtrip_and_gc(spark, tmp_path):
+    """A checkpoint forced into the spec's multi-part form replays the
+    same state, keeps working after every JSON at/behind it is GC'd, and
+    a missing part fails loudly instead of replaying a partial table."""
+    tbl = str(tmp_path / "t")
+    for i in range(4):  # v0..v3 (below the auto-checkpoint interval)
+        dl.delta_write(spark, _df(spark, i * 10, i * 10 + 10).repartition(1), tbl)
+    finals = dl.delta_checkpoint(spark, tbl, 3, max_actions_per_part=2)
+    assert len(finals) >= 2
+    assert all(".checkpoint.00000000" in f for f in finals)
+    st = dl._snapshot_state(spark, tbl)
+    assert st["checkpoint_version"] == 3 and st["json_replayed"] == 0
+    # Spec metadata cleanup: all JSONs at/behind the checkpoint go.
+    for v in range(4):
+        os.remove(dl._version_file(tbl, v))
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(40))
+    assert dl.latest_version(tbl) == 3
+    # Writers continue the version sequence from the checkpoint alone.
+    dl.delta_write(spark, _df(spark, 100, 101), tbl)
+    assert dl.latest_version(tbl) == 4
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(40)) + [100]
+    # A vanished part is an incomplete checkpoint: loud failure.
+    os.remove(finals[0])
+    with pytest.raises(dl.DeltaProtocolError, match="incomplete multi-part"):
+        dl.delta_snapshot(spark, tbl, version=3)
