@@ -961,8 +961,40 @@ def delta_write(
     return v
 
 
-def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
-    """Copy-on-write DELETE WHERE predicate; returns the new version.
+def _occ_retry(op: str, attempt, max_retries: int) -> int:
+    """Optimistic-concurrency loop for read-modify-write commits (DELETE /
+    MERGE): a lost commit race re-runs the ENTIRE read phase against the
+    new head — the remove set, the rewrite, everything is recomputed, so
+    the retried commit is serializable with whatever won (delta's
+    re-read-and-retry contract, the conservative end of its conflict
+    matrix). The losing attempt's staged files are never referenced by
+    any commit; they age out under the vacuum orphan sweep, whose safety
+    window exists precisely so this debris is distinguishable from an
+    in-flight writer's files."""
+    for _ in range(max_retries + 1):
+        try:
+            return attempt()
+        except DeltaConcurrentCommit:
+            continue
+    raise DeltaConcurrentCommit(
+        f"{op} lost the commit race {max_retries + 1} times"
+    )
+
+
+def delta_delete(
+    spark: SparkSession, table: str, predicate: str, max_retries: int = 5
+) -> int:
+    """Copy-on-write DELETE WHERE predicate with OCC retry; returns the
+    new version."""
+    return _occ_retry(
+        f"DELETE on {table}",
+        lambda: _delta_delete_attempt(spark, table, predicate),
+        max_retries,
+    )
+
+
+def _delta_delete_attempt(spark: SparkSession, table: str, predicate: str) -> int:
+    """One optimistic DELETE attempt (see delta_delete).
 
     File-granular: one distributed pass finds the files that contain at
     least one matching row; ONLY those files are rewritten (their
@@ -1037,9 +1069,24 @@ def delta_merge(
     table: str,
     source: DataFrame,
     on: list[str],
+    max_retries: int = 5,
 ) -> int:
-    """MERGE INTO (SCD-1 upsert): WHEN MATCHED THEN UPDATE SET * /
-    WHEN NOT MATCHED THEN INSERT *; returns the new version.
+    """MERGE INTO (SCD-1 upsert) with OCC retry; returns the new version."""
+    return _occ_retry(
+        f"MERGE on {table}",
+        lambda: _delta_merge_attempt(spark, table, source, on),
+        max_retries,
+    )
+
+
+def _delta_merge_attempt(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """One optimistic MERGE attempt: WHEN MATCHED THEN UPDATE SET * /
+    WHEN NOT MATCHED THEN INSERT *.
 
     File-granular copy-on-write, like DELETE: one distributed pass finds
     the target files containing matched keys; ONLY those files are

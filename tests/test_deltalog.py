@@ -862,3 +862,31 @@ def test_multipart_checkpoint_roundtrip_and_gc(spark, tmp_path):
     os.remove(finals[0])
     with pytest.raises(dl.DeltaProtocolError, match="incomplete multi-part"):
         dl.delta_snapshot(spark, tbl, version=3)
+
+
+def test_delete_and_merge_occ_retry(spark, tmp_path):
+    """DELETE/MERGE lose a commit race (next version pre-occupied) and
+    must re-run their read phase at the following version — results
+    identical to an uncontended run, no duplicate effects."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, val double"
+        ),
+        tbl,
+    )
+    dl._commit(tbl, 1, [{
+        "commitInfo": {"timestamp": 0, "operation": "WRITE",
+                       "operationParameters": {"mode": "APPEND"}},
+    }])
+    assert dl.delta_delete(spark, tbl, "k = 3") == 2
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2]
+    dl._commit(tbl, 3, [{
+        "commitInfo": {"timestamp": 0, "operation": "WRITE",
+                       "operationParameters": {"mode": "APPEND"}},
+    }])
+    src = spark.createDataFrame([(2, 99.0), (7, 70.0)], "k long, val double")
+    assert dl.delta_merge(spark, tbl, src, on=["k"]) == 4
+    got = {r["k"]: r["val"] for r in dl.delta_snapshot(spark, tbl).collect()}
+    assert got == {1: 10.0, 2: 99.0, 7: 70.0}
