@@ -207,3 +207,14 @@ def test_merge_discovery_is_key_bound_pruned_and_exact(spark, tmp_path):
     before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
     dl.delta_merge(spark, tbl, spark.createDataFrame([], "k long"), on=["k"])
     assert {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]} == before
+
+
+def test_delta_scan_pushes_predicate_into_parquet(spark, tmp_path):
+    """The surviving files' scan still gets the predicate as a parquet
+    PushedFilter — skipping prunes WHOLE files, pushdown prunes row
+    groups/pages inside the survivors; both halves must be present."""
+    tbl = _banded_table(spark, tmp_path)
+    df = ds.delta_scan(spark, tbl, "k >= 10 AND k < 20")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(k,10" in pushed and "LessThan(k,20" in pushed
