@@ -78,7 +78,12 @@ from opencode_hive_archon_spark.spec import QuerySpec
 
 LOG_DIR = "_delta_log"
 CHECKPOINT_INTERVAL = 5
-SUPPORTED_READER_VERSION = 1
+# Reader 2 = column mapping (the one reader-2 feature, implemented below);
+# anything above fails loudly in the protocol gate.
+SUPPORTED_READER_VERSION = 2
+COLUMN_MAPPING_KEY = "delta.columnMapping.mode"
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
 # How long a removed file's tombstone (and the physical file) must be
 # retained before VACUUM may drop it — delta's default, 7 days. Time
 # travel inside the window stays readable; past it, storage is reclaimed.
@@ -423,13 +428,24 @@ def _stage_data_files(
     version: int,
     partition_by: list[str],
     data_change: bool = True,
+    meta: dict | None = None,
 ) -> list[dict]:
     """Write df's data files for one commit and return their add actions.
 
     The executors write parquet into a hidden staging dir under the table
     root (same filesystem, so publishing each file is a rename); files
     are then moved to their spec-shaped names. Partitioned writes keep
-    their hive dirs, and the dir segments become partitionValues."""
+    their hive dirs, and the dir segments become partitionValues.
+
+    Under column mapping (meta with delta.columnMapping.mode=name) the
+    incoming LOGICAL column names are renamed to their physical names
+    before the write — the spec's writer obligation, what makes renames
+    metadata-only."""
+    if _mapping_enabled(meta):
+        phys = _physical_map(meta)
+        df = df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+        )
     os.makedirs(table, exist_ok=True)
     # Unique per attempt: two writers racing the same version must not
     # clobber each other's staged files — the commit race is decided by
@@ -618,13 +634,46 @@ def _snapshot_state(
     }
 
 
+def _mapping_enabled(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return conf.get(COLUMN_MAPPING_KEY) == "name"
+
+
+def _physical_map(meta: dict | None) -> dict[str, str]:
+    """logical column name -> physical (on-disk parquet) name, from the
+    schemaString field metadata (PROTOCOL.md column mapping, name mode).
+    Identity for unmapped tables/fields."""
+    if not meta:
+        return {}
+    out: dict[str, str] = {}
+    for field in json.loads(meta["schemaString"]).get("fields", []):
+        md = field.get("metadata") or {}
+        out[field["name"]] = md.get(_CM_PHYS, field["name"])
+    return out
+
+
 def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
     if not state["files"]:
         return spark.createDataFrame([], state["schema"])
     paths = [
         os.path.join(table, _decode_path(f["path"])) for f in state["files"]
     ]
-    reader = spark.read.schema(state["schema"])
+    schema = state["schema"]
+    if _mapping_enabled(state.get("meta")):
+        # Column mapping: data files carry PHYSICAL names; read with the
+        # physical schema and project back to logical. A dropped logical
+        # column simply isn't selected — its bytes stay in old files,
+        # invisible, which is the whole point (no rewrite).
+        phys = _physical_map(state["meta"])
+        phys_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ])
+        df = spark.read.schema(phys_schema).parquet(*paths)
+        return df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        )
+    reader = spark.read.schema(schema)
     if state["partition_columns"]:
         reader = reader.option("basePath", table)
     return reader.parquet(*paths)
@@ -732,6 +781,122 @@ def delta_drop_constraint(spark: SparkSession, table: str, name: str) -> int:
             "operationParameters": {"name": name},
         }},
         {"metaData": {**state["meta"], "configuration": conf}},
+    ])
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
+def delta_enable_column_mapping(spark: SparkSession, table: str) -> int:
+    """Enable column mapping (name mode): every field gets a stable id
+    and a physicalName equal to its CURRENT name — so every existing
+    data file is already correctly named and nothing is rewritten. From
+    here on, renames and drops are metadata-only commits and writers
+    translate logical -> physical at staging time. Bumps the protocol to
+    (reader 2, writer 5) per spec — pre-mapping readers must refuse the
+    table rather than misread it. Partitioned tables are not supported
+    here (partitionValues keys would need the physical names end to
+    end — the documented extension)."""
+    state = _snapshot_state(spark, table)
+    if _mapping_enabled(state["meta"]):
+        return state["version"]
+    if state["partition_columns"]:
+        raise DeltaProtocolError(
+            "column mapping on a partitioned table is not supported"
+        )
+    schema_json = json.loads(state["meta"]["schemaString"])
+    for i, field in enumerate(schema_json.get("fields", [])):
+        md = dict(field.get("metadata") or {})
+        md[_CM_ID] = i + 1
+        md[_CM_PHYS] = field["name"]
+        field["metadata"] = md
+    conf = dict(state["meta"].get("configuration") or {})
+    conf[COLUMN_MAPPING_KEY] = "name"
+    v = state["version"] + 1
+    _commit(table, v, [
+        {"commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "SET TBLPROPERTIES",
+            "operationParameters": {COLUMN_MAPPING_KEY: "name"},
+        }},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            **state["meta"],
+            "schemaString": json.dumps(schema_json),
+            "configuration": conf,
+        }},
+    ])
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
+def _require_mapping(state: dict, op: str) -> dict:
+    if not _mapping_enabled(state["meta"]):
+        raise DeltaProtocolError(
+            f"{op} needs column mapping; call delta_enable_column_mapping "
+            "first"
+        )
+    return json.loads(state["meta"]["schemaString"])
+
+
+def delta_rename_column(
+    spark: SparkSession, table: str, old: str, new: str
+) -> int:
+    """RENAME COLUMN, metadata-only: the logical name changes, the
+    physicalName (and every data file) stays — zero rewrite at any
+    scale. Time travel to pre-rename versions shows the old name,
+    because each version replays its own metaData."""
+    state = _snapshot_state(spark, table)
+    schema_json = _require_mapping(state, "RENAME COLUMN")
+    names = [f["name"] for f in schema_json["fields"]]
+    if old not in names:
+        raise DeltaProtocolError(f"no such column: {old!r}")
+    if new in names:
+        raise DeltaProtocolError(f"column already exists: {new!r}")
+    for field in schema_json["fields"]:
+        if field["name"] == old:
+            field["name"] = new
+    v = state["version"] + 1
+    _commit(table, v, [
+        {"commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "RENAME COLUMN",
+            "operationParameters": {"from": old, "to": new},
+        }},
+        {"metaData": {
+            **state["meta"], "schemaString": json.dumps(schema_json),
+        }},
+    ])
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
+def delta_drop_column(spark: SparkSession, table: str, name: str) -> int:
+    """DROP COLUMN, metadata-only: the field leaves the logical schema;
+    its bytes stay in existing files, simply never projected again (the
+    physical-schema read selects only mapped logical fields)."""
+    state = _snapshot_state(spark, table)
+    schema_json = _require_mapping(state, "DROP COLUMN")
+    names = [f["name"] for f in schema_json["fields"]]
+    if name not in names:
+        raise DeltaProtocolError(f"no such column: {name!r}")
+    if len(names) == 1:
+        raise DeltaProtocolError("cannot drop the only column")
+    schema_json["fields"] = [
+        f for f in schema_json["fields"] if f["name"] != name
+    ]
+    v = state["version"] + 1
+    _commit(table, v, [
+        {"commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "DROP COLUMN",
+            "operationParameters": {"name": name},
+        }},
+        {"metaData": {
+            **state["meta"], "schemaString": json.dumps(schema_json),
+        }},
     ])
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
         delta_checkpoint(spark, table, v)
@@ -872,6 +1037,7 @@ def delta_write(
         raise ValueError(f"unsupported mode: {mode!r}")
     partition_by_arg = partition_by
     partition_by = list(partition_by or [])
+    write_meta: dict | None = None
     v = latest_version(table) + 1
     if txn is not None and v > 0:
         seen = _snapshot_state(spark, table, v - 1)["txns"].get(txn[0], -1)
@@ -908,6 +1074,7 @@ def delta_write(
     elif mode == "overwrite":
         prior = _snapshot_state(spark, table, v - 1)
         _enforce_constraints(df, prior["meta"])
+        write_meta = prior["meta"]
         ts = _now_ms()
         actions.extend(
             {"remove": {
@@ -923,6 +1090,15 @@ def delta_write(
         if not _same_shape(
             prior["meta"]["schemaString"], df.schema.json()
         ) or partition_by != prior["partition_columns"]:
+            if _mapping_enabled(prior["meta"]):
+                # An overwrite that changes shape would need fresh
+                # physical names minted for new columns; use the
+                # rename/drop DDL for mapped tables instead.
+                raise DeltaProtocolError(
+                    "schema-changing overwrite is not supported on a "
+                    "column-mapped table; use delta_rename_column / "
+                    "delta_drop_column"
+                )
             # Schema evolution: the SAME commit that swaps the file set
             # updates the metaData, so replay reads the new files with
             # the new schema (v0's metaData alone would be stale).
@@ -939,6 +1115,7 @@ def delta_write(
         # layout without having to know it.
         meta = _peek_meta(spark, table, v - 1)
         _enforce_constraints(df, meta)
+        write_meta = meta
         if meta is not None:
             if not _same_shape(meta["schemaString"], df.schema.json()):
                 raise DeltaProtocolError(
@@ -954,7 +1131,9 @@ def delta_write(
                     f"partitionColumns={table_parts} at {table}"
                 )
             partition_by = table_parts
-    actions.extend(_stage_data_files(df, table, v, partition_by))
+    actions.extend(
+        _stage_data_files(df, table, v, partition_by, meta=write_meta)
+    )
     _commit(table, v, actions)
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
         delta_checkpoint(spark, table, v)
@@ -1046,7 +1225,8 @@ def _delta_delete_attempt(spark: SparkSession, table: str, predicate: str) -> in
             keep = _read_state(spark, table, hit_state).filter(~pred)
             actions.extend(
                 _stage_data_files(
-                    keep, table, v, state["partition_columns"]
+                    keep, table, v, state["partition_columns"],
+                    meta=state["meta"],
                 )
             )
             ts = _now_ms()
@@ -1198,7 +1378,10 @@ def _delta_merge_attempt(
         rewrite = inserts
         removes = []
     actions.extend(
-        _stage_data_files(rewrite, table, v, state["partition_columns"])
+        _stage_data_files(
+            rewrite, table, v, state["partition_columns"],
+            meta=state["meta"],
+        )
     )
     actions.extend(removes)
     _commit(table, v, actions)
@@ -1540,7 +1723,7 @@ def delta_optimize(
         actions.extend(
             _stage_data_files(
                 packed, table, v, state["partition_columns"],
-                data_change=False,
+                data_change=False, meta=state["meta"],
             )
         )
         actions.extend(
@@ -1682,7 +1865,9 @@ def delta_append(
         if staged is not None and staged_parts != table_parts:
             staged = None  # layout changed under us: restage
         if staged is None:
-            staged = _stage_data_files(df, table, v, table_parts)
+            staged = _stage_data_files(
+                df, table, v, table_parts, meta=meta
+            )
             staged_parts = table_parts
         actions: list[dict] = [{
             "commitInfo": {
@@ -1830,6 +2015,14 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
 
         def schema(self):
             meta = _peek_meta_fs(self.options["path"])
+            if _mapping_enabled(meta):
+                # The Arrow reader serves files verbatim (physical
+                # names); serving a mapped table would leak them.
+                raise DeltaProtocolError(
+                    "delta_log_stream does not support column-mapped "
+                    "tables (physical-name translation is the documented "
+                    "extension)"
+                )
             if meta.get("partitionColumns"):
                 # Data files of a partitioned table don't carry their
                 # partition columns; re-deriving them per file is the

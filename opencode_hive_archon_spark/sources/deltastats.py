@@ -47,6 +47,8 @@ from opencode_hive_archon_spark.spec import QuerySpec
 from opencode_hive_archon_spark.sources.deltalog import (
     _cents,
     _demo_table,
+    _mapping_enabled,
+    _physical_map,
     _read_state,
     _snapshot_state,
     delta_write,
@@ -226,12 +228,24 @@ def _can_match(node, add: dict) -> bool:
     return _atom_can_match(col, op, lit, add)
 
 
+def _rename_atoms(node, mapping: dict[str, str]):
+    kind = node[0]
+    if kind in ("and", "or"):
+        return (kind, [_rename_atoms(b, mapping) for b in node[1]])
+    _, col, op, lit = node
+    return ("atom", mapping.get(col, col), op, lit)
+
+
 def prune_files(state: dict, predicate: str) -> list[dict]:
     """The subset of state['files'] that could contain a matching row.
-    Unsupported predicate shapes return the full list."""
+    Unsupported predicate shapes return the full list. Under column
+    mapping the predicate's LOGICAL names are translated to the physical
+    names the footer stats are keyed by."""
     node = parse_skipping_predicate(predicate)
     if node is None:
         return list(state["files"])
+    if _mapping_enabled(state.get("meta")):
+        node = _rename_atoms(node, _physical_map(state["meta"]))
     return [f for f in state["files"] if _can_match(node, f)]
 
 

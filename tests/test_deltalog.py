@@ -890,3 +890,117 @@ def test_delete_and_merge_occ_retry(spark, tmp_path):
     assert dl.delta_merge(spark, tbl, src, on=["k"]) == 4
     got = {r["k"]: r["val"] for r in dl.delta_snapshot(spark, tbl).collect()}
     assert got == {1: 10.0, 2: 99.0, 7: 70.0}
+
+
+def test_column_mapping_rename_and_drop_without_rewrite(spark, tmp_path):
+    """Column mapping (name mode): rename/drop are metadata-only — the
+    data files are untouched; reads project physical -> logical; time
+    travel shows each version under ITS OWN names; writes after a rename
+    store the PHYSICAL name on disk; pre-mapping readers are fenced out
+    by the protocol bump."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y")], "k long, val double, tag string"
+    ).repartition(1)
+    dl.delta_write(spark, df, tbl)
+    files_before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    dl.delta_enable_column_mapping(spark, tbl)           # v1
+    dl.delta_rename_column(spark, tbl, "val", "price")   # v2
+    dl.delta_drop_column(spark, tbl, "tag")              # v3
+    st = dl._snapshot_state(spark, tbl)
+    # Metadata-only: the live file set never changed.
+    assert {f["path"] for f in st["files"]} == files_before
+    snap = dl.delta_snapshot(spark, tbl)
+    assert set(snap.columns) == {"k", "price"}
+    assert {r["k"]: r["price"] for r in snap.collect()} == {1: 10.0, 2: 20.0}
+    # Time travel replays each version's own metaData.
+    assert set(dl.delta_snapshot(spark, tbl, version=0).columns) == {
+        "k", "val", "tag"
+    }
+    # Appends use the NEW logical name but store the physical one.
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(3, 30.0)], "k long, price double"),
+        tbl,
+    )
+    assert {
+        r["k"]: r["price"]
+        for r in dl.delta_snapshot(spark, tbl).collect()
+    } == {1: 10.0, 2: 20.0, 3: 30.0}
+    new_file = next(
+        f["path"]
+        for f in dl._snapshot_state(spark, tbl)["files"]
+        if f["path"] not in files_before
+    )
+    cols = pq.ParquetFile(
+        os.path.join(tbl, dl._decode_path(new_file))
+    ).schema_arrow.names
+    assert "val" in cols and "price" not in cols  # physical name on disk
+    # Old logical name is gone from the write contract.
+    with pytest.raises(dl.DeltaProtocolError, match="schema enforcement"):
+        dl.delta_write(
+            spark,
+            spark.createDataFrame([(4, 4.0)], "k long, val double"),
+            tbl,
+        )
+    # Protocol fence: the table now demands reader 2 (we support it).
+    with open(dl._version_file(tbl, 1)) as fh:
+        protos = [
+            json.loads(l)["protocol"] for l in fh
+            if l.strip() and "protocol" in json.loads(l)
+        ]
+    assert protos and protos[0]["minReaderVersion"] == 2
+
+
+def test_column_mapping_delete_and_skipping_use_logical_names(spark, tmp_path):
+    """DELETE predicates and data skipping speak LOGICAL names over a
+    mapped table — stats stay keyed by physical names underneath."""
+    from opencode_hive_archon_spark.sources import deltastats as ds
+
+    tbl = str(tmp_path / "t")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        dl.delta_write(
+            spark,
+            spark.range(lo, hi).select(F.col("id").alias("k")).repartition(1),
+            tbl,
+        )
+    dl.delta_enable_column_mapping(spark, tbl)
+    dl.delta_rename_column(spark, tbl, "k", "key")
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "key >= 10 AND key < 20")
+    assert (total, scanned) == (3, 1)  # stats pruning through the mapping
+    got = sorted(
+        r["key"]
+        for r in ds.delta_scan(spark, tbl, "key >= 10 AND key < 20").collect()
+    )
+    assert got == list(range(10, 20))
+    dl.delta_delete(spark, tbl, "key >= 25")
+    assert sorted(
+        r["key"] for r in dl.delta_snapshot(spark, tbl).collect()
+    ) == list(range(25))
+
+
+def test_column_mapping_requires_enable_and_guards(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    with pytest.raises(dl.DeltaProtocolError, match="column mapping"):
+        dl.delta_rename_column(spark, tbl, "k", "key")
+    dl.delta_enable_column_mapping(spark, tbl)
+    with pytest.raises(dl.DeltaProtocolError, match="no such column"):
+        dl.delta_rename_column(spark, tbl, "nope", "x")
+    with pytest.raises(dl.DeltaProtocolError, match="already exists"):
+        dl.delta_rename_column(spark, tbl, "k", "g")
+    # Schema-changing overwrite is fenced on mapped tables.
+    with pytest.raises(dl.DeltaProtocolError, match="schema-changing overwrite"):
+        dl.delta_write(
+            spark,
+            spark.range(2).select(F.col("id").alias("z")),
+            tbl,
+            mode="overwrite",
+        )
+    # Partitioned tables can't enable mapping.
+    tbl2 = str(tmp_path / "t2")
+    dl.delta_write(spark, _df(spark, 0, 10), tbl2, partition_by=["g"])
+    with pytest.raises(dl.DeltaProtocolError, match="partitioned"):
+        dl.delta_enable_column_mapping(spark, tbl2)
