@@ -1004,3 +1004,23 @@ def test_column_mapping_requires_enable_and_guards(spark, tmp_path):
     dl.delta_write(spark, _df(spark, 0, 10), tbl2, partition_by=["g"])
     with pytest.raises(dl.DeltaProtocolError, match="partitioned"):
         dl.delta_enable_column_mapping(spark, tbl2)
+
+
+def test_restore_reverts_rename_metadata_only(spark, tmp_path):
+    """RESTORE to a pre-rename version brings the OLD logical names back
+    without touching data files (both names map to the same physical
+    column), and the mapped read path keeps working afterwards."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, val double"),
+        tbl,
+    )                                                    # v0
+    dl.delta_enable_column_mapping(spark, tbl)           # v1
+    dl.delta_rename_column(spark, tbl, "val", "price")   # v2
+    files = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    dl.delta_restore(spark, tbl, 1)                      # v3: pre-rename
+    assert {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]} == files
+    snap = dl.delta_snapshot(spark, tbl)
+    assert set(snap.columns) == {"k", "val"}
+    assert {r["k"]: r["val"] for r in snap.collect()} == {1: 10.0, 2: 20.0}
