@@ -222,11 +222,30 @@ def _list_log(table: str, rx: re.Pattern) -> list[int]:
 
 
 def _checkpoint_versions(table: str) -> list[int]:
-    """Versions with a checkpoint on disk — single-file or multi-part
-    (part completeness is validated at read time by `_checkpoint_parts`)."""
-    return sorted(
-        set(_list_log(table, _CKPT_RE)) | set(_list_log(table, _CKPT_MP_RE))
-    )
+    """Versions with a COMPLETE checkpoint on disk — single-file, or
+    multi-part with every part 1..n present. A crashed multi-part upload
+    (some parts missing) is simply invisible here, so replay falls back
+    to an older checkpoint or the full JSON history instead of failing
+    on the partial set."""
+    singles = set(_list_log(table, _CKPT_RE))
+    mp: dict[int, set[tuple[int, int]]] = {}
+    try:
+        names = os.listdir(_log_dir(table))
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        m = _CKPT_MP_RE.match(name)
+        if m:
+            mp.setdefault(int(m.group(1)), set()).add(
+                (int(m.group(2)), int(m.group(3)))
+            )
+    complete = {
+        v
+        for v, parts in mp.items()
+        if len({n for _, n in parts}) == 1
+        and sorted(i for i, _ in parts) == list(range(1, next(iter(parts))[1] + 1))
+    }
+    return sorted(singles | complete)
 
 
 def _checkpoint_parts(table: str, v: int) -> list[str]:
@@ -386,6 +405,16 @@ def _file_stats(path: str) -> dict:
     maxs: dict = {}
     nulls: dict = {}
     complete: set = set()
+    null_complete: set = set()
+
+    def _plain_number(v) -> bool:
+        # Exactly int/float/bool — pyarrow surfaces LOGICAL values, so an
+        # INT32-backed date comes out datetime.date and an INT64-backed
+        # decimal comes out Decimal; neither is JSON-serializable nor
+        # safely comparable to a predicate literal. bool is an int
+        # subclass and serializes fine.
+        return isinstance(v, (int, float))
+
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
@@ -397,28 +426,47 @@ def _file_stats(path: str) -> dict:
             st = col.statistics
             if rg == 0:
                 complete.add(name)
-            if (
-                st is None
-                or not st.has_min_max
-                or st.physical_type not in _STATS_PHYSICAL
-            ):
+                null_complete.add(name)
+            try:
+                usable = (
+                    st is not None
+                    and st.has_min_max
+                    and st.physical_type in _STATS_PHYSICAL
+                )
+                # Accessing .min/.max itself can raise (pyarrow refuses
+                # to extract statistics for some logical types).
+                mn = st.min if usable else None
+                mx = st.max if usable else None
+            except Exception:  # noqa: BLE001 - any footer oddity -> no stats
+                usable = False
+                mn = mx = None
+            if not usable or not _plain_number(mn) or not _plain_number(mx):
                 complete.discard(name)
+                null_complete.discard(name)
                 continue
             if name not in complete:
                 continue
             if name in mins:
-                mins[name] = min(mins[name], st.min)
-                maxs[name] = max(maxs[name], st.max)
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
             else:
-                mins[name] = st.min
-                maxs[name] = st.max
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+                mins[name] = mn
+                maxs[name] = mx
+            # Absent null_count must stay absent — coercing to 0 would
+            # let a spec reader skip `IS NULL` wrongly.
+            nc = getattr(st, "null_count", None)
+            if nc is None:
+                null_complete.discard(name)
+            elif name in null_complete:
+                nulls[name] = nulls.get(name, 0) + nc
     out = {"numRecords": md.num_rows}
     kept = {n for n in mins if n in complete}
     if kept:
         out["minValues"] = {n: mins[n] for n in sorted(kept)}
         out["maxValues"] = {n: maxs[n] for n in sorted(kept)}
-        out["nullCount"] = {n: nulls.get(n, 0) for n in sorted(kept)}
+        nkept = sorted(kept & null_complete)
+        if nkept:
+            out["nullCount"] = {n: nulls.get(n, 0) for n in nkept}
     return out
 
 
@@ -607,8 +655,10 @@ def _snapshot_state(
         .limit(1)
         .collect()
     )
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     if proto_rows:
-        mrv = proto_rows[0]["protocol"]["minReaderVersion"]
+        protocol = proto_rows[0]["protocol"].asDict()
+        mrv = protocol["minReaderVersion"]
         if mrv > SUPPORTED_READER_VERSION:
             raise DeltaProtocolError(
                 f"table requires minReaderVersion={mrv}; this reader "
@@ -624,6 +674,7 @@ def _snapshot_state(
     return {
         "txns": txns,
         "tombstones": tombstones,
+        "protocol": protocol,
         "version": target,
         "schema": T.StructType.fromJson(json.loads(meta["schemaString"])),
         "partition_columns": list(meta["partitionColumns"] or []),
@@ -652,18 +703,16 @@ def _physical_map(meta: dict | None) -> dict[str, str]:
     return out
 
 
-def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
-    if not state["files"]:
-        return spark.createDataFrame([], state["schema"])
-    paths = [
-        os.path.join(table, _decode_path(f["path"])) for f in state["files"]
-    ]
+def _read_paths(
+    spark: SparkSession, table: str, state: dict, paths: list[str]
+) -> DataFrame:
+    """Plan a scan over absolute parquet `paths` under the state's
+    schema. Under column mapping the files carry PHYSICAL names; read
+    with the physical schema and project back to logical — a dropped
+    logical column simply isn't selected (its bytes stay in old files,
+    invisible, which is the whole point of no-rewrite evolution)."""
     schema = state["schema"]
     if _mapping_enabled(state.get("meta")):
-        # Column mapping: data files carry PHYSICAL names; read with the
-        # physical schema and project back to logical. A dropped logical
-        # column simply isn't selected — its bytes stay in old files,
-        # invisible, which is the whole point (no rewrite).
         phys = _physical_map(state["meta"])
         phys_schema = T.StructType([
             T.StructField(phys[f.name], f.dataType, f.nullable)
@@ -677,6 +726,15 @@ def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
     if state["partition_columns"]:
         reader = reader.option("basePath", table)
     return reader.parquet(*paths)
+
+
+def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
+    if not state["files"]:
+        return spark.createDataFrame([], state["schema"])
+    paths = [
+        os.path.join(table, _decode_path(f["path"])) for f in state["files"]
+    ]
+    return _read_paths(spark, table, state, paths)
 
 
 def delta_snapshot(
@@ -840,6 +898,20 @@ def _require_mapping(state: dict, op: str) -> dict:
     return json.loads(state["meta"]["schemaString"])
 
 
+def _constraints_referencing(meta: dict, col: str) -> list[str]:
+    """CHECK constraints whose expression mentions `col` (word-boundary
+    match — conservative: a quoted-string hit counts too, and blocking a
+    rename someone COULD have made is cheaper than breaking every write
+    with an unresolved-column error afterwards)."""
+    conf = meta.get("configuration") or {}
+    rx = re.compile(rf"\b{re.escape(col)}\b")
+    return sorted(
+        k[len(_CONSTRAINT_PREFIX):]
+        for k, v in conf.items()
+        if k.startswith(_CONSTRAINT_PREFIX) and rx.search(v)
+    )
+
+
 def delta_rename_column(
     spark: SparkSession, table: str, old: str, new: str
 ) -> int:
@@ -854,6 +926,12 @@ def delta_rename_column(
         raise DeltaProtocolError(f"no such column: {old!r}")
     if new in names:
         raise DeltaProtocolError(f"column already exists: {new!r}")
+    refs = _constraints_referencing(state["meta"], old)
+    if refs:
+        raise DeltaProtocolError(
+            f"cannot rename {old!r}: referenced by CHECK constraint(s) "
+            f"{refs}; drop them first"
+        )
     for field in schema_json["fields"]:
         if field["name"] == old:
             field["name"] = new
@@ -884,6 +962,12 @@ def delta_drop_column(spark: SparkSession, table: str, name: str) -> int:
         raise DeltaProtocolError(f"no such column: {name!r}")
     if len(names) == 1:
         raise DeltaProtocolError("cannot drop the only column")
+    refs = _constraints_referencing(state["meta"], name)
+    if refs:
+        raise DeltaProtocolError(
+            f"cannot drop {name!r}: referenced by CHECK constraint(s) "
+            f"{refs}; drop them first"
+        )
     schema_json["fields"] = [
         f for f in schema_json["fields"] if f["name"] != name
     ]
@@ -910,14 +994,23 @@ def version_at_timestamp(table: str, ts_ms: int) -> int:
     commit fails loudly — that history is behind the checkpoint horizon."""
     stamps: list[tuple[int, int]] = []
     for v in _list_log(table, _VERSION_RE):
-        with open(_version_file(table, v)) as fh:
+        vf = _version_file(table, v)
+        ts = None
+        with open(vf) as fh:
+            # Scan EVERY action line: a foreign writer may put commitInfo
+            # anywhere in the file, or omit it entirely.
             for line in fh:
                 if not line.strip():
                     continue
                 ci = json.loads(line).get("commitInfo")
                 if ci and ci.get("timestamp") is not None:
-                    stamps.append((v, ci["timestamp"]))
-                break  # commitInfo is the first action our writer emits
+                    ts = ci["timestamp"]
+                    break
+        if ts is None:
+            # Delta's fallback for undated commits: the log file's own
+            # modification time.
+            ts = int(os.stat(vf).st_mtime * 1000)
+        stamps.append((v, ts))
     if not stamps:
         raise DeltaProtocolError(f"no dated commits in log of {table}")
     eligible = [v for v, ts in stamps if ts <= ts_ms]
@@ -1332,9 +1425,11 @@ def _delta_merge_attempt(
             if any(row[f"lo_{c}"] is None for c in key_cols):
                 candidates = []  # empty source: nothing can match
             else:
+                # Native values, NOT float(): float is lossy above 2^53
+                # and a rounded bound could skip a file whose row should
+                # have been UPDATED (the merge would insert a duplicate).
                 bounds = {
-                    c: (float(row[f"lo_{c}"]), float(row[f"hi_{c}"]))
-                    for c in key_cols
+                    c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in key_cols
                 }
                 candidates = prune_files_by_key_bounds(candidates, bounds)
     if candidates:
@@ -1429,7 +1524,10 @@ def delta_checkpoint(
     completeness and a gap fails loudly, never a partial state)."""
     state = _snapshot_state(spark, table, version)
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # The table's CURRENT protocol, not a hardcoded floor — a
+        # checkpoint that downgraded a column-mapped table's (2, 5)
+        # would stop fencing out pre-mapping readers after log GC.
+        {"protocol": state["protocol"]},
         {"metaData": state["meta"]},
     ]
     rows.extend(
@@ -1564,11 +1662,9 @@ def delta_changes(
                     "the VACUUM retention are only available as snapshot "
                     "diffs"
                 )
-            reader = spark.read.schema(schema)
-            if state["partition_columns"]:
-                reader = reader.option("basePath", table)
-            part = reader.parquet(
-                *[os.path.join(table, _decode_path(p)) for p in paths]
+            part = _read_paths(
+                spark, table, state,
+                [os.path.join(table, _decode_path(p)) for p in paths],
             ).select(
                 "*",
                 F.lit(tag).alias("_change_type"),
@@ -1827,6 +1923,7 @@ def delta_append(
     (schema), never silently committed stale."""
     staged: list[dict] | None = None
     staged_parts: list[str] | None = None
+    checked_constraints: frozenset | None = None
     for _ in range(max_retries + 1):
         v = latest_version(table) + 1
         if v == 0:
@@ -1844,10 +1941,18 @@ def delta_append(
             if seen >= txn[1]:
                 return v - 1  # staged files (if any) are vacuum debris
         meta = _peek_meta(spark, table, v - 1)
-        if staged is None:
-            # Constraints are checked once, against the data actually
-            # being staged — a lost commit race doesn't re-pay the scan.
+        # Constraints are checked against the CURRENT head's constraint
+        # set — a plain lost race doesn't re-pay the scan, but a
+        # concurrent ADD CONSTRAINT must re-validate the staged rows
+        # (otherwise a violating batch slips in under the new rule).
+        constraints = frozenset(
+            (k, val)
+            for k, val in ((meta or {}).get("configuration") or {}).items()
+            if k.startswith(_CONSTRAINT_PREFIX)
+        )
+        if checked_constraints != constraints:
             _enforce_constraints(df, meta)
+            checked_constraints = constraints
         table_parts = list(partition_by or [])
         if meta is not None:
             if not _same_shape(meta["schemaString"], df.schema.json()):

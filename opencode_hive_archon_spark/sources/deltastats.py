@@ -83,7 +83,18 @@ def _tokenize(text: str) -> list[tuple[str, object]] | None:
             return None if text[pos:].strip() else out
         pos = m.end()
         if m.lastgroup == "num":
-            out.append(("num", float(m.group("num"))))
+            text_num = m.group("num")
+            # Keep integral literals as Python ints: float() is lossy
+            # above 2^53, and a rounded bound could wrongly SKIP a file
+            # containing a matching int64 (Python compares int vs int —
+            # and int vs float — exactly, so mixed comparisons downstream
+            # stay sound).
+            val = (
+                float(text_num)
+                if ("." in text_num or "e" in text_num or "E" in text_num)
+                else int(text_num)
+            )
+            out.append(("num", val))
         elif m.lastgroup == "word":
             word = m.group("word")
             upper = word.upper()
@@ -188,10 +199,16 @@ def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
     footer [min, max]; anything unresolvable keeps the file."""
     pv = add.get("partitionValues") or {}
     if col in pv:
+        raw = pv[col]
         try:
-            val = float(pv[col])
+            # int first (exact at any magnitude), float only for
+            # decimal-shaped values.
+            val = int(raw)
         except (TypeError, ValueError):
-            return True
+            try:
+                val = float(raw)
+            except (TypeError, ValueError):
+                return True
         return {
             "<": val < lit, "<=": val <= lit, ">": val > lit,
             ">=": val >= lit, "=": val == lit, "!=": val != lit,
@@ -250,7 +267,7 @@ def prune_files(state: dict, predicate: str) -> list[dict]:
 
 
 def prune_files_by_key_bounds(
-    files: list[dict], bounds: dict[str, tuple[float, float]]
+    files: list[dict], bounds: dict[str, tuple]
 ) -> list[dict]:
     """Files that could contain a row whose key columns all fall inside
     `bounds` ({col: (lo, hi)}) — the MERGE-side pruning: a target file is

@@ -839,8 +839,10 @@ def test_check_constraints_enforced_on_all_write_paths(spark, tmp_path):
 
 def test_multipart_checkpoint_roundtrip_and_gc(spark, tmp_path):
     """A checkpoint forced into the spec's multi-part form replays the
-    same state, keeps working after every JSON at/behind it is GC'd, and
-    a missing part fails loudly instead of replaying a partial table."""
+    same state; a missing part makes the checkpoint INVISIBLE (replay
+    falls back to the JSON history — a crashed upload must not brick
+    reads); after JSON GC the complete form carries the table alone, and
+    losing a part THEN fails loudly as a log gap."""
     tbl = str(tmp_path / "t")
     for i in range(4):  # v0..v3 (below the auto-checkpoint interval)
         dl.delta_write(spark, _df(spark, i * 10, i * 10 + 10).repartition(1), tbl)
@@ -849,7 +851,14 @@ def test_multipart_checkpoint_roundtrip_and_gc(spark, tmp_path):
     assert all(".checkpoint.00000000" in f for f in finals)
     st = dl._snapshot_state(spark, tbl)
     assert st["checkpoint_version"] == 3 and st["json_replayed"] == 0
-    # Spec metadata cleanup: all JSONs at/behind the checkpoint go.
+    # Crashed-upload simulation: one part missing -> checkpoint is not
+    # selectable, full JSON replay still serves the table.
+    os.remove(finals[0])
+    st = dl._snapshot_state(spark, tbl)
+    assert st["checkpoint_version"] is None and st["json_replayed"] == 4
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(40))
+    # Re-checkpoint (complete), then spec metadata cleanup GCs the JSONs.
+    finals = dl.delta_checkpoint(spark, tbl, 3, max_actions_per_part=2)
     for v in range(4):
         os.remove(dl._version_file(tbl, v))
     assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(40))
@@ -858,9 +867,9 @@ def test_multipart_checkpoint_roundtrip_and_gc(spark, tmp_path):
     dl.delta_write(spark, _df(spark, 100, 101), tbl)
     assert dl.latest_version(tbl) == 4
     assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(40)) + [100]
-    # A vanished part is an incomplete checkpoint: loud failure.
+    # With the JSONs gone, a vanished part IS unrecoverable: log gap.
     os.remove(finals[0])
-    with pytest.raises(dl.DeltaProtocolError, match="incomplete multi-part"):
+    with pytest.raises(dl.DeltaProtocolError, match="gap"):
         dl.delta_snapshot(spark, tbl, version=3)
 
 
@@ -1024,3 +1033,148 @@ def test_restore_reverts_rename_metadata_only(spark, tmp_path):
     snap = dl.delta_snapshot(spark, tbl)
     assert set(snap.columns) == {"k", "val"}
     assert {r["k"]: r["val"] for r in snap.collect()} == {1: 10.0, 2: 20.0}
+
+
+def test_stats_skip_non_plain_numeric_logicals(spark, tmp_path):
+    """Date/timestamp/decimal columns ride INT32/INT64 physically but
+    surface non-JSON logical values from the footer — they must be
+    OMITTED from stats (not crash the write, not emit bogus bounds)."""
+    tbl = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id AS k, DATE'2024-01-01' + CAST(id AS int) AS d, "
+        "TIMESTAMP'2024-01-01 00:00:00' AS ts, "
+        "CAST(1.5 AS DECIMAL(10,2)) AS dec FROM range(5)"
+    )
+    dl.delta_write(spark, df, tbl)  # must not raise
+    stats = json.loads(
+        dl._snapshot_state(spark, tbl)["files"][0]["stats"]
+    )
+    assert stats["numRecords"] > 0
+    mins = stats.get("minValues") or {}
+    assert "k" in mins
+    assert "d" not in mins and "ts" not in mins and "dec" not in mins
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4]
+
+
+def test_change_feed_on_column_mapped_table(spark, tmp_path):
+    """The feed reads physical-named files and projects to logical names
+    — a renamed column arrives populated, never silently NULL."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "k long, val double"),
+        tbl,
+    )                                                    # v0
+    dl.delta_enable_column_mapping(spark, tbl)           # v1
+    dl.delta_rename_column(spark, tbl, "k", "key")       # v2
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(2, 20.0)], "key long, val double"),
+        tbl,
+    )                                                    # v3
+    feed = dl.delta_changes(spark, tbl, 2, 3).collect()
+    assert [(r["key"], r["val"], r["_change_type"]) for r in feed] == [
+        (2, 20.0, "insert")
+    ]
+    # Crossing the rename still fails loudly (schema change in range).
+    with pytest.raises(dl.DeltaProtocolError, match="schema or partition"):
+        dl.delta_changes(spark, tbl, 0, 3)
+
+
+def test_checkpoint_carries_current_protocol(spark, tmp_path):
+    """A checkpoint of a column-mapped table must carry (2, 5), not a
+    hardcoded floor — otherwise log GC silently unfences old readers."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    dl.delta_enable_column_mapping(spark, tbl)
+    [final] = dl.delta_checkpoint(spark, tbl, 1)
+    protos = [
+        r["protocol"]
+        for r in pq.read_table(final, columns=["protocol"]).to_pylist()
+        if r["protocol"] and r["protocol"]["minReaderVersion"] is not None
+    ]
+    assert protos and protos[0]["minReaderVersion"] == 2
+    assert protos[0]["minWriterVersion"] == 5
+
+
+def test_timestamp_resolution_without_commitinfo(spark, tmp_path):
+    """A foreign commit lacking commitInfo (or carrying it after other
+    actions) still resolves for TIMESTAMP AS OF via the log file's own
+    mtime — it must never be invisible."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    # Foreign v1: add-first, NO commitInfo anywhere.
+    df = spark.createDataFrame([(99, "z")], "k long, g string")
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    data = next(
+        n for n in os.listdir(tmp_path / "stage") if n.endswith(".parquet")
+    )
+    os.rename(
+        tmp_path / "stage" / data, os.path.join(tbl, "foreign.parquet")
+    )
+    dl._commit(tbl, 1, [{
+        "add": {
+            "path": "foreign.parquet", "partitionValues": {},
+            "size": os.path.getsize(os.path.join(tbl, "foreign.parquet")),
+            "modificationTime": 0, "dataChange": True,
+        }
+    }])
+    v = dl.version_at_timestamp(tbl, dl._now_ms() + 60_000)
+    assert v == 1  # the undated commit resolves via file mtime
+    assert 99 in _ks(dl.delta_snapshot(spark, tbl, timestamp_ms=dl._now_ms() + 60_000))
+
+
+def test_rename_and_drop_blocked_by_constraint_reference(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "k long, val double"),
+        tbl,
+    )
+    dl.delta_enable_column_mapping(spark, tbl)
+    dl.delta_add_constraint(spark, tbl, "pos", "val >= 0")
+    with pytest.raises(dl.DeltaProtocolError, match="referenced by CHECK"):
+        dl.delta_rename_column(spark, tbl, "val", "price")
+    with pytest.raises(dl.DeltaProtocolError, match="referenced by CHECK"):
+        dl.delta_drop_column(spark, tbl, "val")
+    dl.delta_drop_constraint(spark, tbl, "pos")
+    dl.delta_rename_column(spark, tbl, "val", "price")
+    assert set(dl.delta_snapshot(spark, tbl).columns) == {"k", "price"}
+
+
+def test_append_retry_rechecks_concurrently_added_constraint(
+    spark, tmp_path, monkeypatch
+):
+    """Writer stages a batch, loses the race to an ADD CONSTRAINT commit,
+    and the retry must re-validate the staged rows under the new rule."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "k long, val double"),
+        tbl,
+    )
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(table, version, actions):
+        if not fired["done"] and any("add" in a for a in actions):
+            fired["done"] = True
+            meta = dl._peek_meta_fs(table)
+            conf = dict(meta.get("configuration") or {})
+            conf["delta.constraints.pos"] = "val >= 0"
+            real_commit(table, version, [
+                {"commitInfo": {"timestamp": dl._now_ms(),
+                                "operation": "ADD CONSTRAINT",
+                                "operationParameters": {}}},
+                {"metaData": {**meta, "configuration": conf}},
+            ])  # the racer wins this version...
+        return real_commit(table, version, actions)  # ...and we collide
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    bad = spark.createDataFrame([(2, -5.0)], "k long, val double")
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_append(spark, bad, tbl)
+    # The violating batch never landed.
+    assert {r["k"] for r in dl.delta_snapshot(spark, tbl).collect()} == {1}
