@@ -1718,8 +1718,12 @@ def _stats_bounds(
     spark: SparkSession, table: str, state: dict, files: list[dict],
     cols: list[str],
 ) -> dict[str, tuple[float, float]]:
-    """Global [min, max] per column over `files`, from add-action stats
-    when every file carries them, else one agg scan (foreign writers)."""
+    """Global [min, max] per LOGICAL column over `files`, from add-action
+    stats when every file carries them (keyed by physical names under
+    column mapping), else one agg scan (foreign writers)."""
+    phys = _physical_map(state.get("meta")) if _mapping_enabled(
+        state.get("meta")
+    ) else {}
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
     complete = True
@@ -1728,13 +1732,14 @@ def _stats_bounds(
         fmin = stats.get("minValues") or {}
         fmax = stats.get("maxValues") or {}
         for c in cols:
-            if not isinstance(fmin.get(c), (int, float)) or not isinstance(
-                fmax.get(c), (int, float)
+            pc = phys.get(c, c)
+            if not isinstance(fmin.get(pc), (int, float)) or not isinstance(
+                fmax.get(pc), (int, float)
             ):
                 complete = False
                 break
-            mins[c] = min(mins.get(c, fmin[c]), fmin[c])
-            maxs[c] = max(maxs.get(c, fmax[c]), fmax[c])
+            mins[c] = min(mins.get(c, fmin[pc]), fmin[pc])
+            maxs[c] = max(maxs.get(c, fmax[pc]), fmax[pc])
         if not complete:
             break
     if complete and mins:

@@ -1178,3 +1178,26 @@ def test_append_retry_rechecks_concurrently_added_constraint(
         dl.delta_append(spark, bad, tbl)
     # The violating batch never landed.
     assert {r["k"] for r in dl.delta_snapshot(spark, tbl).collect()} == {1}
+
+
+def test_optimize_zorder_on_mapped_table(spark, tmp_path):
+    """ZORDER on a column-mapped, renamed table: bounds resolve through
+    the physical-name stats, clustering works, logical reads intact."""
+    from opencode_hive_archon_spark.sources import deltastats as ds
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(2048).select(
+        (F.col("id") % 32).alias("a"), (F.col("id") / 32).cast("long").alias("b")
+    )
+    dl.delta_write(spark, df.repartition(8), tbl)
+    dl.delta_enable_column_mapping(spark, tbl)
+    dl.delta_rename_column(spark, tbl, "a", "x")
+    state = dl._snapshot_state(spark, tbl)
+    target = max(1, sum(f["size"] for f in state["files"]) // 4)
+    v = dl.delta_optimize(spark, tbl, target_bytes=target, zorder_by=["x", "b"])
+    assert v is not None
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "x < 4")
+    assert scanned < total
+    got = sorted(r["x"] * 100000 + r["b"] for r in dl.delta_snapshot(spark, tbl).collect())
+    want = sorted((i % 32) * 100000 + i // 32 for i in range(2048))
+    assert got == want
