@@ -221,59 +221,76 @@ def _list_log(table: str, rx: re.Pattern) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_versions(table: str) -> list[int]:
-    """Versions with a COMPLETE checkpoint on disk — single-file, or
-    multi-part with every part 1..n present. A crashed multi-part upload
-    (some parts missing) is simply invisible here, so replay falls back
-    to an older checkpoint or the full JSON history instead of failing
-    on the partial set."""
-    singles = set(_list_log(table, _CKPT_RE))
-    mp: dict[int, set[tuple[int, int]]] = {}
+def _checkpoint_index(table: str) -> dict[int, list[str] | None]:
+    """version -> list of parquet paths for a COMPLETE checkpoint (single
+    file, or some n whose parts 1..n are ALL present — debris from a
+    crashed attempt with a different n must not hide a complete set), or
+    None when only incomplete part-sets exist for that version. The ONE
+    home of the completeness rule — both discovery and the reader go
+    through it."""
+    out: dict[int, list[str] | None] = {}
     try:
         names = os.listdir(_log_dir(table))
     except FileNotFoundError:
-        names = []
+        return out
+    by_v: dict[int, dict[int, dict[int, str]]] = {}
     for name in names:
+        m = _CKPT_RE.match(name)
+        if m:
+            out[int(m.group(1))] = [os.path.join(_log_dir(table), name)]
+            continue
         m = _CKPT_MP_RE.match(name)
         if m:
-            mp.setdefault(int(m.group(1)), set()).add(
-                (int(m.group(2)), int(m.group(3)))
-            )
-    complete = {
-        v
-        for v, parts in mp.items()
-        if len({n for _, n in parts}) == 1
-        and sorted(i for i, _ in parts) == list(range(1, next(iter(parts))[1] + 1))
-    }
-    return sorted(singles | complete)
+            v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            by_v.setdefault(v, {}).setdefault(n, {})[i] = name
+    for v, by_n in by_v.items():
+        if v in out:
+            continue  # a single-file checkpoint already serves v
+        complete_ns = [
+            n for n, parts in by_n.items()
+            if sorted(parts) == list(range(1, n + 1))
+        ]
+        if complete_ns:
+            n = max(complete_ns)
+            out[v] = [
+                os.path.join(_log_dir(table), by_n[n][i])
+                for i in range(1, n + 1)
+            ]
+        else:
+            out[v] = None
+    return out
+
+
+def _checkpoint_versions(table: str) -> list[int]:
+    """Versions with a COMPLETE checkpoint on disk — the set replay may
+    select a base from. A crashed multi-part upload (parts missing) is
+    invisible here, so replay falls back to an older checkpoint or the
+    full JSON history instead of failing on the partial set."""
+    return sorted(
+        v for v, paths in _checkpoint_index(table).items() if paths
+    )
+
+
+def _any_checkpoint_versions(table: str) -> list[int]:
+    """Versions with ANY checkpoint file, complete or not. This is the
+    version-number EVIDENCE set: a writer computing the next version
+    must count an incomplete checkpoint's version (restarting at 0
+    because the only surviving record of v10 lost a part would silently
+    fork the table), even though replay refuses to use it."""
+    return sorted(_checkpoint_index(table))
 
 
 def _checkpoint_parts(table: str, v: int) -> list[str]:
-    """The parquet file(s) of checkpoint `v`, completeness-validated: a
-    single-file checkpoint is itself; a multi-part one must have parts
-    1..n all present (a partial upload must fail loudly, not replay a
-    partial table state)."""
-    single = _checkpoint_file(table, v)
-    if os.path.exists(single):
-        return [single]
-    parts: list[tuple[int, int, str]] = []
-    for name in os.listdir(_log_dir(table)):
-        m = _CKPT_MP_RE.match(name)
-        if m and int(m.group(1)) == v:
-            parts.append((int(m.group(2)), int(m.group(3)), name))
-    if not parts:
-        raise DeltaProtocolError(f"no checkpoint files for v{v} of {table}")
-    n = parts[0][1]
-    if any(p[1] != n for p in parts) or sorted(p[0] for p in parts) != list(
-        range(1, n + 1)
-    ):
+    """The parquet file(s) of checkpoint `v`, completeness-validated via
+    `_checkpoint_index` (a partial upload must fail loudly here, never
+    replay a partial table state)."""
+    paths = _checkpoint_index(table).get(v)
+    if paths is None:
         raise DeltaProtocolError(
-            f"incomplete multi-part checkpoint at v{v} of {table}: have "
-            f"parts {sorted(p[0] for p in parts)} of {n}"
+            f"no complete checkpoint at v{v} of {table} (a multi-part "
+            "set is missing parts)"
         )
-    return [
-        os.path.join(_log_dir(table), p[2]) for p in sorted(parts)
-    ]
+    return paths
 
 
 def latest_version(table: str) -> int:
@@ -286,7 +303,7 @@ def latest_version(table: str) -> int:
     `_last_checkpoint` + a bounded tail listing, which `_snapshot_state`
     uses for replay — here a plain listdir is fine because writers call
     this once per commit and the retained JSON tail is GC-bounded."""
-    vs = _list_log(table, _VERSION_RE) + _checkpoint_versions(table)
+    vs = _list_log(table, _VERSION_RE) + _any_checkpoint_versions(table)
     return max(vs) if vs else -1
 
 
@@ -570,7 +587,11 @@ def _snapshot_state(
     metadata cleanup removed commits this read needs — fail loudly."""
     versions = _list_log(table, _VERSION_RE)
     ckpts = _checkpoint_versions(table)
-    newest = max(versions + ckpts, default=-1)
+    # `newest` counts incomplete-checkpoint versions too: the table HAS
+    # that version; if its only record lost a part, the replay below
+    # fails loudly on the JSON gap instead of silently serving (or, on
+    # the write path, silently restarting) an older history.
+    newest = max(versions + _any_checkpoint_versions(table), default=-1)
     if newest < 0:
         raise DeltaProtocolError(f"not a delta table (no {LOG_DIR}): {table}")
     target = newest if version is None else version
@@ -713,6 +734,17 @@ def _read_paths(
     invisible, which is the whole point of no-rewrite evolution)."""
     schema = state["schema"]
     if _mapping_enabled(state.get("meta")):
+        if state["partition_columns"]:
+            # Our enable-DDL forbids this combination, but a FOREIGN
+            # writer may produce it (legal per spec): partition values
+            # live in dir names keyed by PHYSICAL names, which this
+            # read path doesn't derive — reading them as NULLs would be
+            # silent wrong data, so refuse loudly.
+            raise DeltaProtocolError(
+                "reading a column-mapped PARTITIONED table is not "
+                f"supported (partitionColumns="
+                f"{state['partition_columns']})"
+            )
         phys = _physical_map(state["meta"])
         phys_schema = T.StructType([
             T.StructField(phys[f.name], f.dataType, f.nullable)
@@ -904,7 +936,9 @@ def _constraints_referencing(meta: dict, col: str) -> list[str]:
     rename someone COULD have made is cheaper than breaking every write
     with an unresolved-column error afterwards)."""
     conf = meta.get("configuration") or {}
-    rx = re.compile(rf"\b{re.escape(col)}\b")
+    # IGNORECASE: Spark resolves identifiers case-insensitively by
+    # default, so a constraint written as 'VAL >= 0' binds column `val`.
+    rx = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
     return sorted(
         k[len(_CONSTRAINT_PREFIX):]
         for k, v in conf.items()
@@ -1428,8 +1462,13 @@ def _delta_merge_attempt(
                 # Native values, NOT float(): float is lossy above 2^53
                 # and a rounded bound could skip a file whose row should
                 # have been UPDATED (the merge would insert a duplicate).
+                # Bounds are keyed by PHYSICAL names — file stats are.
+                phys = _physical_map(state["meta"]) if _mapping_enabled(
+                    state["meta"]
+                ) else {}
                 bounds = {
-                    c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in key_cols
+                    phys.get(c, c): (row[f"lo_{c}"], row[f"hi_{c}"])
+                    for c in key_cols
                 }
                 candidates = prune_files_by_key_bounds(candidates, bounds)
     if candidates:

@@ -1201,3 +1201,91 @@ def test_optimize_zorder_on_mapped_table(spark, tmp_path):
     got = sorted(r["x"] * 100000 + r["b"] for r in dl.delta_snapshot(spark, tbl).collect())
     want = sorted((i % 32) * 100000 + i // 32 for i in range(2048))
     assert got == want
+
+
+def test_constraint_reference_guard_is_case_insensitive(spark, tmp_path):
+    """Spark resolves identifiers case-insensitively; the rename guard
+    must too, or 'VAL >= 0' lets `val` be renamed and bricks writes."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "k long, val double"),
+        tbl,
+    )
+    dl.delta_enable_column_mapping(spark, tbl)
+    dl.delta_add_constraint(spark, tbl, "pos", "VAL >= 0")
+    with pytest.raises(dl.DeltaProtocolError, match="referenced by CHECK"):
+        dl.delta_rename_column(spark, tbl, "val", "price")
+
+
+def test_incomplete_checkpoint_never_resets_version_counter(spark, tmp_path):
+    """A checkpoint that lost a part must still COUNT as version
+    evidence: the next writer must continue the sequence (loud replay
+    failure), never restart at v0 and silently fork the table. Debris
+    from a crashed attempt with a different part-count must not hide a
+    complete set either."""
+    tbl = str(tmp_path / "t")
+    for i in range(4):
+        dl.delta_write(spark, _df(spark, i * 10, i * 10 + 10).repartition(1), tbl)
+    finals = dl.delta_checkpoint(spark, tbl, 3, max_actions_per_part=2)
+    # Plant mixed-n debris from a "crashed attempt": part 1 of 9.
+    debris = os.path.join(
+        dl._log_dir(tbl),
+        f"{3:020d}.checkpoint.{1:010d}.{9:010d}.parquet",
+    )
+    import shutil as _shutil
+    _shutil.copy(finals[0], debris)
+    # The complete set is still found despite the debris.
+    assert dl._checkpoint_versions(tbl) == [3]
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(40))
+    # GC the JSONs, then lose a part of the complete set.
+    for v in range(4):
+        os.remove(dl._version_file(tbl, v))
+    os.remove(finals[0])
+    # Replay is loud...
+    with pytest.raises(dl.DeltaProtocolError):
+        dl.delta_snapshot(spark, tbl)
+    # ...and the version counter does NOT reset: the next append errors
+    # (replay fails) instead of silently creating a fresh v0 table.
+    assert dl.latest_version(tbl) == 3
+    with pytest.raises(dl.DeltaProtocolError):
+        dl.delta_write(spark, _df(spark, 100, 101), tbl)
+    assert not os.path.exists(dl._version_file(tbl, 0))
+
+
+def test_foreign_mapped_partitioned_table_refused(spark, tmp_path):
+    """A foreign column-mapped PARTITIONED table must be refused loudly
+    — this reader can't derive physical-named partition values, and
+    NULLs would be silent wrong data."""
+    tbl = str(tmp_path / "t")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-abc"}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-def"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "x", "name": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "col-def=a/f1.parquet", "partitionValues":
+                 {"col-def": "a"}, "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaProtocolError, match="PARTITIONED"):
+        dl.delta_snapshot(spark, tbl).collect()
