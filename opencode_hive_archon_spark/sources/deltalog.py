@@ -1057,6 +1057,47 @@ def version_at_timestamp(table: str, ts_ms: int) -> int:
     return max(eligible)
 
 
+_HISTORY_SCHEMA = T.StructType([
+    T.StructField("version", T.LongType(), False),
+    T.StructField("timestamp", T.LongType(), True),
+    T.StructField("operation", T.StringType(), True),
+    T.StructField("operationParameters",
+                  T.MapType(T.StringType(), T.StringType()), True),
+])
+
+
+def delta_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per RETAINED commit (newest first) —
+    version, commitInfo timestamp (log-file mtime for undated foreign
+    commits, delta's fallback), operation, operationParameters. Commits
+    GC'd behind a checkpoint are gone from history too, exactly like
+    delta after metadata cleanup. Metadata-sized: reads the commit JSONs
+    only, never data files."""
+    if latest_version(table) < 0:
+        raise DeltaProtocolError(f"not a delta table (no {LOG_DIR}): {table}")
+    rows = []
+    for v in _list_log(table, _VERSION_RE):
+        vf = _version_file(table, v)
+        ci = None
+        with open(vf) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci is not None:
+                    break
+        rows.append({
+            "version": v,
+            "timestamp": (ci or {}).get("timestamp")
+            or int(os.stat(vf).st_mtime * 1000),
+            "operation": (ci or {}).get("operation"),
+            "operationParameters": (ci or {}).get("operationParameters"),
+        })
+    return spark.createDataFrame(rows, _HISTORY_SCHEMA).orderBy(
+        F.col("version").desc()
+    )
+
+
 def delta_restore(spark: SparkSession, table: str, version: int) -> int:
     """RESTORE TABLE TO VERSION AS OF `version`: ONE commit that removes
     the currently-live files absent at the target version and re-adds

@@ -1289,3 +1289,19 @@ def test_foreign_mapped_partitioned_table_refused(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(dl.DeltaProtocolError, match="PARTITIONED"):
         dl.delta_snapshot(spark, tbl).collect()
+
+
+def test_describe_history(spark, tmp_path):
+    """DESCRIBE HISTORY: newest-first retained commits with operation
+    labels; rows GC'd behind a checkpoint leave history like in delta."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_delete(spark, tbl, "k >= 5")
+    dl.delta_optimize(spark, tbl, target_bytes=1 << 30)
+    hist = dl.delta_history(spark, tbl).collect()
+    assert [r["version"] for r in hist] == [1, 0]  # optimize was a no-op
+    assert [r["operation"] for r in hist] == ["DELETE", "WRITE"]
+    assert hist[0]["operationParameters"]["predicate"] == "k >= 5"
+    assert all(r["timestamp"] and r["timestamp"] > 0 for r in hist)
+    with pytest.raises(dl.DeltaProtocolError, match="not a delta table"):
+        dl.delta_history(spark, str(tmp_path / "nope"))
