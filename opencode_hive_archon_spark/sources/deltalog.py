@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import re
 import shutil
@@ -123,6 +124,25 @@ def _decode_path(path: str) -> str:
     """Inverse of `_encode_path`: action-field path → filesystem-relative
     path. Also what makes FOREIGN tables with encoded paths resolve."""
     return urllib.parse.unquote(path)
+
+
+def _rel_path(table: str, action_path: str) -> str:
+    """Filesystem-relative path for an action's `path` field, legacy-
+    tolerant: the decoded (spec) form wins, but a log written by the
+    pre-encoding build stored RAW on-disk names, so an action path with
+    a literal `%` (e.g. Spark's hive escaping, `p=a%20b/part-…`) would
+    mis-decode. When the decoded form is absent on disk and the raw form
+    exists, fall back to the raw form — pre-encoding logs stay readable
+    without a version gate (decoding only changes strings containing
+    `%`, so the fallback never fires for spec-clean paths)."""
+    dec = _decode_path(action_path)
+    if (
+        dec != action_path
+        and not os.path.exists(os.path.join(table, dec))
+        and os.path.exists(os.path.join(table, action_path))
+    ):
+        return action_path
+    return dec
 
 
 class DeltaConcurrentCommit(RuntimeError):
@@ -429,7 +449,19 @@ def _file_stats(path: str) -> dict:
         # INT32-backed date comes out datetime.date and an INT64-backed
         # decimal comes out Decimal; neither is JSON-serializable nor
         # safely comparable to a predicate literal. bool is an int
-        # subclass and serializes fine.
+        # subclass and serializes fine. Non-finite floats are REJECTED:
+        # Spark's parquet writer folds NaN into the footer max (verified:
+        # a file holding [5.0, NaN, 7.5] writes min=5.0, max=NaN), NaN
+        # would poison the min()/max() row-group aggregation below
+        # order-dependently, json.dumps would emit a spec-invalid NaN
+        # token into the commit log, and under Spark's NaN-is-greatest
+        # predicate semantics a NaN bound admits no sound skipping.
+        # Dropping the column instead means "bounds present" ⟹ "no NaN
+        # in the file" for every file THIS writer stages — which is what
+        # lets the skipping reader trust finite float maxima (the
+        # tightBounds marker below records the invariant).
+        if isinstance(v, float) and not math.isfinite(v):
+            return False
         return isinstance(v, (int, float))
 
     for rg in range(md.num_row_groups):
@@ -484,6 +516,14 @@ def _file_stats(path: str) -> dict:
         nkept = sorted(kept & null_complete)
         if nkept:
             out["nullCount"] = {n: nulls.get(n, 0) for n in nkept}
+        # Spec marker (true = bounds hold for every live row): this
+        # writer drops any column whose footer bound is non-finite, so
+        # every emitted float bound is finite AND NaN-free-by-
+        # construction. The skipping reader requires this marker before
+        # it will skip on a float column's UPPER bound (NaN rows match
+        # `>` under Spark semantics, so an untight foreign max must not
+        # prune) — see deltastats._atom_can_match.
+        out["tightBounds"] = True
     return out
 
 
@@ -764,7 +804,7 @@ def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
     if not state["files"]:
         return spark.createDataFrame([], state["schema"])
     paths = [
-        os.path.join(table, _decode_path(f["path"])) for f in state["files"]
+        os.path.join(table, _rel_path(table, f["path"])) for f in state["files"]
     ]
     return _read_paths(spark, table, state, paths)
 
@@ -1115,7 +1155,7 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
     tgt = _snapshot_state(spark, table, version)
     missing = [
         f["path"] for f in tgt["files"]
-        if not os.path.exists(os.path.join(table, _decode_path(f["path"])))
+        if not os.path.exists(os.path.join(table, _rel_path(table, f["path"])))
     ]
     if missing:
         raise DeltaProtocolError(
@@ -1133,9 +1173,12 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
             "operationParameters": {"version": str(version)},
         }
     }]
-    if not _same_shape(
-        cur["meta"]["schemaString"], tgt["meta"]["schemaString"]
-    ) or cur["partition_columns"] != tgt["partition_columns"]:
+    # Reset metadata whenever the target's differs AT ALL — schema shape,
+    # partitioning, AND configuration (CHECK constraints or table
+    # properties added after the target must not survive the restore;
+    # delta-spark's RestoreTableCommand resets metadata unconditionally,
+    # we just skip the no-op action when nothing changed).
+    if cur["meta"] != tgt["meta"]:
         actions.append({"metaData": tgt["meta"]})
     actions.extend(
         {"remove": {"path": f["path"], "deletionTimestamp": ts,
@@ -1162,7 +1205,7 @@ def delta_count(spark: SparkSession, table: str, version: int | None = None) -> 
         stats = json.loads(f["stats"]) if f["stats"] else {}
         n = stats.get("numRecords")
         if n is None:
-            n = _num_records(os.path.join(table, _decode_path(f["path"])))
+            n = _num_records(os.path.join(table, _rel_path(table, f["path"])))
         total += n
     return total
 
@@ -1383,7 +1426,7 @@ def _delta_delete_attempt(spark: SparkSession, table: str, predicate: str) -> in
             p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
             hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
         hit_files = [
-            f for f in candidates if _decode_path(f["path"]) in hit_rel
+            f for f in candidates if _rel_path(table, f["path"]) in hit_rel
         ]
         if hit_files:
             # Re-plan the rewrite scan over ONLY the hit files — the
@@ -1530,7 +1573,7 @@ def _delta_merge_attempt(
             for u in hit_uris
         }
         hit_files = [
-            f for f in candidates if _decode_path(f["path"]) in hit_rel
+            f for f in candidates if _rel_path(table, f["path"]) in hit_rel
         ]
     else:
         hit_files = []
@@ -1729,7 +1772,7 @@ def delta_changes(
                 continue
             vacuumed = [
                 p for p in paths
-                if not os.path.exists(os.path.join(table, _decode_path(p)))
+                if not os.path.exists(os.path.join(table, _rel_path(table, p)))
             ]
             if vacuumed:
                 # JSON retention and VACUUM are independent: the commit
@@ -1744,7 +1787,7 @@ def delta_changes(
                 )
             part = _read_paths(
                 spark, table, state,
-                [os.path.join(table, _decode_path(p)) for p in paths],
+                [os.path.join(table, _rel_path(table, p)) for p in paths],
             ).select(
                 "*",
                 F.lit(tag).alias("_change_type"),
@@ -1943,11 +1986,21 @@ def delta_vacuum(
     state = _snapshot_state(spark, table)
     now = _now_ms()
     orphan_retain_ms = max(retain_ms, ORPHAN_SAFETY_WINDOW_MS)
-    live = {_decode_path(f["path"]) for f in state["files"]}
-    known = live | {_decode_path(t["path"]) for t in state["tombstones"]}
+    # Both the decoded (spec) and raw (pre-encoding legacy) forms are
+    # treated as referenced: a file on disk matching EITHER form of any
+    # action path is never swept as an orphan (conservative — retaining
+    # an extra alias is harmless, deleting a referenced file is not).
+    live = {_decode_path(f["path"]) for f in state["files"]} | {
+        f["path"] for f in state["files"]
+    }
+    known = live | {
+        form
+        for t in state["tombstones"]
+        for form in (_decode_path(t["path"]), t["path"])
+    }
     deleted: list[str] = []
     for t in state["tombstones"]:
-        rel = _decode_path(t["path"])
+        rel = _rel_path(table, t["path"])
         if rel in live:
             continue
         if now - (t["deletionTimestamp"] or 0) >= retain_ms:
@@ -2179,7 +2232,8 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                         if add and add.get("dataChange", True):
                             parts.append(_DeltaFilePartition(
                                 os.path.join(
-                                    self._table, _decode_path(add["path"])
+                                    self._table,
+                                    _rel_path(self._table, add["path"]),
                                 )
                             ))
             return parts
@@ -2238,7 +2292,9 @@ except ImportError:  # pragma: no cover - pyspark < 4 fallback
 # --------------------------------------------------------------------------
 
 # Bump to invalidate cached demo tables when the build recipe changes.
-_BUILD_TAG = "v1"
+# v2: stats carry tightBounds (r16 NaN-soundness fix) — pre-v2 cached
+# tables would no longer pass the float upper-bound skipping gate.
+_BUILD_TAG = "v2"
 DELETE_PRICE_FLOOR = 200000.0
 N_SLICES = 12
 

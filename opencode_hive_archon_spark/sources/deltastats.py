@@ -36,6 +36,7 @@ is north-star capability per SURVEY.md §2B.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 
@@ -209,6 +210,12 @@ def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
                 val = float(raw)
             except (TypeError, ValueError):
                 return True
+        if isinstance(val, float) and math.isnan(val):
+            # float("NaN") parses; Spark orders NaN GREATER than every
+            # value, so a NaN partition matches >, >= and != any finite
+            # literal and never matches <, <=, =. Python's NaN
+            # comparisons (all False, != True) would get >/>= wrong.
+            return op in (">", ">=", "!=")
         return {
             "<": val < lit, "<=": val <= lit, ">": val > lit,
             ">=": val >= lit, "=": val == lit, "!=": val != lit,
@@ -221,6 +228,27 @@ def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
     lo, hi = mins[col], maxs[col]
     if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
         return True
+    if (isinstance(lo, float) and math.isnan(lo)) or (
+        isinstance(hi, float) and math.isnan(hi)
+    ):
+        # Foreign stats may carry NaN bounds (json.loads accepts the
+        # NaN token; Spark's own parquet footers fold NaN into max).
+        # NaN admits no interval reasoning — keep the file.
+        return True
+    if (isinstance(lo, float) or isinstance(hi, float)) and not stats.get(
+        "tightBounds", False
+    ):
+        # Float column without this layer's tightBounds invariant (our
+        # writer drops non-finite bounds, so its finite bounds certify
+        # NaN absence; a FOREIGN writer's finite max certifies nothing —
+        # e.g. a comparison-based fold leaves max finite with NaN rows
+        # present). Under Spark's NaN-is-greatest semantics a hidden NaN
+        # row matches `>`/`>=`/`!=` any finite literal, so every skip
+        # that relies on the UPPER bound (or on all-constancy) must keep
+        # the file. Lower-bound skips stay sound: NaN never matches
+        # `<`/`<=`, and `=` with a finite literal never matches NaN.
+        if op in (">", ">=", "!="):
+            return True
     if op == "<":
         return lo < lit
     if op == "<=":
@@ -280,12 +308,25 @@ def prune_files_by_key_bounds(
         stats = json.loads(f["stats"]) if f.get("stats") else {}
         mins = stats.get("minValues") or {}
         maxs = stats.get("maxValues") or {}
+        tight = bool(stats.get("tightBounds", False))
         keep = True
         for col, (lo, hi) in bounds.items():
             fmin, fmax = mins.get(col), maxs.get(col)
             if not isinstance(fmin, (int, float)) or not isinstance(
                 fmax, (int, float)
             ):
+                continue
+            if (isinstance(fmin, float) or isinstance(fmax, float)) and (
+                not tight
+                or (isinstance(lo, float) and math.isnan(lo))
+                or (isinstance(hi, float) and math.isnan(hi))
+            ):
+                # Float key without our writer's tightBounds certificate
+                # (or a NaN source bound): a hidden NaN key row could
+                # match a NaN source key despite disjoint finite bounds —
+                # missing it would turn an UPDATE into a duplicate
+                # INSERT. Keep the file. (NaN FILE bounds need no extra
+                # branch: NaN comparisons below are False → keep.)
                 continue
             if fmax < lo or fmin > hi:
                 keep = False

@@ -1305,3 +1305,64 @@ def test_describe_history(spark, tmp_path):
     assert all(r["timestamp"] and r["timestamp"] > 0 for r in hist)
     with pytest.raises(dl.DeltaProtocolError, match="not a delta table"):
         dl.delta_history(spark, str(tmp_path / "nope"))
+
+
+def test_restore_resets_configuration(spark, tmp_path):
+    """ADVICE r15 #2: a CHECK constraint added AFTER the restore target
+    must not survive the restore — RESTORE resets the full metaData
+    (configuration included), not just schema shape."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark, spark.createDataFrame([(1,), (2,)], "k long"), tbl
+    )
+    dl.delta_add_constraint(spark, tbl, "k_pos", "k > 0")
+    conf = dl._snapshot_state(spark, tbl)["meta"]["configuration"] or {}
+    assert "delta.constraints.k_pos" in conf
+    dl.delta_restore(spark, tbl, 0)
+    conf = dl._snapshot_state(spark, tbl)["meta"]["configuration"] or {}
+    assert "delta.constraints.k_pos" not in conf
+    # The formerly-forbidden write now passes — the constraint is gone.
+    dl.delta_write(
+        spark, spark.createDataFrame([(-1,)], "k long"), tbl, mode="append"
+    )
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == [-1, 1, 2]
+
+
+def test_legacy_raw_percent_path_stays_readable(spark, tmp_path):
+    """ADVICE r15 #3: a pre-encoding log stored RAW on-disk paths; a
+    legacy action path with a literal '%' must resolve via the raw-form
+    fallback (decoding would point at a nonexistent file), and VACUUM
+    must treat the raw form as referenced."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1,), (2,)], "k long").repartition(1),
+        tbl,
+    )
+    state = dl._snapshot_state(spark, tbl)
+    old_rel = state["files"][0]["path"]
+    legacy_rel = "p=a%20b-" + old_rel.rsplit("/", 1)[-1]
+    os.rename(os.path.join(tbl, old_rel), os.path.join(tbl, legacy_rel))
+    # Rewrite v0's add action to the legacy RAW name (as the pre-encoding
+    # build would have written it: '%20' stored literally, not '%2520').
+    vf = dl._version_file(tbl, 0)
+    with open(vf) as fh:
+        lines = [json.loads(l) for l in fh if l.strip()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["path"] = legacy_rel
+            a["add"]["stats"] = None
+    with open(vf, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in lines)
+    assert dl._rel_path(tbl, legacy_rel) == legacy_rel  # raw fallback
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == [1, 2]
+    assert dl.delta_count(spark, tbl) == 2
+    # VACUUM with zero retention must NOT sweep the legacy-named file.
+    dl.delta_vacuum(spark, tbl, retain_ms=0)
+    assert os.path.exists(os.path.join(tbl, legacy_rel))
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == [1, 2]
+    # A spec-clean encoded path still decodes (fallback never fires).
+    assert dl._rel_path(tbl, "x%20y.parquet") == "x y.parquet"

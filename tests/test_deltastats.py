@@ -218,3 +218,105 @@ def test_delta_scan_pushes_predicate_into_parquet(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters")[1][:200]
     assert "GreaterThanOrEqual(k,10" in pushed and "LessThan(k,20" in pushed
+
+
+def test_nan_double_never_pruned_and_log_stays_valid_json(spark, tmp_path):
+    """ADVICE r15 #1 (NaN soundness): a file holding a NaN row must never
+    be skipped — Spark treats NaN as GREATER than every value, so it
+    matches >, >=, != any finite literal. The writer drops the poisoned
+    column's bounds (footer max=NaN), the commit log stays spec-valid
+    JSON (no NaN token), and every predicate's pruned result equals the
+    plain filter."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 5.0), (2, float("nan")), (3, 7.5)], "k long, x double"
+        ).repartition(1),
+        tbl,
+    )
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(4, 100.0), (5, 200.0)], "k long, x double")
+        .repartition(1),
+        tbl,
+        mode="append",
+    )
+    files = dl._snapshot_state(spark, tbl)["files"]
+    for f in files:
+        # Strict JSON parse: a NaN token in stats would raise here.
+        stats = json.loads(f["stats"], parse_constant=lambda s: (_ for _ in ()).throw(ValueError(s)))
+        assert stats["tightBounds"] is True
+    by_min_k = {json.loads(f["stats"])["minValues"]["k"]: json.loads(f["stats"]) for f in files}
+    assert "x" not in by_min_k[1]["minValues"]  # NaN-poisoned column dropped
+    assert "x" in by_min_k[4]["minValues"]      # clean file keeps bounds
+    snap = dl.delta_snapshot(spark, tbl)
+    for pred in ("x > 10", "x >= 10", "x != 5", "x = 5", "x < 10", "x <= 7.5"):
+        want = sorted(r["k"] for r in snap.filter(pred).collect())
+        got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, pred).collect())
+        assert got == want, pred
+    # The NaN row itself survives a pruned upper-bound scan (the exact
+    # silent-drop ADVICE flagged): k=2 matches x > 10 under Spark NaN order.
+    got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, "x > 10").collect())
+    assert 2 in got
+
+
+def test_nan_delete_removes_the_nan_row(spark, tmp_path):
+    """delta_delete prunes its hit scan via prune_files — with the NaN
+    guard the NaN row is found and deleted by an upper-bound predicate."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 5.0), (2, float("nan")), (3, 700.0)], "k long, x double"
+        ).repartition(1),
+        tbl,
+    )
+    dl.delta_delete(spark, tbl, "x > 600")
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    assert got == [1]  # both the finite 700 and the NaN row are gone
+
+
+def test_foreign_float_stats_without_tightbounds_keep_on_upper_bound():
+    """A FOREIGN add with finite float bounds but no tightBounds marker
+    could hide a NaN row (comparison-based max folds leave max finite) —
+    upper-bound skips must keep the file; lower-bound skips stay sound."""
+    mk = lambda stats: {"partitionValues": {}, "stats": json.dumps(stats)}
+    foreign = mk({"minValues": {"x": 1.0}, "maxValues": {"x": 5.0}})
+    ours = mk({"minValues": {"x": 1.0}, "maxValues": {"x": 5.0},
+               "tightBounds": True})
+    assert ds._atom_can_match("x", ">", 10, foreign) is True     # keep
+    assert ds._atom_can_match("x", ">=", 10, foreign) is True    # keep
+    assert ds._atom_can_match("x", ">", 10, ours) is False       # skip
+    assert ds._atom_can_match("x", "<", 0, foreign) is False     # lower bound: skip ok
+    assert ds._atom_can_match("x", "=", 10, foreign) is False    # NaN != finite lit
+    # All-constant != skip needs tight bounds too.
+    const_foreign = mk({"minValues": {"x": 5.0}, "maxValues": {"x": 5.0}})
+    const_ours = mk({"minValues": {"x": 5.0}, "maxValues": {"x": 5.0},
+                     "tightBounds": True})
+    assert ds._atom_can_match("x", "!=", 5, const_foreign) is True
+    assert ds._atom_can_match("x", "!=", 5, const_ours) is False
+    # Integer bounds carry no NaN risk — skipping works without the marker.
+    int_foreign = mk({"minValues": {"k": 1}, "maxValues": {"k": 5}})
+    assert ds._atom_can_match("k", ">", 10, int_foreign) is False
+
+
+def test_nan_stats_bounds_keep_file():
+    """Foreign stats carrying a literal NaN bound (json.loads accepts the
+    token) admit no interval reasoning — file kept for every op."""
+    add = {"partitionValues": {},
+           "stats": '{"minValues": {"x": 1.0}, "maxValues": {"x": NaN}}'}
+    for op in ("<", "<=", ">", ">=", "=", "!="):
+        assert ds._atom_can_match("x", op, 10, add) is True
+
+
+def test_nan_partition_value_follows_spark_order():
+    """A NaN partition value matches >, >=, != any finite literal under
+    Spark's NaN-is-greatest order (Python semantics would say False)."""
+    add = {"partitionValues": {"p": "NaN"}, "stats": None}
+    assert ds._atom_can_match("p", ">", 10, add) is True
+    assert ds._atom_can_match("p", ">=", 10, add) is True
+    assert ds._atom_can_match("p", "!=", 10, add) is True
+    assert ds._atom_can_match("p", "<", 10, add) is False
+    assert ds._atom_can_match("p", "<=", 10, add) is False
+    assert ds._atom_can_match("p", "=", 10, add) is False
