@@ -21,13 +21,17 @@ the predicate is provably false everywhere in it:
 - conjunction/disjunction distribute over per-file "can this file
   contain a matching row?" (AND may prune more; OR prunes only when
   every branch does);
-- atoms `col op literal` check the file's [min, max] interval (numeric
-  stats only — deltalog.py deliberately indexes numeric columns, see
-  `_STATS_PHYSICAL`);
+- atoms `col op literal` check the file's [min, max] interval —
+  numeric AND string (string maxima may be writer-widened truncation
+  successors, which every upper-bound skip tolerates; float upper-bound
+  skips additionally require the writer's tightBounds NaN-absence
+  certificate, see `_atom_can_match`);
+- `col IS [NOT] NULL` atoms check the file's nullCount/numRecords
+  (all-null files skip IS NOT NULL, no-null files skip IS NULL);
 - a partition column compares EXACTLY against the file's
   partitionValues (partition pruning through the same path);
-- anything unknown — missing stats, unparseable predicate shape, NULL
-  semantics, strings — conservatively keeps the file.
+- anything unknown — missing stats, unparseable predicate shape,
+  type-mismatched literals — conservatively keeps the file.
 
 The reference repo (/root/reference) has no storage layer; this family
 is north-star capability per SURVEY.md §2B.
@@ -65,11 +69,13 @@ from opencode_hive_archon_spark.sources.deltalog import (
 #   term   := factor ('AND' factor)*
 #   factor := '(' expr ')' | atom
 #   atom   := ident op literal | literal op ident
+#           | ident 'IS' 'NULL' | ident 'IS' 'NOT' 'NULL'
 #   op     := '<=' '>=' '<' '>' '=' '==' '!=' '<>'
-#   literal:= integer | float
+#   literal:= integer | float | 'single-quoted string' ('' escapes ')
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<op><=|>=|==|!=|<>|<|>|=)"
     r"|(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<str>'(?:[^']|'')*')"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*))"
 )
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
@@ -96,12 +102,14 @@ def _tokenize(text: str) -> list[tuple[str, object]] | None:
                 else int(text_num)
             )
             out.append(("num", val))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
         elif m.lastgroup == "word":
             word = m.group("word")
             upper = word.upper()
-            if upper in ("AND", "OR"):
+            if upper in ("AND", "OR", "IS", "NOT", "NULL"):
                 out.append((upper, upper))
-            elif upper in ("NOT", "NULL", "IS", "IN", "LIKE", "BETWEEN"):
+            elif upper in ("IN", "LIKE", "BETWEEN"):
                 return None  # outside the supported subset
             else:
                 out.append(("ident", word))
@@ -156,17 +164,30 @@ class _Parser:
             return node
         return self.atom()
 
+    def _literal(self):
+        lit = self.take("num")
+        if lit is None:
+            lit = self.take("str")
+        return lit
+
     def atom(self):
         col = self.take("ident")
         if col is not None:
+            if self.take("IS") is not None:
+                neg = self.take("NOT") is not None
+                if self.take("NULL") is None:
+                    return None
+                # ("null", col, neg): neg=False -> IS NULL,
+                #                     neg=True  -> IS NOT NULL
+                return ("null", col, neg)
             op = self.take("op")
             if op is None:
                 return None
-            lit = self.take("num")
+            lit = self._literal()
             if lit is None:
                 return None
             return ("atom", col, op, lit)
-        lit = self.take("num")
+        lit = self._literal()
         if lit is not None:
             op = self.take("op")
             if op is None:
@@ -194,13 +215,28 @@ def parse_skipping_predicate(text: str):
 # per-file bounds evaluation
 # ---------------------------------------------------------------------------
 
-def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _atom_can_match(col: str, op: str, lit, add: dict) -> bool:
     """Could `col op lit` be true for ANY row of this file? Partition
     values are exact (every row shares them); data columns use the
     footer [min, max]; anything unresolvable keeps the file."""
     pv = add.get("partitionValues") or {}
     if col in pv:
         raw = pv[col]
+        if raw is None or raw == _HIVE_NULL_PART:
+            # NULL partition value: NULL op anything is NULL, which a
+            # filter treats as false — no row of this file can match a
+            # comparison atom.
+            return False
+        if isinstance(lit, str):
+            # Partition values are stored as strings; compare directly
+            # (code-point order == Spark's binary collation).
+            return {
+                "<": raw < lit, "<=": raw <= lit, ">": raw > lit,
+                ">=": raw >= lit, "=": raw == lit, "!=": raw != lit,
+            }[op]
         try:
             # int first (exact at any magnitude), float only for
             # decimal-shaped values.
@@ -226,6 +262,26 @@ def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
     if col not in mins or col not in maxs:
         return True
     lo, hi = mins[col], maxs[col]
+    if isinstance(lit, str):
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return True
+        # String interval logic. The writer may have WIDENED hi (prefix-
+        # successor of a truncated max) — every skip below relies on hi
+        # only as an upper bound, which widening preserves. `!=` is the
+        # exception: the all-constant skip needs lo == hi == the EXACT
+        # value, which truncation can fake (lo a prefix of the true min,
+        # hi a widened successor can collide) — keep the file.
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+        if op == "=":
+            return lo <= lit <= hi
+        return True  # '!='
     if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
         return True
     if (isinstance(lo, float) and math.isnan(lo)) or (
@@ -263,12 +319,36 @@ def _atom_can_match(col: str, op: str, lit: float, add: dict) -> bool:
     return not (lo == hi == lit)
 
 
+def _null_can_match(col: str, neg: bool, add: dict) -> bool:
+    """Could `col IS [NOT] NULL` hold for ANY row of this file? Uses the
+    nullCount/numRecords the writer already emits: a no-null file is
+    skippable for IS NULL, an all-null file for IS NOT NULL; unknown
+    counts keep the file."""
+    pv = add.get("partitionValues") or {}
+    if col in pv:
+        is_null = pv[col] is None or pv[col] == _HIVE_NULL_PART
+        return is_null != neg
+    stats = json.loads(add["stats"]) if add.get("stats") else {}
+    nc = (stats.get("nullCount") or {}).get(col)
+    if not isinstance(nc, int) or isinstance(nc, bool):
+        return True
+    if neg:  # IS NOT NULL: any non-null row?
+        n = stats.get("numRecords")
+        if not isinstance(n, int) or isinstance(n, bool):
+            return True
+        return nc < n
+    return nc > 0  # IS NULL: any null row?
+
+
 def _can_match(node, add: dict) -> bool:
     kind = node[0]
     if kind == "and":
         return all(_can_match(b, add) for b in node[1])
     if kind == "or":
         return any(_can_match(b, add) for b in node[1])
+    if kind == "null":
+        _, col, neg = node
+        return _null_can_match(col, neg, add)
     _, col, op, lit = node
     return _atom_can_match(col, op, lit, add)
 
@@ -277,6 +357,9 @@ def _rename_atoms(node, mapping: dict[str, str]):
     kind = node[0]
     if kind in ("and", "or"):
         return (kind, [_rename_atoms(b, mapping) for b in node[1]])
+    if kind == "null":
+        _, col, neg = node
+        return ("null", mapping.get(col, col), neg)
     _, col, op, lit = node
     return ("atom", mapping.get(col, col), op, lit)
 
@@ -429,6 +512,191 @@ WHERE o_totalprice >= {_SKIP_LO} AND o_totalprice < {_SKIP_HI}
 """
 
 
+# ---------------------------------------------------------------------------
+# driver query: null-aware skipping (VERDICT r15 top-next)
+# ---------------------------------------------------------------------------
+#
+# Three single-file commits over the orders table, split by priority so
+# the per-file null profile is KNOWN: an all-null file (nullCount ==
+# numRecords), a no-null file (nullCount == 0), and a mixed file. The
+# IS NOT NULL scan provably plans 2 of 3 files (all-null skipped), the
+# IS NULL scan the other 2 of 3 (no-null skipped) — arithmetic pinned as
+# constants, surviving rows hash-checked against a relational
+# reconstruction. The skipped I/O comes from the nullCount field the
+# writer has emitted since r14; r16 taught the pruning reader to use it.
+_NULL_ALL, _NULL_NONE, _NULL_MIXED = "1-URGENT", "2-HIGH", "3-MEDIUM"
+
+
+def source_delta_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL file skipping on nullCount stats: the all-null file
+    never plans for IS NOT NULL, the no-null file never plans for IS
+    NULL, the mixed file always does. Scale shape: pruning is a driver-
+    side metadata walk; each scan reads only the files whose null
+    profile admits the predicate — at 100 TB an IS NOT NULL over a
+    sparsely-populated column skips the dense-null majority of files."""
+    table = _demo_table(sf_dir, "nullskip", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        for prio, maybe in (
+            (_NULL_ALL, F.lit(None).cast("double")),
+            (_NULL_NONE, F.col("o_totalprice")),
+            (_NULL_MIXED, F.when(
+                F.col("o_orderkey") % 2 == 1, F.col("o_totalprice")
+            )),
+        ):
+            band = (
+                orders.filter(F.col("o_orderpriority") == prio)
+                .select("o_orderkey", maybe.alias("maybe_price"))
+                .repartition(1)
+            )
+            delta_write(spark, band, table, mode="append")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n_total, nn_scanned = delta_scan_accounting(
+        spark, table, "maybe_price IS NOT NULL"
+    )
+    _, n_scanned = delta_scan_accounting(spark, table, "maybe_price IS NULL")
+    notnull = delta_scan(spark, table, "maybe_price IS NOT NULL").agg(
+        F.count(F.lit(1)).alias("notnull_rows"),
+        F.sum("o_orderkey").alias("notnull_key_sum"),
+        _cents("maybe_price").alias("notnull_price_cents"),
+    )
+    isnull = delta_scan(spark, table, "maybe_price IS NULL").agg(
+        F.count(F.lit(1)).alias("null_rows"),
+        F.sum("o_orderkey").alias("null_key_sum"),
+    )
+    return notnull.crossJoin(isnull).select(
+        F.lit(n_total).alias("n_files_total"),
+        F.lit(nn_scanned).alias("n_files_notnull_scan"),
+        F.lit(n_scanned).alias("n_files_null_scan"),
+        "notnull_rows", "notnull_key_sum", "notnull_price_cents",
+        "null_rows", "null_key_sum",
+    )
+
+
+_ORACLE_NULLSKIP = f"""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '{_NULL_NONE}' THEN o_totalprice
+              WHEN o_orderpriority = '{_NULL_MIXED}' AND o_orderkey % 2 = 1
+                THEN o_totalprice
+         END AS maybe_price
+  FROM orders
+  WHERE o_orderpriority IN
+        ('{_NULL_ALL}', '{_NULL_NONE}', '{_NULL_MIXED}')
+)
+SELECT 3 AS n_files_total,
+       2 AS n_files_notnull_scan,
+       2 AS n_files_null_scan,
+       count(maybe_price) AS notnull_rows,
+       CAST(sum(CASE WHEN maybe_price IS NOT NULL THEN o_orderkey END)
+            AS BIGINT) AS notnull_key_sum,
+       CAST(sum(CAST(round(maybe_price * 100) AS BIGINT)) AS BIGINT)
+         AS notnull_price_cents,
+       count(*) - count(maybe_price) AS null_rows,
+       CAST(sum(CASE WHEN maybe_price IS NULL THEN o_orderkey END)
+            AS BIGINT) AS null_key_sum
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver query: string skipping with truncated bounds
+# ---------------------------------------------------------------------------
+#
+# Three single-file commits banded by o_orderpriority (a short string
+# whose bounds index exactly) plus a DERIVED 70-char tag column whose
+# bounds exercise the truncate-plus-successor rule. Both an equality and
+# a range predicate plan exactly 1 of 3 files; the truncated-tag range
+# predicate also plans 1 of 3 — all three accountings pinned, all
+# surviving rows hash-checked.
+_STR_BANDS = (("1-URGENT", "2-HIGH"), ("3-MEDIUM",),
+              ("4-NOT SPECIFIED", "5-LOW"))
+
+
+def source_delta_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-column file skipping: short strings bound exactly; long
+    strings (the 70-char tag) get truncated minima and prefix-successor
+    maxima, which every upper-bound skip tolerates. Scale shape:
+    identical to numeric skipping — driver-side metadata walk, I/O
+    tracks predicate selectivity."""
+    table = _demo_table(sf_dir, "strskip", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority",
+            F.concat(
+                F.col("o_orderpriority"), F.lit("-"),
+                F.lit("x" * 60),
+            ).alias("tag"),
+        )
+        for prios in _STR_BANDS:
+            band = orders.filter(
+                F.col("o_orderpriority").isin(*prios)
+            ).repartition(1)
+            delta_write(spark, band, table, mode="append")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n_total, eq_scanned = delta_scan_accounting(
+        spark, table, "o_orderpriority = '3-MEDIUM'"
+    )
+    _, ge_scanned = delta_scan_accounting(
+        spark, table, "o_orderpriority >= '4'"
+    )
+    _, tag_scanned = delta_scan_accounting(spark, table, "tag < '2'")
+    eq = delta_scan(spark, table, "o_orderpriority = '3-MEDIUM'").agg(
+        F.count(F.lit(1)).alias("eq_rows"),
+        F.sum("o_orderkey").alias("eq_key_sum"),
+        _cents("o_totalprice").alias("eq_price_cents"),
+    )
+    ge = delta_scan(spark, table, "o_orderpriority >= '4'").agg(
+        F.count(F.lit(1)).alias("ge_rows"),
+        F.sum("o_orderkey").alias("ge_key_sum"),
+    )
+    tag = delta_scan(spark, table, "tag < '2'").agg(
+        F.count(F.lit(1)).alias("tag_rows"),
+        F.sum("o_orderkey").alias("tag_key_sum"),
+    )
+    return eq.crossJoin(ge).crossJoin(tag).select(
+        F.lit(n_total).alias("n_files_total"),
+        F.lit(eq_scanned).alias("n_files_eq_scan"),
+        F.lit(ge_scanned).alias("n_files_ge_scan"),
+        F.lit(tag_scanned).alias("n_files_tag_scan"),
+        "eq_rows", "eq_key_sum", "eq_price_cents",
+        "ge_rows", "ge_key_sum", "tag_rows", "tag_key_sum",
+    )
+
+
+_ORACLE_STRSKIP = """
+SELECT 3 AS n_files_total,
+       1 AS n_files_eq_scan,
+       1 AS n_files_ge_scan,
+       1 AS n_files_tag_scan,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS eq_rows,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_orderkey END)
+            AS BIGINT) AS eq_key_sum,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS eq_price_cents,
+       count(CASE WHEN o_orderpriority >= '4' THEN 1 END) AS ge_rows,
+       CAST(sum(CASE WHEN o_orderpriority >= '4' THEN o_orderkey END)
+            AS BIGINT) AS ge_key_sum,
+       count(CASE WHEN o_orderpriority < '2' THEN 1 END) AS tag_rows,
+       CAST(sum(CASE WHEN o_orderpriority < '2' THEN o_orderkey END)
+            AS BIGINT) AS tag_key_sum
+FROM orders
+"""
+
+
 SPECS = [
     QuerySpec(
         "source_delta_stats_skipping", source_delta_stats_skipping,
@@ -436,5 +704,19 @@ SPECS = [
         "Delta data skipping: per-file min/max footer stats prune a "
         "banded predicate scan to 1 of 4 files; skipping arithmetic "
         "pinned as constants, surviving rows hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_null_skipping", source_delta_null_skipping,
+        _ORACLE_NULLSKIP, "sources",
+        "Null-aware delta data skipping: nullCount stats skip the "
+        "all-null file for IS NOT NULL and the no-null file for IS "
+        "NULL; pruning arithmetic pinned, survivors hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_string_skipping", source_delta_string_skipping,
+        _ORACLE_STRSKIP, "sources",
+        "String delta data skipping: exact short-string bounds plus "
+        "truncate-and-successor-widened long-string maxima prune "
+        "equality and range scans to 1 of 3 files each",
     ),
 ]

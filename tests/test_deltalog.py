@@ -1366,3 +1366,141 @@ def test_legacy_raw_percent_path_stays_readable(spark, tmp_path):
     assert got == [1, 2]
     # A spec-clean encoded path still decodes (fallback never fires).
     assert dl._rel_path(tbl, "x%20y.parquet") == "x y.parquet"
+
+
+def test_cdf_update_images_for_merge(spark, tmp_path):
+    """A MERGE commit's change feed is ROW-granular: matched-and-changed
+    rows become update_pre/postimage pairs, new keys inserts, and rows
+    the rewrite merely carried are elided entirely."""
+    tbl = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, float(k * 10)) for k in range(1, 7)], "k long, v double"
+    ).repartition(1)
+    dl.delta_write(spark, base, tbl)
+    src = spark.createDataFrame(
+        [(2, 200.0), (4, 400.0), (10, 1000.0)], "k long, v double"
+    )
+    dl.delta_merge(spark, tbl, src, on=["k"])
+    feed = dl.delta_changes(spark, tbl, 0, 1).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["v"]))
+    assert sorted(by_type["update_preimage"]) == [(2, 20.0), (4, 40.0)]
+    assert sorted(by_type["update_postimage"]) == [(2, 200.0), (4, 400.0)]
+    assert sorted(by_type["insert"]) == [(10, 1000.0)]
+    assert "delete" not in by_type  # merge deleted nothing
+    carried = {1, 3, 5, 6}
+    assert not carried & {k for k, _ in by_type["update_preimage"]}
+    assert all(r["_commit_version"] == 1 for r in feed)
+
+
+def test_cdf_merge_noop_update_elided(spark, tmp_path):
+    """UPDATE SET * with an identical payload is indistinguishable from a
+    carried row at file level — documented elision, not a delete."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+        .repartition(1),
+        tbl,
+    )
+    dl.delta_merge(
+        spark, tbl,
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), on=["k"],
+    )
+    feed = dl.delta_changes(spark, tbl, 0, 1).collect()
+    assert feed == []  # nothing actually changed
+
+
+def test_cdf_merge_dup_target_keys_fall_back_to_file_level(spark, tmp_path):
+    """Duplicate merge keys in the TARGET are legal (every matched row
+    updates); the pairing would fabricate cross products, so the feed
+    falls back to file-level insert/delete classes for that commit."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0), (1, 11.0), (2, 20.0)], "k long, v double"
+        ).repartition(1),
+        tbl,
+    )
+    dl.delta_merge(
+        spark, tbl,
+        spark.createDataFrame([(1, 99.0)], "k long, v double"), on=["k"],
+    )
+    feed = dl.delta_changes(spark, tbl, 0, 1).collect()
+    types = {r["_change_type"] for r in feed}
+    assert types == {"insert", "delete"}
+    # Both copies of k=1 were updated to 99.0 (merge semantics intact).
+    ins = sorted((r["k"], r["v"]) for r in feed if r["_change_type"] == "insert")
+    assert ins == [(1, 99.0), (1, 99.0), (2, 20.0)]
+
+
+def test_cdf_stream_source_signed_sums_match_snapshot(spark, tmp_path):
+    """delta_cdf_stream serves tagged insert/delete rows per tailed
+    commit; signed accumulation over the feed from v0 must reproduce the
+    final snapshot's aggregate exactly (carried rows cancel)."""
+    import pyspark.sql.functions as SF
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k long, v double"
+        ).repartition(2),
+        tbl,
+    )
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(100, 100.0)], "k long, v double"),
+        tbl, mode="append",
+    )
+    dl.delta_delete(spark, tbl, "k >= 15 AND k < 20")
+    spark.dataSource.register(dl.DeltaCdfStreamSource)
+    sink = f"cdf_sink_{abs(hash(tbl)) % 10**8}"
+    q = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = spark.table(sink)
+    sign = SF.when(SF.col("_change_type") == "insert", 1).otherwise(-1)
+    got = feed.agg(
+        SF.sum(sign).alias("n"),
+        SF.sum(sign * SF.col("v")).alias("sv"),
+    ).collect()[0]
+    snap = dl.delta_snapshot(spark, tbl).agg(
+        SF.count(SF.lit(1)).alias("n"), SF.sum("v").alias("sv")
+    ).collect()[0]
+    assert got["n"] == snap["n"]
+    assert abs(got["sv"] - snap["sv"]) < 1e-9
+    # Both classes actually flowed, and versions tag correctly.
+    types = {r["_change_type"] for r in feed.collect()}
+    assert types == {"insert", "delete"}
+    assert feed.agg(SF.max("_commit_version")).collect()[0][0] == 2
+    # startingVersion skips the seed commit.
+    sink2 = sink + "_sv"
+    q2 = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", tbl)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    vs = {r["_commit_version"] for r in spark.table(sink2).collect()}
+    assert vs == {2}

@@ -32,11 +32,19 @@ def test_parser_supported_subset():
     assert p("k <> 5") == ("atom", "k", "!=", 5.0)
     assert p("k >= 5 AND k < 7")[0] == "and"
     assert p("(k < 2 OR k > 25) AND k != 9")[0] == "and"
+    # Null atoms and string literals (r16): inside the subset now.
+    assert p("k IS NULL") == ("null", "k", False)
+    assert p("k IS NOT NULL") == ("null", "k", True)
+    assert p("name = 'x'") == ("atom", "name", "=", "x")
+    assert p("'x' <= name") == ("atom", "name", ">=", "x")
+    assert p("note = 'it''s'") == ("atom", "note", "=", "it's")
+    assert p("k IS NULL OR name > 'm'")[0] == "or"
     # Outside the subset -> None (fallback to scan-all), never a guess.
-    assert p("k IS NULL") is None
     assert p("NOT k = 5") is None
-    assert p("name = 'x'") is None  # string literal unsupported
+    assert p("k IS") is None
+    assert p("k IS NOT") is None
     assert p("k BETWEEN 1 AND 2") is None
+    assert p("name LIKE 'x%'") is None
     assert p("k + 1 > 5") is None
     assert p("") is None
     assert p("k >") is None
@@ -108,16 +116,127 @@ def test_missing_stats_keep_file(spark, tmp_path):
     assert ds.prune_files(dict(state, files=bare), "k > 999") == bare
 
 
-def test_string_columns_not_indexed(spark, tmp_path):
-    """deltalog deliberately indexes numeric physical types only — a
-    string column must not appear in minValues (truncated string max
-    would be an unsound bound)."""
+def test_string_columns_indexed_with_sound_truncation(spark, tmp_path):
+    """r16: string columns ARE indexed — short values exactly, long
+    maxima via the truncate-plus-prefix-successor rule (the widened
+    bound must stay ≥ every value in the file)."""
     tbl = str(tmp_path / "t")
-    df = spark.createDataFrame([(1, "aa"), (2, "zz")], "k long, s string")
+    long_max = "zebra" * 30
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, long_max)], "k long, s string"
+    ).repartition(1)
     dl.delta_write(spark, df, tbl)
     stats = json.loads(dl._snapshot_state(spark, tbl)["files"][0]["stats"])
-    assert "k" in stats["minValues"]
-    assert "s" not in stats["minValues"]
+    assert stats["minValues"]["s"] == "aa"
+    hi = stats["maxValues"]["s"]
+    assert len(hi) <= dl._STATS_STRING_PREFIX
+    assert hi > long_max  # widened successor, not an unsound prefix
+    # And the scan built on those bounds prunes/keeps correctly.
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(3, "mm")], "k long, s string"),
+        tbl, mode="append",
+    )
+    snap = dl.delta_snapshot(spark, tbl)
+    for pred in ("s > 'z'", "s < 'ab'", "s = 'mm'", "s >= 'zebrazebraz'"):
+        want = sorted(r["k"] for r in snap.filter(pred).collect())
+        got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, pred).collect())
+        assert got == want, pred
+
+
+def test_prefix_successor_edge_cases():
+    assert dl._prefix_successor("abc") == "abd"
+    assert dl._prefix_successor("ab" + chr(0x10FFFF)) == "ac"
+    assert dl._prefix_successor(chr(0x10FFFF) * 3) is None
+    # Surrogate block is skipped so the bound stays JSON/UTF-8 clean.
+    assert dl._prefix_successor(chr(0xD7FF)) == chr(0xE000)
+    succ = dl._prefix_successor("ab")
+    assert succ is not None and succ > "ab" + "z" * 100
+
+
+def test_null_skipping_soundness(spark, tmp_path):
+    """VERDICT r15 #1 done-criteria: null-only file skipped for IS NOT
+    NULL, no-null file skipped for IS NULL, mixed file kept for both —
+    and results always equal the plain filter."""
+    tbl = str(tmp_path / "t")
+    rows = {
+        "allnull": [(1, None), (2, None)],
+        "nonull": [(3, 30.0), (4, 40.0)],
+        "mixed": [(5, None), (6, 60.0)],
+    }
+    for vals in rows.values():
+        dl.delta_write(
+            spark,
+            spark.createDataFrame(vals, "k long, x double").repartition(1),
+            tbl, mode="append",
+        )
+    # The all-null file still carries an exact nullCount (no bounds).
+    stats = [
+        json.loads(f["stats"])
+        for f in dl._snapshot_state(spark, tbl)["files"]
+    ]
+    allnull = next(s for s in stats if s["nullCount"].get("x") == 2)
+    assert "x" not in (allnull.get("minValues") or {})
+    snap = dl.delta_snapshot(spark, tbl)
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "x IS NOT NULL")
+    assert (total, scanned) == (3, 2)  # all-null file skipped
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "x IS NULL")
+    assert (total, scanned) == (3, 2)  # no-null file skipped
+    for pred in ("x IS NULL", "x IS NOT NULL",
+                 "x IS NOT NULL AND x > 35", "x IS NULL OR x > 55"):
+        want = sorted(r["k"] for r in snap.filter(pred).collect())
+        got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, pred).collect())
+        assert got == want, pred
+
+
+def test_null_partition_value_pruning(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__; IS
+    NULL keeps only that partition's files, comparisons skip them."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "k long, p string"
+    )
+    dl.delta_write(spark, df, tbl, partition_by=["p"])
+    snap = dl.delta_snapshot(spark, tbl)
+    for pred in ("p IS NULL", "p IS NOT NULL", "p = 'a'", "p > 'a'"):
+        want = sorted(r["k"] for r in snap.filter(pred).collect())
+        got = sorted(r["k"] for r in ds.delta_scan(spark, tbl, pred).collect())
+        assert got == want, pred
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "p IS NULL")
+    assert scanned < total
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "p = 'a'")
+    assert scanned < total
+
+
+def test_string_skipping_soundness_exhaustive(spark, tmp_path):
+    """String mirror of test_soundness_exhaustive_vs_plain_filter:
+    banded string files, every supported op over boundary literals,
+    pruned result must equal the plain filter."""
+    tbl = str(tmp_path / "t")
+    bands = (("aaa", "ammo", "azz"), ("baa", "bmm", "bzz"),
+             ("caa", "c" + "z" * 60, "czz"))
+    for i, band in enumerate(bands):
+        dl.delta_write(
+            spark,
+            spark.createDataFrame(
+                [(i * 10 + j, s) for j, s in enumerate(band)],
+                "k long, s string",
+            ).repartition(1),
+            tbl, mode="append",
+        )
+    snap = dl.delta_snapshot(spark, tbl)
+    for op in ("<", "<=", ">", ">=", "=", "!="):
+        for lit in ("aaa", "azz", "b", "bmm", "czz", "zzz", ""):
+            pred = f"s {op} '{lit}'"
+            want = sorted(r["k"] for r in snap.filter(pred).collect())
+            got = sorted(
+                r["k"] for r in ds.delta_scan(spark, tbl, pred).collect()
+            )
+            assert got == want, pred
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "s = 'bmm'")
+    assert (total, scanned) == (3, 1)
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "s < 'b'")
+    assert (total, scanned) == (3, 1)
 
 
 def test_append_retry_stages_once_and_wins_next_version(spark, tmp_path):
