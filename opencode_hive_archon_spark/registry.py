@@ -59,43 +59,41 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-15 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
-# after the r14 snapshot the stalest evidence is the r10-aged set. Slots:
-#   (a) ALL 37 queries whose latest driver row is r10 (derived from the
-#       committed CORRECTNESS_r01..r14 artifacts — sketches, timeseries,
-#       events/behavioral, graph, BPE/tokenize, late TPC-H, linkage,
-#       constraints, compaction plan, batch-inference UDF);
-#   (b) 2 slots for the queries REGISTERED this round (delta change
-#       feed + stats skipping) — new code outranks evidence age;
-#   (c) 11 slots: r12 re-gates, led by the module families this round
-#       touches (sources: source_roundtrip_formats) then the
-#       alphabetically-first remaining r12 entries for determinism.
-# After this round the max driver-row age anywhere in the registry is r12.
+# ROUND-16 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
+# after the r15 snapshot the stalest evidence is the r12-aged set. Slots:
+#   (a) ALL 35 queries whose latest driver row is r12 (derived from the
+#       committed CORRECTNESS_r01..r15 artifacts — the recall/scenario
+#       reference family, text analysis, plan-diff, early TPC-H,
+#       reshape, UDF trio, stream_mv_maintenance);
+#   (b) 4 slots for the queries REGISTERED this round (null/string data
+#       skipping, row-granular MERGE CDF, log-tailing CDF MV stream) —
+#       new code outranks evidence age;
+#   (c) 11 slots: the alphabetically-first r13-aged entries for
+#       determinism.
+# After this round the max driver-row age anywhere in the registry is r13.
 _PRIORITY = [
-    # (a) every query whose latest driver row is r10
-    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
-    "agg_percentile_disc", "corpus_bpe_train", "corpus_chunk_overlap",
-    "corpus_gopher_rules", "corpus_shard_plan", "corpus_tfidf_topterms",
-    "corpus_tokenize_ids", "corpus_vocab_growth", "events_anomaly_zscore",
-    "events_attribution", "events_gapfill_locf", "events_grouping_sets",
-    "events_ohlc_bars", "events_rolling_active_users",
-    "events_session_overlap", "events_state_intervals",
-    "events_time_weighted_avg", "events_user_streaks", "graph_pagerank",
-    "graph_triangle_stats", "join_asof_nearest", "orders_market_basket",
-    "orders_open_backlog", "orders_revenue_concentration",
-    "orders_rfm_segmentation", "part_name_linkage", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_potential_promotion",
-    "q2_min_cost_supplier", "quality_constraint_suite",
-    "source_compaction_plan", "text_bigram_coverage",
-    "udf_embed_batch_inference",
-    # (b) queries registered this round (delta protocol extensions)
-    "source_delta_change_feed", "source_delta_stats_skipping",
-    # (c) r12 re-gates: touched-family first, then alphabetical
-    "source_roundtrip_formats",
-    "agg_approx_distinct_error", "agg_skew_salted", "ann_batch_topk",
-    "corpus_tokenize_trained", "dedup_minhash_lsh_recall",
-    "dedup_semantic_prune", "dedup_simhash_recall", "events_sessionize",
-    "join_asof_event_order", "join_broadcast",
+    # (a) every query whose latest driver row is r12
+    "join_range_bucketed", "join_shuffle", "local_supplier_volume",
+    "multimodal_decode", "pivot_lineitem_status", "plan_diff_extract",
+    "plan_diff_metrics", "pricing_summary", "promo_revenue_share",
+    "q21_waiting_suppliers", "recall_compat", "recall_envelope",
+    "recall_envelope_reranked", "recall_multi_provider_merge",
+    "recall_summary_branch", "rollup_orders", "scan_project_filter",
+    "scenario_forced_branches", "scenario_replay", "scenario_tag_filter",
+    "similarity_join_labels", "similarity_topk", "stream_mv_maintenance",
+    "text_fingerprint", "text_lang_profile", "text_langid",
+    "text_quality_score", "text_repetition_stats",
+    "text_rolling_fingerprint", "text_token_count", "text_token_stats",
+    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
+    "window_rank_topk_per_group",
+    # (b) queries registered this round (delta skipping + CDF extensions)
+    "source_delta_null_skipping", "source_delta_string_skipping",
+    "source_delta_cdf_update_images", "stream_delta_cdf_mv",
+    # (c) r13 re-gates: alphabetically-first r13-aged entries
+    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
+    "array_ops_embeddings", "catalog_roundtrip", "corpus_decontaminate",
+    "corpus_dedup_pipeline", "corpus_domain_cap", "corpus_span_dedup",
+    "corpus_train_val_split", "cube_events",
 ]
 
 

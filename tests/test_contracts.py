@@ -133,49 +133,51 @@ class TestBranchProperties:
 #   r15:   ALL 37 queries whose latest driver row is r10 + the 2 queries
 #          registered this round (delta change feed + stats skipping) +
 #          11 r12 re-gates. After r15 the max driver-row age is r12.
+#   r16:   ALL 35 queries whose latest driver row is r12 + the 4 queries
+#          registered this round (null/string skipping, MERGE CDF update
+#          images, log-tailing CDF MV stream) + 11 r13 re-gates
+#          (alphabetically first). After r16 the max driver-row age is
+#          r13.
 
-# Every query whose LATEST driver correctness row is r10 — derived from
-# the committed CORRECTNESS_r01..r14 artifacts (max round containing each
-# name), not hand-maintained intuition. All 37 must be in the r15 window
-# so no r10-aged evidence survives the round.
-_R15_STALE_R10: set[str] = {
-    "agg_countmin_sketch", "agg_histogram", "agg_kmv_distinct",
-    "agg_percentile_disc", "corpus_bpe_train", "corpus_chunk_overlap",
-    "corpus_gopher_rules", "corpus_shard_plan", "corpus_tfidf_topterms",
-    "corpus_tokenize_ids", "corpus_vocab_growth", "events_anomaly_zscore",
-    "events_attribution", "events_gapfill_locf", "events_grouping_sets",
-    "events_ohlc_bars", "events_rolling_active_users",
-    "events_session_overlap", "events_state_intervals",
-    "events_time_weighted_avg", "events_user_streaks", "graph_pagerank",
-    "graph_triangle_stats", "join_asof_nearest", "orders_market_basket",
-    "orders_open_backlog", "orders_revenue_concentration",
-    "orders_rfm_segmentation", "part_name_linkage", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_potential_promotion",
-    "q2_min_cost_supplier", "quality_constraint_suite",
-    "source_compaction_plan", "text_bigram_coverage",
-    "udf_embed_batch_inference",
+# Every query whose LATEST driver correctness row is r12 — derived from
+# the committed CORRECTNESS_r01..r15 artifacts (max round containing each
+# name), not hand-maintained intuition. All 35 must be in the r16 window
+# so no r12-aged evidence survives the round.
+_R16_STALE_R12: set[str] = {
+    "join_range_bucketed", "join_shuffle", "local_supplier_volume",
+    "multimodal_decode", "pivot_lineitem_status", "plan_diff_extract",
+    "plan_diff_metrics", "pricing_summary", "promo_revenue_share",
+    "q21_waiting_suppliers", "recall_compat", "recall_envelope",
+    "recall_envelope_reranked", "recall_multi_provider_merge",
+    "recall_summary_branch", "rollup_orders", "scan_project_filter",
+    "scenario_forced_branches", "scenario_replay", "scenario_tag_filter",
+    "similarity_join_labels", "similarity_topk", "stream_mv_maintenance",
+    "text_fingerprint", "text_lang_profile", "text_langid",
+    "text_quality_score", "text_repetition_stats",
+    "text_rolling_fingerprint", "text_token_count", "text_token_stats",
+    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
+    "window_rank_topk_per_group",
 }
 
-# The 13 remaining slots: 2 for the queries REGISTERED this round (the
-# delta-protocol extensions — zero driver evidence outranks evidence
-# age), then r12 re-gates led by the touched sources family and filled
-# alphabetically for determinism.
-_R15_REGATES: set[str] = {
-    # registered in round 15 (delta change feed + data skipping)
-    "source_delta_change_feed", "source_delta_stats_skipping",
-    # r12 re-gates
-    "source_roundtrip_formats",
-    "agg_approx_distinct_error", "agg_skew_salted", "ann_batch_topk",
-    "corpus_tokenize_trained", "dedup_minhash_lsh_recall",
-    "dedup_semantic_prune", "dedup_simhash_recall", "events_sessionize",
-    "join_asof_event_order", "join_broadcast",
+# The 15 remaining slots: 4 for the queries REGISTERED this round (the
+# delta skipping/CDF extensions — zero driver evidence outranks evidence
+# age), then r13 re-gates filled alphabetically for determinism.
+_R16_REGATES: set[str] = {
+    # registered in round 16
+    "source_delta_null_skipping", "source_delta_string_skipping",
+    "source_delta_cdf_update_images", "stream_delta_cdf_mv",
+    # r13 re-gates (alphabetically first r13-aged entries)
+    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
+    "array_ops_embeddings", "catalog_roundtrip", "corpus_decontaminate",
+    "corpus_dedup_pipeline", "corpus_domain_cap", "corpus_span_dedup",
+    "corpus_train_val_split", "cube_events",
 }
 
 
 def test_priority_window_contents():
-    """Round-15 rotation pin: the window is exactly 50 deep, carries EVERY
-    query whose latest driver row is r10, and fills the rest with pinned
-    re-gates. A query registered during round 15 must be added BOTH here
+    """Round-16 rotation pin: the window is exactly 50 deep, carries EVERY
+    query whose latest driver row is r12, and fills the rest with pinned
+    re-gates. A query registered during round 16 must be added BOTH here
     and to the window, or this test fails naming it."""
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
@@ -183,21 +185,21 @@ def test_priority_window_contents():
     specs = all_specs()
     window = list(specs)[:50]
     assert window == _PRIORITY
-    missing = _R15_STALE_R10 - set(window)
-    assert not missing, f"r10-aged queries outside the r15 window: {missing}"
+    missing = _R16_STALE_R12 - set(window)
+    assert not missing, f"r12-aged queries outside the r16 window: {missing}"
     # Every remaining slot is an explicitly pinned re-gate or new query.
-    extra = set(window) - _R15_STALE_R10
-    assert extra <= _R15_REGATES, (
-        f"window slots that are neither r10-aged nor pinned re-gates: "
-        f"{sorted(extra - _R15_REGATES)}"
+    extra = set(window) - _R16_STALE_R12
+    assert extra <= _R16_REGATES, (
+        f"window slots that are neither r12-aged nor pinned re-gates: "
+        f"{sorted(extra - _R16_REGATES)}"
     )
 
 
-def test_r15_window_is_oldest_evidence_first():
+def test_r16_window_is_oldest_evidence_first():
     """The rotation CLAIM, checked against the artifacts of record: every
-    registry query outside the r15 window has a driver row in
-    CORRECTNESS_r12..r14 — i.e. after this round's snapshot lands, no
-    driver evidence anywhere is older than r12."""
+    registry query outside the r16 window has a driver row in
+    CORRECTNESS_r13..r15 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r13."""
     import glob
     import json
     import re
@@ -210,8 +212,8 @@ def test_r15_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    aged = sorted(n for n in outside if latest.get(n, 0) < 12)
-    assert not aged, f"queries outside the window with pre-r12 evidence: {aged}"
+    aged = sorted(n for n in outside if latest.get(n, 0) < 13)
+    assert not aged, f"queries outside the window with pre-r13 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff
@@ -363,10 +365,13 @@ _CENSUS = [
     "source_cdc_diff",
     "source_compaction_plan",
     "source_delta_acid_roundtrip",
+    "source_delta_cdf_update_images",
     "source_delta_change_feed",
     "source_delta_checkpoint_log",
     "source_delta_merge_upsert",
+    "source_delta_null_skipping",
     "source_delta_stats_skipping",
+    "source_delta_string_skipping",
     "source_partitioned_pruning",
     "source_roundtrip_formats",
     "source_schema_evolution",
@@ -374,6 +379,7 @@ _CENSUS = [
     "source_zorder_layout",
     "sql_pricing_summary",
     "stream_dedup",
+    "stream_delta_cdf_mv",
     "stream_foreachbatch_sink",
     "stream_late_data",
     "stream_dedup_ladder",
