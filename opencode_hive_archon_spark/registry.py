@@ -65,10 +65,10 @@ _SPEC_MODULES = [
 #       committed CORRECTNESS_r01..r15 artifacts — the recall/scenario
 #       reference family, text analysis, plan-diff, early TPC-H,
 #       reshape, UDF trio, stream_mv_maintenance);
-#   (b) 4 slots for the queries REGISTERED this round (null/string data
-#       skipping, row-granular MERGE CDF, log-tailing CDF MV stream) —
-#       new code outranks evidence age;
-#   (c) 11 slots: the alphabetically-first r13-aged entries for
+#   (b) 5 slots for the queries REGISTERED this round (null/string data
+#       skipping, row-granular MERGE CDF, log-tailing CDF MV stream,
+#       deletion vectors) — new code outranks evidence age;
+#   (c) 10 slots: the alphabetically-first r13-aged entries for
 #       determinism.
 # After this round the max driver-row age anywhere in the registry is r13.
 _PRIORITY = [
@@ -86,14 +86,15 @@ _PRIORITY = [
     "text_rolling_fingerprint", "text_token_count", "text_token_stats",
     "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
     "window_rank_topk_per_group",
-    # (b) queries registered this round (delta skipping + CDF extensions)
+    # (b) queries registered this round (delta skipping + CDF + DV)
     "source_delta_null_skipping", "source_delta_string_skipping",
     "source_delta_cdf_update_images", "stream_delta_cdf_mv",
+    "source_delta_deletion_vectors",
     # (c) r13 re-gates: alphabetically-first r13-aged entries
     "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
     "array_ops_embeddings", "catalog_roundtrip", "corpus_decontaminate",
     "corpus_dedup_pipeline", "corpus_domain_cap", "corpus_span_dedup",
-    "corpus_train_val_split", "cube_events",
+    "corpus_train_val_split",
 ]
 
 

@@ -37,6 +37,14 @@ the subset needed for a correct single-cluster lakehouse table:
   contain matching rows are rewritten (remove + add); untouched files
   keep their original add entries — at scale a predicate touching one
   partition rewrites one partition, not the table.
+- **Deletion vectors (reader 3, merge-on-read DELETE)**: hit files stay
+  byte-identical and gain a row-index bitmap instead; replay keys file
+  identity by (path, DV id) so a DV update's same-commit remove+add
+  reconciles the way delta's does, the protocol upgrades to (3, 7) with
+  reader/writerFeatures, reads apply the DV via Spark's parquet
+  row-index metadata column as a broadcast anti-join, and the change
+  feed emits exactly the newly-dead rows. COPY-ON-WRITE passes (DELETE
+  without the flag, MERGE, OPTIMIZE) purge DVs they rewrite.
 - **Partitioned tables**: ``partitionBy`` writes keep the hive layout,
   ``partitionValues`` ride the add actions, and snapshot reads go through
   ``basePath`` so partition pruning still applies to the returned frame.
@@ -63,6 +71,7 @@ import json
 import math
 import os
 import re
+import struct
 import shutil
 import tempfile
 import time
@@ -79,9 +88,19 @@ from opencode_hive_archon_spark.spec import QuerySpec
 
 LOG_DIR = "_delta_log"
 CHECKPOINT_INTERVAL = 5
-# Reader 2 = column mapping (the one reader-2 feature, implemented below);
-# anything above fails loudly in the protocol gate.
+# Reader 2 = column mapping (the one reader-2 feature, implemented below).
+# Reader 3 = table features: supported iff every readerFeature the table
+# declares is in SUPPORTED_READER_FEATURES; anything else fails loudly in
+# the protocol gate.
 SUPPORTED_READER_VERSION = 2
+SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+# Deletion-vector storage type written by THIS build: little-endian
+# uint64 count + sorted uint64 row indexes. The spec's formats ('u'/'i'/
+# 'p', RoaringBitmapArray portable serialization) are a byte-format swap
+# at _dv_write/_dv_read — nothing here can interop-test roaring bytes
+# (no delta-spark jar in the environment), so foreign DV storage types
+# fail loudly instead of guessing.
+DV_STORAGE_LOCAL = "local-sorted-u64"
 COLUMN_MAPPING_KEY = "delta.columnMapping.mode"
 _CM_PHYS = "delta.columnMapping.physicalName"
 _CM_ID = "delta.columnMapping.id"
@@ -161,6 +180,18 @@ class DeltaProtocolError(RuntimeError):
 _PROTOCOL_T = T.StructType([
     T.StructField("minReaderVersion", T.IntegerType()),
     T.StructField("minWriterVersion", T.IntegerType()),
+    T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+    T.StructField("writerFeatures", T.ArrayType(T.StringType())),
+])
+# Spec deletion-vector descriptor (PROTOCOL.md): rides add actions (the
+# live DV) and remove actions (the superseded DV, which is what lets
+# replay key file identity by path + DV id).
+_DV_T = T.StructType([
+    T.StructField("storageType", T.StringType()),
+    T.StructField("pathOrInlineDv", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("sizeInBytes", T.IntegerType()),
+    T.StructField("cardinality", T.LongType()),
 ])
 _FORMAT_T = T.StructType([
     T.StructField("provider", T.StringType()),
@@ -182,11 +213,13 @@ _ADD_T = T.StructType([
     T.StructField("modificationTime", T.LongType()),
     T.StructField("dataChange", T.BooleanType()),
     T.StructField("stats", T.StringType()),
+    T.StructField("deletionVector", _DV_T),
 ])
 _REMOVE_T = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("deletionTimestamp", T.LongType()),
     T.StructField("dataChange", T.BooleanType()),
+    T.StructField("deletionVector", _DV_T),
 ])
 _COMMITINFO_T = T.StructType([
     T.StructField("timestamp", T.LongType()),
@@ -730,29 +763,48 @@ def _snapshot_state(
     acts = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
     )
+    # File identity is path + DV id (delta's reconciliation key): a DV
+    # update commits remove(P, oldDV) + add(P, newDV) in ONE version —
+    # distinct keys, so the new incarnation goes live while the old one
+    # tombstones, with no same-version add-vs-remove tie to break.
+    def _key(side: str):
+        return F.concat_ws(
+            "@@",
+            F.col(f"{side}.path"),
+            F.coalesce(
+                F.col(f"{side}.deletionVector.pathOrInlineDv"), F.lit("")
+            ),
+        )
+
     adds = acts.filter(F.col("add.path").isNotNull()).select(
-        F.col("add.path").alias("path"), F.col("_v").alias("av"), "add"
+        _key("add").alias("fkey"), F.col("_v").alias("av"), "add"
     )
     rems = acts.filter(F.col("remove.path").isNotNull()).select(
-        F.col("remove.path").alias("path"), F.col("_v").alias("rv"), "remove"
+        _key("remove").alias("fkey"), F.col("_v").alias("rv"), "remove"
     )
-    last_add = adds.groupBy("path").agg(
+    last_add = adds.groupBy("fkey").agg(
         F.max_by("add", "av").alias("add"), F.max("av").alias("av")
     )
-    last_rem = rems.groupBy("path").agg(
+    last_rem = rems.groupBy("fkey").agg(
         F.max_by("remove", "rv").alias("remove"), F.max("rv").alias("rv")
     )
-    joined = last_add.join(last_rem, "path", "full")
+    joined = last_add.join(last_rem, "fkey", "full")
     live = joined.filter(
         F.col("add").isNotNull()
         & (F.col("rv").isNull() | (F.col("av") > F.col("rv")))
     ).select("add")
-    files = [row["add"].asDict() for row in live.collect()]
-    # Tombstones: paths whose newest action is a remove — retained in
-    # state (and in checkpoints, per spec) so VACUUM can find the
-    # physical files after the removing commits are GC'd.
+
+    def _clean(d: dict) -> dict:
+        if d.get("deletionVector") is None:
+            d.pop("deletionVector", None)
+        return d
+
+    files = [_clean(row["add"].asDict(recursive=True)) for row in live.collect()]
+    # Tombstones: file incarnations whose newest action is a remove —
+    # retained in state (and in checkpoints, per spec) so VACUUM can find
+    # the physical files after the removing commits are GC'd.
     tombstones = [
-        row["remove"].asDict()
+        _clean(row["remove"].asDict(recursive=True))
         for row in joined.filter(
             F.col("remove").isNotNull()
             & (F.col("av").isNull() | (F.col("rv") >= F.col("av")))
@@ -777,9 +829,25 @@ def _snapshot_state(
     )
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     if proto_rows:
-        protocol = proto_rows[0]["protocol"].asDict()
+        protocol = {
+            k: v
+            for k, v in proto_rows[0]["protocol"].asDict().items()
+            if v is not None
+        }
         mrv = protocol["minReaderVersion"]
-        if mrv > SUPPORTED_READER_VERSION:
+        if mrv == 3:
+            # Table features (reader 3): supported iff every declared
+            # readerFeature is one we implement; a v3 table without the
+            # feature list is malformed — refuse rather than guess.
+            feats = set(protocol.get("readerFeatures") or [])
+            unknown = feats - SUPPORTED_READER_FEATURES
+            if not feats or unknown:
+                raise DeltaProtocolError(
+                    f"table requires readerFeatures={sorted(feats)}; this "
+                    f"reader supports {sorted(SUPPORTED_READER_FEATURES)}"
+                    + ("" if feats else " (v3 table missing feature list)")
+                )
+        elif mrv > SUPPORTED_READER_VERSION:
             raise DeltaProtocolError(
                 f"table requires minReaderVersion={mrv}; this reader "
                 f"supports {SUPPORTED_READER_VERSION}"
@@ -859,13 +927,144 @@ def _read_paths(
     return reader.parquet(*paths)
 
 
+# --------------------------------------------------------------------------
+# deletion vectors (protocol reader-3 feature)
+# --------------------------------------------------------------------------
+
+def _dv_path(table: str, descriptor: dict) -> str:
+    return os.path.join(table, _decode_path(descriptor["pathOrInlineDv"]))
+
+
+def _dv_write(table: str, indexes: set[int]) -> dict:
+    """Persist a deletion vector and return its spec-shaped descriptor.
+    Byte format: '<Q' count + sorted '<Q' row indexes (DV_STORAGE_LOCAL);
+    the spec's RoaringBitmapArray portable format is a drop-in swap at
+    this function and _dv_read — the descriptor fields, log actions and
+    reader semantics are format-independent."""
+    idx = sorted(int(i) for i in indexes)
+    name = f"deletion_vector_{uuid.uuid4().hex}.bin"
+    full = os.path.join(table, name)
+    payload = struct.pack("<Q", len(idx)) + struct.pack(
+        f"<{len(idx)}Q", *idx
+    )
+    tmp = full + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, full)
+    return {
+        "storageType": DV_STORAGE_LOCAL,
+        "pathOrInlineDv": _encode_path(name),
+        "offset": 0,
+        "sizeInBytes": len(payload),
+        "cardinality": len(idx),
+    }
+
+
+def _dv_read(table: str, descriptor: dict | None) -> set[int]:
+    """Deleted row indexes of a DV descriptor (empty for None). Foreign
+    storage types fail loudly — serving a file while silently ignoring
+    its DV would resurrect deleted rows."""
+    if not descriptor:
+        return set()
+    if descriptor.get("storageType") != DV_STORAGE_LOCAL:
+        raise DeltaProtocolError(
+            f"unsupported deletion vector storageType "
+            f"{descriptor.get('storageType')!r}; this build reads "
+            f"{DV_STORAGE_LOCAL!r} (roaring formats are the documented "
+            "swap at _dv_read/_dv_write)"
+        )
+    with open(_dv_path(table, descriptor), "rb") as fh:
+        payload = fh.read()
+    (n,) = struct.unpack_from("<Q", payload, 0)
+    return set(struct.unpack_from(f"<{n}Q", payload, 8))
+
+
+def _dv_key(f: dict) -> tuple[str, str]:
+    """Replay/restore identity of an add: (path, DV id) — matches the
+    fkey the snapshot reconstruction groups by."""
+    dv = f.get("deletionVector") or {}
+    return (f["path"], dv.get("pathOrInlineDv") or "")
+
+
+def _remove_action(f: dict, ts: int, data_change: bool) -> dict:
+    """Remove action for a live add — carries the add's deletionVector so
+    replay tombstones the exact (path, DV) incarnation."""
+    rm = {"path": f["path"], "deletionTimestamp": ts,
+          "dataChange": data_change}
+    if f.get("deletionVector"):
+        rm["deletionVector"] = f["deletionVector"]
+    return rm
+
+
+def _norm_file_uri():
+    """_metadata.file_path ('file:/abs' or 'file:///abs') -> '/abs'."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def _scan_with_row_index(
+    spark: SparkSession, table: str, state: dict, files: list[dict]
+) -> DataFrame:
+    """Scan `files` with two extra columns — `_dv_fp` (absolute file
+    path) and `_dv_ri` (row index within the file) — and the files' DVs
+    applied as a broadcast anti-join on (file, row_index): the standard
+    merge-on-read DV plan (Spark's parquet row-index metadata column is
+    the positional hook real DV readers use). DV row lists are
+    cardinality-bounded driver-side metadata, like the file list itself;
+    building them executor-side is the documented 100 TB extension."""
+    if _mapping_enabled(state.get("meta")):
+        raise DeltaProtocolError(
+            "deletion vectors on a column-mapped table are not supported "
+            "(physical-name translation of the row-index scan is the "
+            "documented extension)"
+        )
+    deleted: list[tuple[str, int]] = []
+    paths = []
+    for f in files:
+        rel = _rel_path(table, f["path"])
+        paths.append(os.path.join(table, rel))
+        dv = f.get("deletionVector")
+        if dv:
+            full = os.path.abspath(os.path.join(table, rel))
+            deleted.extend((full, int(i)) for i in _dv_read(table, dv))
+    reader = spark.read.schema(state["schema"])
+    if state["partition_columns"]:
+        reader = reader.option("basePath", table)
+    df = reader.parquet(*paths).select(
+        "*",
+        _norm_file_uri().alias("_dv_fp"),
+        F.col("_metadata.row_index").alias("_dv_ri"),
+    )
+    if not deleted:
+        return df
+    dv_df = spark.createDataFrame(deleted, "_del_fp string, _del_ri bigint")
+    return df.join(
+        F.broadcast(dv_df),
+        (F.col("_dv_fp") == F.col("_del_fp"))
+        & (F.col("_dv_ri") == F.col("_del_ri")),
+        "left_anti",
+    )
+
+
 def _read_state(spark: SparkSession, table: str, state: dict) -> DataFrame:
     if not state["files"]:
         return spark.createDataFrame([], state["schema"])
-    paths = [
-        os.path.join(table, _rel_path(table, f["path"])) for f in state["files"]
-    ]
-    return _read_paths(spark, table, state, paths)
+    plain = [f for f in state["files"] if not f.get("deletionVector")]
+    dv_files = [f for f in state["files"] if f.get("deletionVector")]
+    parts: list[DataFrame] = []
+    if plain:
+        paths = [
+            os.path.join(table, _rel_path(table, f["path"])) for f in plain
+        ]
+        parts.append(_read_paths(spark, table, state, paths))
+    if dv_files:
+        cols = [f.name for f in state["schema"].fields]
+        parts.append(
+            _scan_with_row_index(spark, table, state, dv_files).select(*cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def delta_snapshot(
@@ -1215,6 +1414,10 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
     missing = [
         f["path"] for f in tgt["files"]
         if not os.path.exists(os.path.join(table, _rel_path(table, f["path"])))
+        or (
+            f.get("deletionVector")
+            and not os.path.exists(_dv_path(table, f["deletionVector"]))
+        )
     ]
     if missing:
         raise DeltaProtocolError(
@@ -1222,8 +1425,11 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
             f"{missing[:3]} were vacuumed"
         )
     v = cur["version"] + 1
-    cur_paths = {f["path"] for f in cur["files"]}
-    tgt_paths = {f["path"] for f in tgt["files"]}
+    # Identity is (path, DV id): restoring across a DV change on the SAME
+    # physical file must remove the current incarnation and re-add the
+    # target's, or the deleted rows would stay deleted (or resurrect).
+    cur_keys = {_dv_key(f) for f in cur["files"]}
+    tgt_keys = {_dv_key(f) for f in tgt["files"]}
     ts = _now_ms()
     actions: list[dict] = [{
         "commitInfo": {
@@ -1240,13 +1446,12 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
     if cur["meta"] != tgt["meta"]:
         actions.append({"metaData": tgt["meta"]})
     actions.extend(
-        {"remove": {"path": f["path"], "deletionTimestamp": ts,
-                    "dataChange": True}}
-        for f in cur["files"] if f["path"] not in tgt_paths
+        {"remove": _remove_action(f, ts, True)}
+        for f in cur["files"] if _dv_key(f) not in tgt_keys
     )
     actions.extend(
         {"add": dict(f, dataChange=True)}
-        for f in tgt["files"] if f["path"] not in cur_paths
+        for f in tgt["files"] if _dv_key(f) not in cur_keys
     )
     _commit(table, v, actions)
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
@@ -1265,6 +1470,11 @@ def delta_count(spark: SparkSession, table: str, version: int | None = None) -> 
         n = stats.get("numRecords")
         if n is None:
             n = _num_records(os.path.join(table, _rel_path(table, f["path"])))
+        dv = f.get("deletionVector")
+        if dv:
+            # stats keep the PHYSICAL row count (spec); live = physical
+            # minus the DV's cardinality.
+            n -= dv["cardinality"]
         total += n
     return total
 
@@ -1347,10 +1557,7 @@ def delta_write(
         write_meta = prior["meta"]
         ts = _now_ms()
         actions.extend(
-            {"remove": {
-                "path": f["path"], "deletionTimestamp": ts, "dataChange": True,
-            }}
-            for f in prior["files"]
+            {"remove": _remove_action(f, ts, True)} for f in prior["files"]
         )
         if partition_by_arg is None:
             # Caller said nothing about partitioning: keep the table's —
@@ -1431,31 +1638,72 @@ def _occ_retry(op: str, attempt, max_retries: int) -> int:
 
 
 def delta_delete(
-    spark: SparkSession, table: str, predicate: str, max_retries: int = 5
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    max_retries: int = 5,
+    use_dv: bool = False,
 ) -> int:
-    """Copy-on-write DELETE WHERE predicate with OCC retry; returns the
-    new version."""
+    """DELETE WHERE predicate with OCC retry; returns the new version.
+    Default is copy-on-write (hit files rewritten without the matching
+    rows); `use_dv=True` takes the merge-on-read path instead — hit files
+    stay byte-identical and each gains/extends a DELETION VECTOR marking
+    the dead row indexes (protocol reader-3 feature; first DV upgrades
+    the table's protocol to (3, 7) + deletionVectors features). At 100 TB
+    the DV path turns a wide low-selectivity delete from a table rewrite
+    into cardinality-proportional metadata."""
     return _occ_retry(
         f"DELETE on {table}",
-        lambda: _delta_delete_attempt(spark, table, predicate),
+        lambda: _delta_delete_attempt(spark, table, predicate, use_dv),
         max_retries,
     )
 
 
-def _delta_delete_attempt(spark: SparkSession, table: str, predicate: str) -> int:
+def _dv_protocol_actions(state: dict) -> list[dict]:
+    """Protocol-upgrade action for a table gaining its first DV, or []
+    when the protocol already declares the feature."""
+    proto = state["protocol"]
+    feats = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) >= 3 and "deletionVectors" in feats:
+        return []
+    reader_feats = sorted(feats | {"deletionVectors"} | (
+        {"columnMapping"} if _mapping_enabled(state.get("meta")) else set()
+    ))
+    writer_feats = sorted(
+        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+    )
+    return [{
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": reader_feats,
+            "writerFeatures": writer_feats,
+        }
+    }]
+
+
+def _delta_delete_attempt(
+    spark: SparkSession, table: str, predicate: str, use_dv: bool = False
+) -> int:
     """One optimistic DELETE attempt (see delta_delete).
 
     File-granular: one distributed pass finds the files that contain at
-    least one matching row; ONLY those files are rewritten (their
-    non-matching rows re-added, the originals removed). Rows where the
+    least one matching row; ONLY those files are touched. Rows where the
     predicate is NULL are kept, matching SQL DELETE semantics. Files with
     no matches keep their original add entries — at 100 TB a pruned
-    predicate rewrites the partitions it touches, nothing else.
+    predicate touches the partitions it names, nothing else.
 
-    The hit-discovery scan itself is stats-pruned first (deltastats):
-    files whose [min, max] / partitionValues provably exclude the
-    predicate never enter the distributed pass, so discovery I/O tracks
-    the predicate's selectivity, not the table's live size."""
+    Copy-on-write (default): hit files are rewritten without the
+    matching rows. Merge-on-read (use_dv): hit files are re-added with a
+    deletion vector covering old ∪ newly-matching row indexes (stats
+    flip to tightBounds:false — bounds become supersets, which the
+    skipping reader treats conservatively), and the superseded
+    incarnation is removed carrying its old DV.
+
+    The hit-discovery scan is stats-pruned first (deltastats); files
+    that already carry a DV skip input_file_name discovery (their scan
+    is a join, where input_file_name is undefined) and are probed by the
+    same row-index scan the DV write needs anyway."""
     # Function-level import: deltastats imports this module at load time.
     from opencode_hive_archon_spark.sources.deltastats import prune_files
 
@@ -1470,8 +1718,11 @@ def _delta_delete_attempt(spark: SparkSession, table: str, predicate: str) -> in
         }
     }]
     candidates = prune_files(state, predicate) if state["files"] else []
-    if candidates:
-        cand_state = dict(state, files=candidates)
+    plain_cands = [f for f in candidates if not f.get("deletionVector")]
+    dv_cands = [f for f in candidates if f.get("deletionVector")]
+    hit_files: list[dict] = []
+    if plain_cands:
+        cand_state = dict(state, files=plain_cands)
         full = _read_state(spark, table, cand_state).withColumn(
             "_file", F.input_file_name()
         )
@@ -1484,30 +1735,73 @@ def _delta_delete_attempt(spark: SparkSession, table: str, predicate: str) -> in
         for uri in hit_uris:
             p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
             hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
-        hit_files = [
-            f for f in candidates if _rel_path(table, f["path"]) in hit_rel
-        ]
-        if hit_files:
-            # Re-plan the rewrite scan over ONLY the hit files — the
-            # copy-on-write pass does I/O proportional to the files it
-            # rewrites, not to the table.
-            hit_state = dict(state, files=hit_files)
-            keep = _read_state(spark, table, hit_state).filter(~pred)
-            actions.extend(
-                _stage_data_files(
-                    keep, table, v, state["partition_columns"],
-                    meta=state["meta"],
-                )
+        hit_files.extend(
+            f for f in plain_cands if _rel_path(table, f["path"]) in hit_rel
+        )
+    if dv_cands:
+        # DV'd candidates: discovery via the row-index scan (live rows
+        # only), keyed by absolute path.
+        probe = _scan_with_row_index(spark, table, state, dv_cands)
+        hit_abs = {
+            r["_dv_fp"]
+            for r in probe.filter(pred).select("_dv_fp").distinct().collect()
+        }
+        hit_files.extend(
+            f for f in dv_cands
+            if os.path.abspath(
+                os.path.join(table, _rel_path(table, f["path"]))
+            ) in hit_abs
+        )
+    if hit_files and not use_dv:
+        # Copy-on-write: re-plan the rewrite scan over ONLY the hit
+        # files — I/O proportional to what is rewritten, not the table.
+        # A hit file's old DV dies with it (the rewrite purges).
+        hit_state = dict(state, files=hit_files)
+        keep = _read_state(spark, table, hit_state).filter(~pred)
+        actions.extend(
+            _stage_data_files(
+                keep, table, v, state["partition_columns"],
+                meta=state["meta"],
             )
-            ts = _now_ms()
-            actions.extend(
-                {"remove": {
-                    "path": f["path"],
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                }}
-                for f in hit_files
+        )
+        ts = _now_ms()
+        actions.extend(
+            {"remove": _remove_action(f, ts, True)} for f in hit_files
+        )
+    elif hit_files:
+        # Merge-on-read: collect newly-dead (file, row_index) pairs —
+        # driver-side, bounded by the delete's cardinality like the DV
+        # payload itself (executor-side DV build is the documented
+        # extension) — then supersede each hit add with a DV'd twin.
+        matches = (
+            _scan_with_row_index(spark, table, state, hit_files)
+            .filter(pred)
+            .select("_dv_fp", "_dv_ri")
+            .collect()
+        )
+        by_file: dict[str, set[int]] = {}
+        for r in matches:
+            by_file.setdefault(r["_dv_fp"], set()).add(int(r["_dv_ri"]))
+        actions.extend(_dv_protocol_actions(state))
+        ts = _now_ms()
+        for f in hit_files:
+            full_path = os.path.abspath(
+                os.path.join(table, _rel_path(table, f["path"]))
             )
+            new_idx = _dv_read(table, f.get("deletionVector")) | by_file.get(
+                full_path, set()
+            )
+            descriptor = _dv_write(table, new_idx)
+            new_add = dict(f, dataChange=True, deletionVector=descriptor)
+            if f.get("stats"):
+                st = json.loads(f["stats"])
+                if "tightBounds" in st:
+                    # Bounds still hold for every PHYSICAL row (superset
+                    # of live) but are no longer tight — spec semantics.
+                    st["tightBounds"] = False
+                new_add["stats"] = json.dumps(st)
+            actions.append({"add": new_add})
+            actions.append({"remove": _remove_action(f, ts, True)})
     _commit(table, v, actions)
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
         delta_checkpoint(spark, table, v)
@@ -1619,8 +1913,14 @@ def _delta_merge_attempt(
                     for c in key_cols
                 }
                 candidates = prune_files_by_key_bounds(candidates, bounds)
-    if candidates:
-        cand_state = dict(state, files=candidates)
+    plain_cands = [f for f in candidates if not f.get("deletionVector")]
+    # DV'd candidates are ALWAYS rewritten (conservative): their scan is
+    # a row-index join where input_file_name discovery is undefined, and
+    # candidates are already key-bound pruned so the over-approximation
+    # is bounded. The rewrite purges their DVs.
+    hit_files = [f for f in candidates if f.get("deletionVector")]
+    if plain_cands:
+        cand_state = dict(state, files=plain_cands)
         with_file = _read_state(spark, table, cand_state).withColumn(
             "_file", F.input_file_name()
         )
@@ -1636,11 +1936,9 @@ def _delta_merge_attempt(
             ).replace(os.sep, "/")
             for u in hit_uris
         }
-        hit_files = [
-            f for f in candidates if _rel_path(table, f["path"]) in hit_rel
-        ]
-    else:
-        hit_files = []
+        hit_files.extend(
+            f for f in plain_cands if _rel_path(table, f["path"]) in hit_rel
+        )
     if hit_files:
         hit_state = dict(state, files=hit_files)
         hit_rows = _read_state(spark, table, hit_state)
@@ -1652,9 +1950,7 @@ def _delta_merge_attempt(
         rewrite = kept.unionByName(updated).unionByName(inserts)
         ts = _now_ms()
         removes = [
-            {"remove": {"path": f["path"], "deletionTimestamp": ts,
-                        "dataChange": True}}
-            for f in hit_files
+            {"remove": _remove_action(f, ts, True)} for f in hit_files
         ]
     else:
         rewrite = inserts
@@ -1759,6 +2055,56 @@ def delta_checkpoint(
         json.dump(lc, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
     return finals
+
+
+def _require_feed_file(table: str, v: int, path: str) -> None:
+    """JSON retention and VACUUM are independent: a commit can outlive
+    the tombstoned file it references. Fail with the feed horizon named,
+    not a mid-job path-not-found from the scan."""
+    if not os.path.exists(os.path.join(table, _rel_path(table, path))):
+        raise DeltaProtocolError(
+            f"change feed needs data file {path} of commit v{v}, but it "
+            "was vacuumed — changes past the VACUUM retention are only "
+            "available as snapshot diffs"
+        )
+
+
+def _rows_at_indexes(
+    spark: SparkSession,
+    table: str,
+    state: dict,
+    path: str,
+    indexes: set[int],
+    tag: str | None,
+    v: int,
+    complement: bool = False,
+) -> DataFrame:
+    """Rows of ONE data file selected (or, with complement=True,
+    excluded) by row index, optionally tagged as change-feed rows. The
+    index set is DV-cardinality-bounded metadata; the scan reads one
+    file."""
+    reader = spark.read.schema(state["schema"])
+    if state["partition_columns"]:
+        reader = reader.option("basePath", table)
+    df = reader.parquet(
+        os.path.join(table, _rel_path(table, path))
+    ).select("*", F.col("_metadata.row_index").alias("_dv_ri"))
+    idx_df = spark.createDataFrame(
+        [(int(i),) for i in sorted(indexes)], "_dv_ri bigint"
+    )
+    joined = df.join(
+        F.broadcast(idx_df), "_dv_ri",
+        "left_anti" if complement else "left_semi",
+    )
+    cols = [f.name for f in state["schema"].fields]
+    out = joined.select(*cols)
+    if tag is None:
+        return out
+    return out.select(
+        "*",
+        F.lit(tag).alias("_change_type"),
+        F.lit(v).alias("_commit_version"),
+    )
 
 
 def _merge_keys_of(actions: list[dict]) -> list[str] | None:
@@ -1919,35 +2265,62 @@ def delta_changes(
     for v in need:
         with open(_version_file(table, v)) as fh:
             actions = [json.loads(line) for line in fh if line.strip()]
+        adds_by = {
+            a["add"]["path"]: a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        }
+        rems_by = {
+            a["remove"]["path"]: a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+        parts: list[DataFrame] = []
+        # DV update: the SAME path removed and re-added in one commit
+        # (new incarnation supersedes old). Row-granular by definition —
+        # the feed is exactly the DV diff: newly-covered indexes are
+        # deletes, newly-uncovered ones (a restore across a DV) are
+        # inserts. This is delta CDF's DV-delete behavior.
+        for p in sorted(set(adds_by) & set(rems_by)):
+            _require_feed_file(table, v, p)
+            new_idx = _dv_read(table, adds_by[p].get("deletionVector"))
+            old_idx = _dv_read(table, rems_by[p].get("deletionVector"))
+            for idxs, tag in ((new_idx - old_idx, "delete"),
+                              (old_idx - new_idx, "insert")):
+                if idxs:
+                    parts.append(
+                        _rows_at_indexes(spark, table, state, p, idxs, tag, v)
+                    )
+            del adds_by[p]
+            del rems_by[p]
         sides: dict[str, DataFrame] = {}
-        for kind, tag in (("add", "insert"), ("remove", "delete")):
-            paths = [
-                a[kind]["path"]
-                for a in actions
-                if kind in a and a[kind].get("dataChange", True)
-            ]
-            if not paths:
+        for by, tag in ((adds_by, "insert"), (rems_by, "delete")):
+            if not by:
                 continue
-            vacuumed = [
-                p for p in paths
-                if not os.path.exists(os.path.join(table, _rel_path(table, p)))
-            ]
-            if vacuumed:
-                # JSON retention and VACUUM are independent: the commit
-                # can outlive the tombstoned file it references. Fail
-                # with the feed horizon named, not a mid-job
-                # path-not-found from the scan.
-                raise DeltaProtocolError(
-                    f"change feed needs data file(s) {vacuumed[:3]} of "
-                    f"commit v{v}, but they were vacuumed — changes past "
-                    "the VACUUM retention are only available as snapshot "
-                    "diffs"
-                )
-            sides[tag] = _read_paths(
-                spark, table, state,
-                [os.path.join(table, _rel_path(table, p)) for p in paths],
-            )
-        parts = _classify_commit_changes(spark, v, actions, sides, schema)
+            for p in by:
+                _require_feed_file(table, v, p)
+            # A DV'd action's LIVE rows are physical minus its DV — a
+            # fully-removed DV'd file must not re-emit already-deleted
+            # rows as deletes (nor a re-added one as inserts).
+            plain = [p for p, a in by.items() if not a.get("deletionVector")]
+            side_parts = []
+            if plain:
+                side_parts.append(_read_paths(
+                    spark, table, state,
+                    [os.path.join(table, _rel_path(table, p)) for p in plain],
+                ))
+            for p, a in by.items():
+                if a.get("deletionVector"):
+                    side_parts.append(_rows_at_indexes(
+                        spark, table, state, p,
+                        _dv_read(table, a["deletionVector"]),
+                        tag=None, v=v, complement=True,
+                    ))
+            side = side_parts[0]
+            for sp in side_parts[1:]:
+                side = side.unionByName(sp)
+            sides[tag] = side
+        parts.extend(_classify_commit_changes(spark, v, actions, sides, schema))
         for part in parts:
             out = part if out is None else out.unionByName(part)
     if out is None:
@@ -2107,9 +2480,7 @@ def delta_optimize(
             )
         )
         actions.extend(
-            {"remove": {"path": f["path"], "deletionTimestamp": ts,
-                        "dataChange": False}}
-            for f in fs
+            {"remove": _remove_action(f, ts, False)} for f in fs
         )
     _commit(table, v, actions)
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
@@ -2386,6 +2757,16 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                         action = json.loads(line)
                         add = action.get("add")
                         if add and add.get("dataChange", True):
+                            if add.get("deletionVector"):
+                                # Verbatim Arrow serving would resurrect
+                                # the DV's deleted rows — refuse loudly
+                                # (row-index filtering in the stream
+                                # reader is the documented extension).
+                                raise DeltaProtocolError(
+                                    "delta_log_stream does not support "
+                                    f"deletion-vector commits (v{v} of "
+                                    f"{self._table})"
+                                )
                             parts.append(_DeltaFilePartition(
                                 os.path.join(
                                     self._table,
@@ -2506,6 +2887,21 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                             act = action.get(kind)
                             if not act or not act.get("dataChange", True):
                                 continue
+                            if act.get("deletionVector"):
+                                # A DV action's live rows are physical
+                                # minus its bitmap; the Arrow partition
+                                # reader serves files verbatim, so a DV
+                                # commit flowing through would resurrect
+                                # deleted rows. Row-index filtering in
+                                # the stream reader is the documented
+                                # extension; batch delta_changes already
+                                # serves DV commits row-granularly.
+                                raise DeltaProtocolError(
+                                    f"delta_cdf_stream does not support "
+                                    f"deletion-vector commits (v{v} of "
+                                    f"{self._table}); consume the batch "
+                                    "change feed instead"
+                                )
                             full = os.path.join(
                                 self._table,
                                 _rel_path(self._table, act["path"]),
@@ -2913,6 +3309,88 @@ ORDER BY change_type
 """
 
 
+DV_SLICE_MOD = 4          # table = orders with o_orderkey ≡ 1 (mod 4)
+DV_BANDS = ((0.0, 150_000.0), (150_000.0, 300_000.0),
+            (300_000.0, 10_000_000.0))
+DV_DEL1_MOD = 7           # first DV delete: keys ≡ 0 (mod 7)
+DV_DEL2_MOD = 11          # second DV delete: keys ≡ 0 (mod 11), unions
+
+
+def source_delta_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (protocol reader 3):
+    three banded single-file commits, then two DV deletes (keys ≡0 mod 7,
+    then ≡0 mod 11 — the second UNIONS into the first's vectors). The
+    data files are never rewritten — the oracle pins n_files_total = 3
+    and dv_cardinality = the exact deleted-row count — while the
+    snapshot aggregate and the stats-only delta_count both hash-check
+    the live rows against a relational reconstruction.
+
+    Scale shape: each DV delete does one stats-pruned discovery scan and
+    writes cardinality-proportional bitmap bytes — a low-selectivity
+    delete on a 100 TB table stops being a table rewrite."""
+    table = _demo_table(sf_dir, "dv", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % DV_SLICE_MOD == 1)
+            .select("o_orderkey", "o_totalprice")
+        )
+        for lo, hi in DV_BANDS:
+            band = base.filter(
+                (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+            ).repartition(1)
+            delta_write(spark, band, table, mode="append")
+        delta_delete(
+            spark, table, f"o_orderkey % {DV_DEL1_MOD} = 0", use_dv=True
+        )
+        delta_delete(
+            spark, table, f"o_orderkey % {DV_DEL2_MOD} = 0", use_dv=True
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    state = _snapshot_state(spark, table)
+    n_files = len(state["files"])
+    dv_card = sum(
+        (f.get("deletionVector") or {}).get("cardinality", 0)
+        for f in state["files"]
+    )
+    n_live_meta = delta_count(spark, table)  # stats-only, zero data read
+    return delta_snapshot(spark, table).agg(
+        F.lit(n_files).alias("n_files_total"),
+        F.lit(dv_card).alias("dv_cardinality"),
+        F.lit(n_live_meta).alias("n_rows_meta"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+
+
+_ORACLE_DV = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % {DV_SLICE_MOD} = 1
+),
+live AS (
+  SELECT * FROM base
+  WHERE NOT (o_orderkey % {DV_DEL1_MOD} = 0 OR o_orderkey % {DV_DEL2_MOD} = 0)
+)
+SELECT {len(DV_BANDS)} AS n_files_total,
+       (SELECT count(*) FROM base
+        WHERE o_orderkey % {DV_DEL1_MOD} = 0
+           OR o_orderkey % {DV_DEL2_MOD} = 0) AS dv_cardinality,
+       count(*) AS n_rows_meta,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM live
+"""
+
+
 CDF_PRIORITY = "5-LOW"
 CDF_PRICE_SPLIT = 150_000.0
 
@@ -3036,5 +3514,12 @@ SPECS = [
         "Row-granular MERGE change feed: removed/re-added rows paired on "
         "the recorded merge key into update_pre/postimage classes, "
         "carried rows elided, clones as inserts — all hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_deletion_vectors", source_delta_deletion_vectors,
+        _ORACLE_DV, "sources",
+        "Deletion vectors (reader 3): two merge-on-read DELETEs mark row "
+        "indexes instead of rewriting files — file count and DV "
+        "cardinality pinned, live rows and stats-only count hash-checked",
     ),
 ]

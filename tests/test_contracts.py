@@ -159,18 +159,20 @@ _R16_STALE_R12: set[str] = {
     "window_rank_topk_per_group",
 }
 
-# The 15 remaining slots: 4 for the queries REGISTERED this round (the
-# delta skipping/CDF extensions — zero driver evidence outranks evidence
-# age), then r13 re-gates filled alphabetically for determinism.
+# The 15 remaining slots: 5 for the queries REGISTERED this round (the
+# delta skipping/CDF/deletion-vector extensions — zero driver evidence
+# outranks evidence age), then r13 re-gates filled alphabetically for
+# determinism.
 _R16_REGATES: set[str] = {
     # registered in round 16
     "source_delta_null_skipping", "source_delta_string_skipping",
     "source_delta_cdf_update_images", "stream_delta_cdf_mv",
+    "source_delta_deletion_vectors",
     # r13 re-gates (alphabetically first r13-aged entries)
     "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
     "array_ops_embeddings", "catalog_roundtrip", "corpus_decontaminate",
     "corpus_dedup_pipeline", "corpus_domain_cap", "corpus_span_dedup",
-    "corpus_train_val_split", "cube_events",
+    "corpus_train_val_split",
 }
 
 
@@ -368,6 +370,7 @@ _CENSUS = [
     "source_delta_cdf_update_images",
     "source_delta_change_feed",
     "source_delta_checkpoint_log",
+    "source_delta_deletion_vectors",
     "source_delta_merge_upsert",
     "source_delta_null_skipping",
     "source_delta_stats_skipping",

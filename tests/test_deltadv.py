@@ -1,0 +1,261 @@
+"""Deletion vectors (protocol reader-3 feature, sources/deltalog.py):
+merge-on-read DELETE via row-index bitmaps — protocol feature gating,
+DV-vs-copy-on-write equivalence, union on repeated deletes, checkpoint
+and restore round-trips, row-granular change feed, interactions with
+MERGE/OPTIMIZE/VACUUM and the stats-skipping reader."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencode_hive_archon_spark.sources import deltalog as dl
+from opencode_hive_archon_spark.sources import deltastats as ds
+
+
+def _mk(spark, tmp_path, n=10, parts=1, name="t"):
+    tbl = str(tmp_path / name)
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k * 10)) for k in range(n)], "k long, v double"
+        ).repartition(parts),
+        tbl,
+    )
+    return tbl
+
+
+def _ks(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_dv_delete_matches_copy_on_write(spark, tmp_path):
+    """The DV path and the copy-on-write path must produce identical
+    snapshots; the DV path must NOT rewrite the data file."""
+    a = _mk(spark, tmp_path, name="a")
+    b = _mk(spark, tmp_path, name="b")
+    before_a = {f["path"] for f in dl._snapshot_state(spark, a)["files"]}
+    dl.delta_delete(spark, a, "k >= 7", use_dv=True)
+    dl.delta_delete(spark, b, "k >= 7")
+    assert _ks(dl.delta_snapshot(spark, a)) == _ks(dl.delta_snapshot(spark, b))
+    state_a = dl._snapshot_state(spark, a)
+    assert {f["path"] for f in state_a["files"]} == before_a  # no rewrite
+    dv = state_a["files"][0]["deletionVector"]
+    assert dv["cardinality"] == 3
+    assert dv["storageType"] == dl.DV_STORAGE_LOCAL
+    assert json.loads(state_a["files"][0]["stats"])["tightBounds"] is False
+    # count comes from stats minus cardinality — no data read.
+    assert dl.delta_count(spark, a) == 7
+
+
+def test_dv_protocol_upgrade_and_feature_gate(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    assert dl._snapshot_state(spark, tbl)["protocol"]["minReaderVersion"] <= 2
+    dl.delta_delete(spark, tbl, "k = 3", use_dv=True)
+    proto = dl._snapshot_state(spark, tbl)["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    # An unknown reader feature fails loudly.
+    dl._commit(tbl, 2, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+        "writerFeatures": ["deletionVectors"],
+    }}])
+    with pytest.raises(dl.DeltaProtocolError, match="readerFeatures"):
+        dl.delta_snapshot(spark, tbl).collect()
+
+
+def test_dv_second_delete_unions_indexes(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    dl.delta_delete(spark, tbl, "k = 2", use_dv=True)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 3, 4, 5, 6]
+    state = dl._snapshot_state(spark, tbl)
+    assert len(state["files"]) == 1
+    assert state["files"][0]["deletionVector"]["cardinality"] == 4
+    assert dl.delta_count(spark, tbl) == 6
+
+
+def test_dv_foreign_storage_type_fails_loudly(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k = 1", use_dv=True)
+    state = dl._snapshot_state(spark, tbl)
+    f = dict(state["files"][0])
+    f["deletionVector"] = dict(
+        f["deletionVector"], storageType="u", pathOrInlineDv="ab%cd"
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="storageType"):
+        dl._read_state(spark, tbl, dict(state, files=[f])).collect()
+
+
+def test_dv_time_travel_and_restore(spark, tmp_path):
+    """Pre-DV versions stay readable; RESTORE across a DV change
+    resurrects the deleted rows (identity is path + DV id), and the
+    restore's change feed emits them as row-granular inserts."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    assert _ks(dl.delta_snapshot(spark, tbl, version=0)) == list(range(10))
+    assert _ks(dl.delta_snapshot(spark, tbl, version=1)) == list(range(7))
+    dl.delta_restore(spark, tbl, 0)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(10))
+    feed = dl.delta_changes(spark, tbl, 1, 2).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in feed) == [
+        ("insert", 7), ("insert", 8), ("insert", 9)
+    ]
+
+
+def test_dv_checkpoint_roundtrip(spark, tmp_path):
+    """The DV descriptor must survive checkpoint + JSON truncation —
+    dropping it would resurrect deleted rows."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 6", use_dv=True)
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, v double"),
+        tbl, mode="append",
+    )
+    dl.delta_checkpoint(spark, tbl, 2)
+    for v in range(2):
+        os.remove(dl._version_file(tbl, v))
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4, 5, 100]
+    assert dl.delta_count(spark, tbl) == 7
+
+
+def test_dv_change_feed_row_granular(spark, tmp_path):
+    """A DV delete's feed is exactly the newly-dead rows as 'delete' —
+    no physical-rewrite insert/delete noise, already-dead rows never
+    re-emitted."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    dl.delta_delete(spark, tbl, "k = 2", use_dv=True)
+    feed = dl.delta_changes(spark, tbl, 0, 2).collect()
+    got = sorted((r["_commit_version"], r["_change_type"], r["k"]) for r in feed)
+    assert got == [(1, "delete", 7), (1, "delete", 8), (1, "delete", 9),
+                   (2, "delete", 2)]
+
+
+def test_dv_copy_on_write_delete_over_dv_file_purges(spark, tmp_path):
+    """A later copy-on-write DELETE on a DV'd file rewrites it without
+    the DV; the feed's delete side emits only LIVE rows (the DV'd rows
+    must not re-surface as deletes)."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    dl.delta_delete(spark, tbl, "k = 0")  # copy-on-write path
+    state = dl._snapshot_state(spark, tbl)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [1, 2, 3, 4, 5, 6]
+    assert all(not f.get("deletionVector") for f in state["files"])
+    feed = dl.delta_changes(spark, tbl, 1, 2).collect()
+    deletes = sorted(r["k"] for r in feed if r["_change_type"] == "delete")
+    inserts = sorted(r["k"] for r in feed if r["_change_type"] == "insert")
+    assert deletes == [0, 1, 2, 3, 4, 5, 6]  # live rows only, no 7/8/9
+    assert inserts == [1, 2, 3, 4, 5, 6]
+
+
+def test_dv_merge_rewrites_and_purges(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    src = spark.createDataFrame([(1, 999.0), (50, 500.0)], "k long, v double")
+    dl.delta_merge(spark, tbl, src, on=["k"])
+    snap = dl.delta_snapshot(spark, tbl)
+    assert _ks(snap) == [0, 1, 2, 3, 4, 5, 6, 50]
+    assert snap.filter("k = 1").collect()[0]["v"] == 999.0
+    assert snap.filter("k = 7").count() == 0  # DV respected by rewrite
+    state = dl._snapshot_state(spark, tbl)
+    assert all(not f.get("deletionVector") for f in state["files"])
+
+
+def test_dv_optimize_purges_dead_rows(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, n=20, parts=3)
+    dl.delta_delete(spark, tbl, "k % 2 = 1", use_dv=True)
+    v = dl.delta_optimize(spark, tbl)
+    assert v is not None
+    state = dl._snapshot_state(spark, tbl)
+    assert all(not f.get("deletionVector") for f in state["files"])
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [k for k in range(20) if k % 2 == 0]
+    # OPTIMIZE stays invisible to the change feed (dataChange: false).
+    assert dl.delta_changes(spark, tbl, 1, v).count() == 0
+
+
+def test_dv_vacuum_keeps_live_file_and_dv(spark, tmp_path):
+    """The data file is tombstoned by every DV supersede, but a live
+    incarnation references it — VACUUM must never delete it, nor the
+    live DV file."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    dl.delta_delete(spark, tbl, "k = 2", use_dv=True)
+    dl.delta_vacuum(spark, tbl, retain_ms=0)
+    state = dl._snapshot_state(spark, tbl)
+    f = state["files"][0]
+    assert os.path.exists(os.path.join(tbl, dl._rel_path(tbl, f["path"])))
+    assert os.path.exists(dl._dv_path(tbl, f["deletionVector"]))
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 3, 4, 5, 6]
+
+
+def test_dv_scan_skipping_stays_sound(spark, tmp_path):
+    """Stats of a DV'd file are physical supersets (tightBounds false):
+    every supported predicate over delta_scan must equal the plain
+    filter, and the DV'd rows must never reappear."""
+    tbl = str(tmp_path / "t")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        dl.delta_write(
+            spark,
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            ).repartition(1),
+            tbl, mode="append",
+        )
+    dl.delta_delete(spark, tbl, "k >= 12 AND k < 15", use_dv=True)
+    snap = dl.delta_snapshot(spark, tbl)
+    for op in ("<", "<=", ">", ">=", "=", "!="):
+        for lit in (0, 11, 12, 14, 15, 29):
+            pred = f"k {op} {lit}"
+            want = sorted(r["k"] for r in snap.filter(pred).collect())
+            got = sorted(
+                r["k"] for r in ds.delta_scan(spark, tbl, pred).collect()
+            )
+            assert got == want, pred
+    # Out-of-band files still prune.
+    total, scanned = ds.delta_scan_accounting(spark, tbl, "k < 5")
+    assert (total, scanned) == (3, 1)
+
+
+def test_dv_partitioned_table(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")
+    )
+    dl.delta_write(spark, df, tbl, partition_by=["bucket"])
+    dl.delta_delete(spark, tbl, "k >= 24", use_dv=True)
+    got = _ks(dl.delta_snapshot(spark, tbl))
+    assert got == list(range(24))
+    # Partition pruning still composes with the DV read.
+    got = sorted(
+        r["k"]
+        for r in ds.delta_scan(spark, tbl, "bucket = 1").collect()
+    )
+    assert got == [k for k in range(24) if k % 3 == 1]
+
+
+def test_dv_streams_refuse_dv_commits(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k = 1", use_dv=True)
+    spark.dataSource.register(dl.DeltaCdfStreamSource)
+    q = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_refuse_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="deletion-vector"):
+            q.processAllAvailable()
+            q.awaitTermination()
+    finally:
+        q.stop()

@@ -108,13 +108,21 @@ def test_concurrent_commit_put_if_absent(spark, tmp_path):
 def test_reader_version_gate(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 5), tbl)
+    # r16: v3 is the table-features version — supported when the feature
+    # list is implemented, refused when it is absent (malformed) …
     dl._commit(tbl, 1, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
     ])
-    with pytest.raises(dl.DeltaProtocolError, match="minReaderVersion"):
+    with pytest.raises(dl.DeltaProtocolError, match="readerFeatures"):
         dl.delta_snapshot(spark, tbl)
     # Older versions predate the upgrade and stay readable.
     assert _ks(dl.delta_snapshot(spark, tbl, version=0)) == list(range(5))
+    # … and anything ABOVE v3 is refused by version number.
+    dl._commit(tbl, 2, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 8}},
+    ])
+    with pytest.raises(dl.DeltaProtocolError, match="minReaderVersion"):
+        dl.delta_snapshot(spark, tbl)
 
 
 def test_append_schema_enforcement(spark, tmp_path):
@@ -433,20 +441,30 @@ def test_change_feed_reconciles_to_snapshot(spark, tmp_path):
         (r["k"], r["val"])
         for r in dl.delta_snapshot(spark, tbl, version=0).collect()
     )
+    # r16: MERGE commits are row-granular — update_preimage replays as a
+    # removal and update_postimage as an addition.
     for v in (1, 2, 3, 4):
         current -= Counter(
             (r["k"], r["val"]) for r in feed
-            if r["_commit_version"] == v and r["_change_type"] == "delete"
+            if r["_commit_version"] == v
+            and r["_change_type"] in ("delete", "update_preimage")
         )
         current += Counter(
             (r["k"], r["val"]) for r in feed
-            if r["_commit_version"] == v and r["_change_type"] == "insert"
+            if r["_commit_version"] == v
+            and r["_change_type"] in ("insert", "update_postimage")
         )
     final = Counter(
         (r["k"], r["val"]) for r in dl.delta_snapshot(spark, tbl).collect()
     )
     assert current == final
     assert final[(0, 99.0)] == 1 and final[(20, 20.0)] == 1
+    # The v4 MERGE feed carries the update pair, and the carried rows
+    # (1..7 minus key 0) are elided.
+    v4 = [r for r in feed if r["_commit_version"] == 4]
+    assert sorted((r["_change_type"], r["k"]) for r in v4) == [
+        ("insert", 20), ("update_postimage", 0), ("update_preimage", 0)
+    ]
     # A rearrangement-only range yields an empty, correctly-typed feed.
     empty = dl.delta_changes(spark, tbl, 2, 3)
     assert empty.count() == 0
