@@ -1659,6 +1659,140 @@ def delta_delete(
     )
 
 
+def _find_hit_files(
+    spark: SparkSession,
+    table: str,
+    state: dict,
+    pred,
+    candidates: list[dict],
+) -> list[dict]:
+    """Files among `candidates` that contain at least one LIVE row
+    matching `pred` — the shared hit-discovery pass of DELETE and
+    UPDATE. Plain files discover via input_file_name on a bulk scan;
+    DV'd files (whose scan is a row-index anti-join, where
+    input_file_name is undefined) probe through the row-index scan,
+    keyed by absolute path. Both legs scan only stats-admissible
+    candidates, so discovery I/O tracks predicate selectivity."""
+    plain_cands = [f for f in candidates if not f.get("deletionVector")]
+    dv_cands = [f for f in candidates if f.get("deletionVector")]
+    hit_files: list[dict] = []
+    if plain_cands:
+        cand_state = dict(state, files=plain_cands)
+        full = _read_state(spark, table, cand_state).withColumn(
+            "_file", F.input_file_name()
+        )
+        hit_uris = [
+            r["_file"]
+            for r in full.filter(pred).select("_file").distinct().collect()
+        ]
+        base = os.path.abspath(table)
+        hit_rel = set()
+        for uri in hit_uris:
+            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+            hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
+        hit_files.extend(
+            f for f in plain_cands if _rel_path(table, f["path"]) in hit_rel
+        )
+    if dv_cands:
+        probe = _scan_with_row_index(spark, table, state, dv_cands)
+        hit_abs = {
+            r["_dv_fp"]
+            for r in probe.filter(pred).select("_dv_fp").distinct().collect()
+        }
+        hit_files.extend(
+            f for f in dv_cands
+            if os.path.abspath(
+                os.path.join(table, _rel_path(table, f["path"]))
+            ) in hit_abs
+        )
+    return hit_files
+
+
+def delta_update(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assignments: dict[str, str],
+    max_retries: int = 5,
+) -> int:
+    """UPDATE <table> SET col = expr, ... WHERE predicate, with OCC
+    retry; returns the new version. File-granular copy-on-write like
+    DELETE: only files containing a matching LIVE row are rewritten —
+    their non-matching rows carried verbatim, matching rows re-evaluated
+    under the assignments (any SQL expression over the row's columns).
+    Updated rows pass the table's CHECK constraints; a DV'd hit file's
+    rewrite purges its vector. At 100 TB an update whose predicate
+    prunes to one partition rewrites one partition."""
+    return _occ_retry(
+        f"UPDATE on {table}",
+        lambda: _delta_update_attempt(spark, table, predicate, assignments),
+        max_retries,
+    )
+
+
+def _delta_update_attempt(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    from opencode_hive_archon_spark.sources.deltastats import prune_files
+
+    state = _snapshot_state(spark, table)
+    v = state["version"] + 1
+    cols = [f.name for f in state["schema"].fields]
+    unknown = [c for c in assignments if c not in cols]
+    if unknown:
+        raise DeltaProtocolError(
+            f"UPDATE SET names unknown column(s) {unknown} of {table}"
+        )
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "UPDATE",
+            "operationParameters": {
+                "predicate": predicate,
+                "set": json.dumps(assignments, sort_keys=True),
+            },
+        }
+    }]
+    candidates = prune_files(state, predicate) if state["files"] else []
+    hit_files = _find_hit_files(spark, table, state, pred, candidates)
+    if hit_files:
+        hit_state = dict(state, files=hit_files)
+        hit_rows = _read_state(spark, table, hit_state)
+        kept = hit_rows.filter(~pred)
+        updated = hit_rows.filter(pred).select(
+            *[
+                F.expr(assignments[c]).cast(
+                    state["schema"][c].dataType
+                ).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        # Kept rows satisfy the constraints by induction; re-evaluated
+        # rows must be re-checked.
+        _enforce_constraints(updated, state["meta"])
+        rewrite = kept.unionByName(updated)
+        actions.extend(
+            _stage_data_files(
+                rewrite, table, v, state["partition_columns"],
+                meta=state["meta"],
+            )
+        )
+        ts = _now_ms()
+        actions.extend(
+            {"remove": _remove_action(f, ts, True)} for f in hit_files
+        )
+    _commit(table, v, actions)
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
 def _dv_protocol_actions(state: dict) -> list[dict]:
     """Protocol-upgrade action for a table gaining its first DV, or []
     when the protocol already declares the feature."""
@@ -1718,40 +1852,7 @@ def _delta_delete_attempt(
         }
     }]
     candidates = prune_files(state, predicate) if state["files"] else []
-    plain_cands = [f for f in candidates if not f.get("deletionVector")]
-    dv_cands = [f for f in candidates if f.get("deletionVector")]
-    hit_files: list[dict] = []
-    if plain_cands:
-        cand_state = dict(state, files=plain_cands)
-        full = _read_state(spark, table, cand_state).withColumn(
-            "_file", F.input_file_name()
-        )
-        hit_uris = [
-            r["_file"]
-            for r in full.filter(pred).select("_file").distinct().collect()
-        ]
-        base = os.path.abspath(table)
-        hit_rel = set()
-        for uri in hit_uris:
-            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-            hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
-        hit_files.extend(
-            f for f in plain_cands if _rel_path(table, f["path"]) in hit_rel
-        )
-    if dv_cands:
-        # DV'd candidates: discovery via the row-index scan (live rows
-        # only), keyed by absolute path.
-        probe = _scan_with_row_index(spark, table, state, dv_cands)
-        hit_abs = {
-            r["_dv_fp"]
-            for r in probe.filter(pred).select("_dv_fp").distinct().collect()
-        }
-        hit_files.extend(
-            f for f in dv_cands
-            if os.path.abspath(
-                os.path.join(table, _rel_path(table, f["path"]))
-            ) in hit_abs
-        )
+    hit_files = _find_hit_files(spark, table, state, pred, candidates)
     if hit_files and not use_dv:
         # Copy-on-write: re-plan the rewrite scan over ONLY the hit
         # files — I/O proportional to what is rewritten, not the table.
@@ -2535,13 +2636,40 @@ def delta_vacuum(
             if os.path.exists(full):
                 os.remove(full)
                 deleted.append(rel)
+    # Deletion-vector files referenced by ANY retained incarnation (live
+    # adds, plus tombstones still inside the retention window — their
+    # versions stay time-travelable, so their DVs must stay readable).
+    dv_known = {
+        _decode_path(f["deletionVector"]["pathOrInlineDv"])
+        for f in state["files"]
+        if f.get("deletionVector")
+    } | {
+        _decode_path(t["deletionVector"]["pathOrInlineDv"])
+        for t in state["tombstones"]
+        if t.get("deletionVector")
+        and now - (t["deletionTimestamp"] or 0) < retain_ms
+    }
     for root, dirs, names in os.walk(table):
         dirs[:] = [d for d in dirs if d != LOG_DIR]
         for name in names:
-            if not name.endswith(".parquet"):
-                continue
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table).replace(os.sep, "/")
+            if name.startswith("deletion_vector_") and name.endswith(".bin"):
+                # Superseded DV payloads age out like tombstoned data
+                # files (same orphan-safety floor: an in-flight DV
+                # delete stages its bitmap before winning the commit).
+                if rel in dv_known:
+                    continue
+                try:
+                    age_ms = now - os.stat(full).st_mtime * 1000
+                except OSError:
+                    continue
+                if age_ms >= orphan_retain_ms:
+                    os.remove(full)
+                    deleted.append(rel)
+                continue
+            if not name.endswith(".parquet"):
+                continue
             if rel in known:
                 continue
             try:
@@ -3309,6 +3437,77 @@ ORDER BY change_type
 """
 
 
+UPD_SLICE_MOD = 4         # table = orders with o_orderkey ≡ 2 (mod 4)
+UPD_KEY_MOD = 10          # UPDATE rows with keys ≡ 3 (mod 10)
+
+
+def source_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE on the delta table: seed with a
+    deterministic orders slice across three banded files, update one key
+    class (price doubled, status rewritten) through the copy-on-write
+    UPDATE verb, and aggregate the final snapshot per status. The oracle
+    reconstructs the updated state relationally, so row-level UPDATE
+    semantics (matching rows re-evaluated, NULL-predicate rows kept,
+    non-hit files untouched) are hash-checked end to end.
+
+    Scale shape: stats-pruned hit discovery + rewrite of only the files
+    containing matching rows — an update that prunes to one partition
+    rewrites one partition."""
+    table = _demo_table(sf_dir, "upd", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % UPD_SLICE_MOD == 2)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        )
+        delta_write(
+            spark, base.repartitionByRange(3, "o_orderkey"), table
+        )
+        delta_update(
+            spark, table,
+            f"o_orderkey % {UPD_KEY_MOD} = 3",
+            {"o_totalprice": "o_totalprice * 2",
+             "o_orderstatus": "'U'"},
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        delta_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            _cents("o_totalprice").alias("price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_UPDATE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % {UPD_SLICE_MOD} = 2
+),
+updated AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {UPD_KEY_MOD} = 3
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % {UPD_KEY_MOD} = 3
+              THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+  FROM base
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM updated
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 DV_SLICE_MOD = 4          # table = orders with o_orderkey ≡ 1 (mod 4)
 DV_BANDS = ((0.0, 150_000.0), (150_000.0, 300_000.0),
             (300_000.0, 10_000_000.0))
@@ -3521,5 +3720,12 @@ SPECS = [
         "Deletion vectors (reader 3): two merge-on-read DELETEs mark row "
         "indexes instead of rewriting files — file count and DV "
         "cardinality pinned, live rows and stats-only count hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_update", source_delta_update,
+        _ORACLE_UPDATE, "sources",
+        "UPDATE SET/WHERE on the delta table: stats-pruned hit discovery, "
+        "copy-on-write rewrite of only matching files, re-evaluated rows "
+        "constraint-checked, final snapshot hash-checked",
     ),
 ]

@@ -214,7 +214,9 @@ def test_r16_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    aged = sorted(n for n in outside if latest.get(n, 0) < 13)
+    # 0 = registered so late in the round the window was already pinned
+    # (source_delta_update) — no evidence to age; next rotation takes it.
+    aged = sorted(n for n in outside if 0 < latest.get(n, 0) < 13)
     assert not aged, f"queries outside the window with pre-r13 evidence: {aged}"
 
 
@@ -375,6 +377,7 @@ _CENSUS = [
     "source_delta_null_skipping",
     "source_delta_stats_skipping",
     "source_delta_string_skipping",
+    "source_delta_update",
     "source_partitioned_pruning",
     "source_roundtrip_formats",
     "source_schema_evolution",

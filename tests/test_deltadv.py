@@ -259,3 +259,31 @@ def test_dv_streams_refuse_dv_commits(spark, tmp_path):
             q.awaitTermination()
     finally:
         q.stop()
+
+
+def test_dv_vacuum_sweeps_superseded_dv_files(spark, tmp_path):
+    """A superseded DV payload (older incarnation's bitmap) is reclaimed
+    once past retention + the orphan safety floor; the LIVE DV survives
+    any retention setting."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 8", use_dv=True)
+    dl.delta_delete(spark, tbl, "k = 1", use_dv=True)  # supersedes DV 1
+    dvs = [n for n in os.listdir(tbl) if n.startswith("deletion_vector_")]
+    assert len(dvs) == 2
+    live_dv = dl._decode_path(
+        dl._snapshot_state(spark, tbl)["files"][0]["deletionVector"][
+            "pathOrInlineDv"
+        ]
+    )
+    # Age everything past the orphan floor, then vacuum with zero
+    # retention: the superseded DV goes, the live one stays.
+    for n in dvs:
+        os.utime(os.path.join(tbl, n), (0, 0))
+    deleted = dl.delta_vacuum(spark, tbl, retain_ms=0)
+    remaining = {
+        n for n in os.listdir(tbl) if n.startswith("deletion_vector_")
+    }
+    assert remaining == {live_dv}
+    assert any(d.startswith("deletion_vector_") for d in deleted)
+    assert sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect()) \
+        == [0, 2, 3, 4, 5, 6, 7]

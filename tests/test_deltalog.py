@@ -1522,3 +1522,53 @@ def test_cdf_stream_source_signed_sums_match_snapshot(spark, tmp_path):
         q2.stop()
     vs = {r["_commit_version"] for r in spark.table(sink2).collect()}
     assert vs == {2}
+
+
+def test_delta_update_semantics(spark, tmp_path):
+    """UPDATE SET/WHERE: matching rows re-evaluated, NULL-predicate rows
+    kept, non-hit files untouched, unknown SET columns refused."""
+    tbl = str(tmp_path / "t")
+    for lo, hi in ((0, 10), (10, 20)):
+        dl.delta_write(
+            spark,
+            spark.createDataFrame(
+                [(k, float(k)) for k in range(lo, hi)], "k long, val double"
+            ).repartition(1),
+            tbl, mode="append",
+        )
+    before = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    dl.delta_update(spark, tbl, "k >= 15", {"val": "val * 10 + k"})
+    snap = {r["k"]: r["val"] for r in dl.delta_snapshot(spark, tbl).collect()}
+    for k in range(20):
+        assert snap[k] == (k * 10.0 + k if k >= 15 else float(k)), k
+    after = {f["path"] for f in dl._snapshot_state(spark, tbl)["files"]}
+    assert len(before & after) == 1  # first band untouched
+    with pytest.raises(dl.DeltaProtocolError, match="unknown column"):
+        dl.delta_update(spark, tbl, "k = 0", {"nope": "1"})
+    # Update through a CHECK constraint: violating re-evaluation refused.
+    dl.delta_add_constraint(spark, tbl, "val_nonneg", "val >= 0")
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraint"):
+        dl.delta_update(spark, tbl, "k = 0", {"val": "-1.0"})
+    # The refused attempt burned a version but changed no rows.
+    snap2 = {r["k"]: r["val"] for r in dl.delta_snapshot(spark, tbl).collect()}
+    assert snap2 == snap
+
+
+def test_delta_update_over_dv_file_purges(spark, tmp_path):
+    """UPDATE on a DV'd file rewrites it: the DV's dead rows stay dead,
+    live matching rows re-evaluate, and the new file carries no DV."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, val double"
+        ).repartition(1),
+        tbl,
+    )
+    dl.delta_delete(spark, tbl, "k >= 8", use_dv=True)
+    dl.delta_update(spark, tbl, "k < 3", {"val": "val + 100"})
+    snap = {r["k"]: r["val"] for r in dl.delta_snapshot(spark, tbl).collect()}
+    assert sorted(snap) == list(range(8))
+    assert snap[0] == 100.0 and snap[2] == 102.0 and snap[5] == 5.0
+    state = dl._snapshot_state(spark, tbl)
+    assert all(not f.get("deletionVector") for f in state["files"])
