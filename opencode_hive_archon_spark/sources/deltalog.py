@@ -997,8 +997,20 @@ def _remove_action(f: dict, ts: int, data_change: bool) -> dict:
 
 
 def _norm_file_uri():
-    """_metadata.file_path ('file:/abs' or 'file:///abs') -> '/abs'."""
-    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    """_metadata.file_path -> plain absolute filesystem path.
+
+    The metadata column is a Hadoop Path URI: scheme prefix plus
+    PERCENT-ENCODED segments (a space arrives as %20; verified), so the
+    scheme strip alone would mismatch any table path containing an
+    encodable character — and a mismatched DV anti-join would silently
+    RESURRECT deleted rows. Decode: escape literal '+' first (url_decode
+    is form-decoding, which would turn it into a space), then url_decode
+    performs the pure percent-decode. Hadoop always %25-encodes a raw
+    '%', so the input is valid percent-encoding by construction."""
+    stripped = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    )
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def _scan_with_row_index(

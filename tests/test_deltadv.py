@@ -287,3 +287,25 @@ def test_dv_vacuum_sweeps_superseded_dv_files(spark, tmp_path):
     assert any(d.startswith("deletion_vector_") for d in deleted)
     assert sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect()) \
         == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_dv_table_path_with_special_chars(spark, tmp_path):
+    """_metadata.file_path percent-encodes (space -> %20, verified); a
+    mismatched DV anti-join would silently resurrect deleted rows, so a
+    table path with encodable characters must still apply its DVs."""
+    tbl = str(tmp_path / "dv table+dir" / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ).repartition(1),
+        tbl,
+    )
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(7))
+    assert dl.delta_count(spark, tbl) == 7
+    dl.delta_delete(spark, tbl, "k = 2", use_dv=True)  # discovery probe leg
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 3, 4, 5, 6]
+    feed = dl.delta_changes(spark, tbl, 0, 2).collect()
+    assert sorted(r["k"] for r in feed if r["_change_type"] == "delete") \
+        == [2, 7, 8, 9]
