@@ -973,7 +973,14 @@ def _dv_read(table: str, descriptor: dict | None) -> set[int]:
             f"{DV_STORAGE_LOCAL!r} (roaring formats are the documented "
             "swap at _dv_read/_dv_write)"
         )
-    with open(_dv_path(table, descriptor), "rb") as fh:
+    full = _dv_path(table, descriptor)
+    if not os.path.exists(full):
+        raise DeltaProtocolError(
+            f"deletion vector {descriptor['pathOrInlineDv']} of {table} "
+            "is missing — vacuumed past retention; this version is only "
+            "available as a snapshot diff"
+        )
+    with open(full, "rb") as fh:
         payload = fh.read()
     (n,) = struct.unpack_from("<Q", payload, 0)
     return set(struct.unpack_from(f"<{n}Q", payload, 8))

@@ -309,3 +309,17 @@ def test_dv_table_path_with_special_chars(spark, tmp_path):
     feed = dl.delta_changes(spark, tbl, 0, 2).collect()
     assert sorted(r["k"] for r in feed if r["_change_type"] == "delete") \
         == [2, 7, 8, 9]
+
+
+def test_dv_scan_plan_shape(spark, tmp_path):
+    """The DV read plans as a BROADCAST anti-join on (file, row_index) —
+    never a shuffled join — and the predicate still reaches the parquet
+    scan as a PushedFilter on the surviving files."""
+    tbl = _mk(spark, tmp_path, n=100, parts=1)
+    dl.delta_delete(spark, tbl, "k >= 90", use_dv=True)
+    df = ds.delta_scan(spark, tbl, "k >= 10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10" in plan
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(10, 90))
