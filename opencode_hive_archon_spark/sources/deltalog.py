@@ -164,6 +164,14 @@ def _rel_path(table: str, action_path: str) -> str:
     return dec
 
 
+def _abs_path(table: str, action_path: str) -> str:
+    """Absolute filesystem path of an action's `path` field. A SHALLOW
+    CLONE's adds store absolute paths (outside the table root), which
+    os.path.join resolves as-is; table-relative paths resolve under the
+    root as usual."""
+    return os.path.abspath(os.path.join(table, _rel_path(table, action_path)))
+
+
 class DeltaConcurrentCommit(RuntimeError):
     """Another writer committed this version first (spec: the transaction
     must re-read the log and retry or abort)."""
@@ -1478,6 +1486,70 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
     return v
 
 
+def delta_clone(
+    spark: SparkSession,
+    source_table: str,
+    target_table: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: create `target_table` as a zero-copy view of the
+    source snapshot — one metadata commit whose add actions reference
+    the source's live data files (and deletion vectors) by ABSOLUTE
+    path. No bytes move: cloning a 100 TB table costs one file-list
+    walk. The clone then diverges copy-on-write — DELETE/UPDATE/MERGE/
+    OPTIMIZE stage their rewrites under the clone's own root and merely
+    de-reference the source files, VACUUM never deletes outside the
+    clone's root (the clone owns references, not bytes), and the source
+    is never affected by anything the clone does. Partitioned sources
+    are refused (the clone's scan would need a multi-root basePath —
+    documented extension); time travel on the clone sees clone history
+    only, starting at this commit."""
+    src = _snapshot_state(spark, source_table, version)
+    if src["partition_columns"]:
+        raise DeltaProtocolError(
+            "shallow clone of a PARTITIONED table is not supported "
+            f"(partitionColumns={src['partition_columns']}); the clone "
+            "scan would need a multi-root basePath"
+        )
+    if _list_log(target_table, _VERSION_RE) or _any_checkpoint_versions(
+        target_table
+    ):
+        raise DeltaProtocolError(
+            f"clone target already a delta table: {target_table}"
+        )
+    os.makedirs(target_table, exist_ok=True)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "CLONE",
+            "operationParameters": {
+                "source": os.path.abspath(source_table),
+                "sourceVersion": str(src["version"]),
+            },
+        }
+    }]
+    actions.append({"protocol": src["protocol"]})
+    actions.append({"metaData": dict(
+        src["meta"],
+        id=str(uuid.uuid4()),
+        name=os.path.basename(target_table.rstrip("/")),
+        createdTime=_now_ms(),
+    )})
+    for f in src["files"]:
+        nf = dict(f, path=_encode_path(_abs_path(source_table, f["path"])))
+        dv = f.get("deletionVector")
+        if dv:
+            nf["deletionVector"] = dict(
+                dv,
+                pathOrInlineDv=_encode_path(
+                    os.path.abspath(_dv_path(source_table, dv))
+                ),
+            )
+        actions.append({"add": nf})
+    _commit(target_table, 0, actions)
+    return 0
+
+
 def delta_count(spark: SparkSession, table: str, version: int | None = None) -> int:
     """COUNT(*) from add-action stats alone — zero data files read. A
     foreign writer may omit stats (they are optional in the spec); only
@@ -1700,17 +1772,20 @@ def _find_hit_files(
         full = _read_state(spark, table, cand_state).withColumn(
             "_file", F.input_file_name()
         )
-        hit_uris = [
-            r["_file"]
-            for r in full.filter(pred).select("_file").distinct().collect()
-        ]
-        base = os.path.abspath(table)
-        hit_rel = set()
-        for uri in hit_uris:
-            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-            hit_rel.add(os.path.relpath(p, base).replace(os.sep, "/"))
+        # Absolute-path matching (not table-relative): a shallow clone's
+        # adds point OUTSIDE the table root, where relpath arithmetic
+        # would never match and a DELETE would silently miss them.
+        hit_abs = {
+            os.path.abspath(
+                urllib.parse.unquote(urllib.parse.urlparse(u).path)
+            )
+            for u in (
+                r["_file"]
+                for r in full.filter(pred).select("_file").distinct().collect()
+            )
+        }
         hit_files.extend(
-            f for f in plain_cands if _rel_path(table, f["path"]) in hit_rel
+            f for f in plain_cands if _abs_path(table, f["path"]) in hit_abs
         )
     if dv_cands:
         probe = _scan_with_row_index(spark, table, state, dv_cands)
@@ -1719,10 +1794,7 @@ def _find_hit_files(
             for r in probe.filter(pred).select("_dv_fp").distinct().collect()
         }
         hit_files.extend(
-            f for f in dv_cands
-            if os.path.abspath(
-                os.path.join(table, _rel_path(table, f["path"]))
-            ) in hit_abs
+            f for f in dv_cands if _abs_path(table, f["path"]) in hit_abs
         )
     return hit_files
 
@@ -2044,20 +2116,18 @@ def _delta_merge_attempt(
         with_file = _read_state(spark, table, cand_state).withColumn(
             "_file", F.input_file_name()
         )
-        hit_uris = [
-            r["_file"]
-            for r in with_file.join(source.select(*on), on, "left_semi")
-            .select("_file").distinct().collect()
-        ]
-        base = os.path.abspath(table)
-        hit_rel = {
-            os.path.relpath(
-                urllib.parse.unquote(urllib.parse.urlparse(u).path), base
-            ).replace(os.sep, "/")
-            for u in hit_uris
+        hit_abs = {
+            os.path.abspath(
+                urllib.parse.unquote(urllib.parse.urlparse(u).path)
+            )
+            for u in (
+                r["_file"]
+                for r in with_file.join(source.select(*on), on, "left_semi")
+                .select("_file").distinct().collect()
+            )
         }
         hit_files.extend(
-            f for f in plain_cands if _rel_path(table, f["path"]) in hit_rel
+            f for f in plain_cands if _abs_path(table, f["path"]) in hit_abs
         )
     if hit_files:
         hit_state = dict(state, files=hit_files)
@@ -2646,12 +2716,19 @@ def delta_vacuum(
         for form in (_decode_path(t["path"]), t["path"])
     }
     deleted: list[str] = []
+    root = os.path.abspath(table) + os.sep
     for t in state["tombstones"]:
         rel = _rel_path(table, t["path"])
         if rel in live:
             continue
         if now - (t["deletionTimestamp"] or 0) >= retain_ms:
             full = os.path.join(table, rel)
+            if not os.path.abspath(full).startswith(root):
+                # A shallow clone's tombstone points at the SOURCE
+                # table's storage — VACUUM never deletes outside its own
+                # root (delta semantics: the clone owns references, not
+                # bytes).
+                continue
             if os.path.exists(full):
                 os.remove(full)
                 deleted.append(rel)
@@ -3456,6 +3533,85 @@ ORDER BY change_type
 """
 
 
+CLONE_SLICE_MOD = 4       # source = orders with o_orderkey ≡ 3 (mod 4)
+CLONE_DEL_MOD = 5         # clone-side DELETE: keys ≡ 0 (mod 5)
+CLONE_BANDS = ((0.0, 150_000.0), (150_000.0, 300_000.0),
+               (300_000.0, 10_000_000.0))
+
+
+def source_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence: seed a three-file source, clone it
+    (zero bytes copied — the clone's v0 references the source files by
+    absolute path; n_cloned_files pinned), then DELETE on the CLONE.
+    The one result row aggregates BOTH tables: the source must be
+    byte-identically intact (its aggregate equals the full slice) while
+    the clone reflects the delete — isolation hash-checked in both
+    directions against a relational reconstruction.
+
+    Scale shape: the clone commit is a file-list walk (metadata-sized at
+    any table size); the clone's delete rewrites only the files with
+    matching rows, under the clone's own root."""
+    table = _demo_table(sf_dir, "clonesrc", "orders.parquet")
+    clone = _demo_table(sf_dir, "clonetgt", "orders.parquet")
+    marker = os.path.join(clone, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(clone, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % CLONE_SLICE_MOD == 3)
+            .select("o_orderkey", "o_totalprice")
+        )
+        for lo, hi in CLONE_BANDS:
+            band = base.filter(
+                (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+            ).repartition(1)
+            delta_write(spark, band, table, mode="append")
+        delta_clone(spark, table, clone)
+        delta_delete(spark, clone, f"o_orderkey % {CLONE_DEL_MOD} = 0")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n_cloned = sum(
+        1 for f in _snapshot_state(spark, clone, version=0)["files"]
+    )
+    src_agg = delta_snapshot(spark, table).agg(
+        F.count(F.lit(1)).alias("src_rows"),
+        F.sum("o_orderkey").alias("src_key_sum"),
+        _cents("o_totalprice").alias("src_price_cents"),
+    )
+    clone_agg = delta_snapshot(spark, clone).agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("o_orderkey").alias("clone_key_sum"),
+        _cents("o_totalprice").alias("clone_price_cents"),
+    )
+    return src_agg.crossJoin(clone_agg).select(
+        F.lit(n_cloned).alias("n_cloned_files"),
+        "src_rows", "src_key_sum", "src_price_cents",
+        "clone_rows", "clone_key_sum", "clone_price_cents",
+    )
+
+
+_ORACLE_CLONE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % {CLONE_SLICE_MOD} = 3
+)
+SELECT {len(CLONE_BANDS)} AS n_cloned_files,
+       count(*) AS src_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS src_key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS src_price_cents,
+       count(CASE WHEN o_orderkey % {CLONE_DEL_MOD} <> 0 THEN 1 END)
+         AS clone_rows,
+       CAST(sum(CASE WHEN o_orderkey % {CLONE_DEL_MOD} <> 0
+                     THEN o_orderkey END) AS BIGINT) AS clone_key_sum,
+       CAST(sum(CASE WHEN o_orderkey % {CLONE_DEL_MOD} <> 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS clone_price_cents
+FROM base
+"""
+
+
 UPD_SLICE_MOD = 4         # table = orders with o_orderkey ≡ 2 (mod 4)
 UPD_KEY_MOD = 10          # UPDATE rows with keys ≡ 3 (mod 10)
 
@@ -3746,5 +3902,12 @@ SPECS = [
         "UPDATE SET/WHERE on the delta table: stats-pruned hit discovery, "
         "copy-on-write rewrite of only matching files, re-evaluated rows "
         "constraint-checked, final snapshot hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_clone", source_delta_clone,
+        _ORACLE_CLONE, "sources",
+        "Shallow clone: zero-copy table from a source snapshot via "
+        "absolute-path adds, then clone-side DELETE — bidirectional "
+        "isolation hash-checked, cloned file count pinned",
     ),
 ]

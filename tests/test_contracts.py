@@ -372,6 +372,7 @@ _CENSUS = [
     "source_delta_cdf_update_images",
     "source_delta_change_feed",
     "source_delta_checkpoint_log",
+    "source_delta_clone",
     "source_delta_deletion_vectors",
     "source_delta_merge_upsert",
     "source_delta_null_skipping",

@@ -1572,3 +1572,66 @@ def test_delta_update_over_dv_file_purges(spark, tmp_path):
     assert snap[0] == 100.0 and snap[2] == 102.0 and snap[5] == 5.0
     state = dl._snapshot_state(spark, tbl)
     assert all(not f.get("deletionVector") for f in state["files"])
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """SHALLOW CLONE: zero bytes copied (no parquet under the clone
+    root), content identical at clone time, then both tables diverge
+    independently — clone mutations never touch source storage (VACUUM
+    included), source mutations never reach the clone."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(2), src)
+    dl.delta_delete(spark, src, "k = 9", use_dv=True)  # source has a DV
+    dl.delta_clone(spark, src, tgt)
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(9))
+    assert dl.delta_count(spark, tgt) == 9  # stats (and DV) cloned
+    assert not [n for n in os.listdir(tgt) if n.endswith(".parquet")]
+    # Clone-side delete rewrites LOCALLY and de-references source files.
+    dl.delta_delete(spark, tgt, "k >= 7")
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(7))
+    assert _ks(dl.delta_snapshot(spark, src)) == list(range(9))
+    # VACUUM on the clone must never delete outside its own root.
+    dl.delta_vacuum(spark, tgt, retain_ms=0)
+    assert _ks(dl.delta_snapshot(spark, src)) == list(range(9))
+    # Source-side append is invisible to the clone.
+    dl.delta_write(
+        spark,
+        spark.createDataFrame([(100, "x")], "k long, g string"),
+        src, mode="append",
+    )
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(7))
+    # UPDATE and MERGE reach external files through abs-path discovery.
+    dl.delta_update(spark, tgt, "k = 0", {"g": "'updated'"})
+    got = {r["k"]: r["g"] for r in dl.delta_snapshot(spark, tgt).collect()}
+    assert got[0] == "updated" and got[1] == "a"
+
+
+def test_shallow_clone_refusals(spark, tmp_path):
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    dl.delta_write(spark, _df(spark, 0, 10, "a"), src, partition_by=["g"])
+    with pytest.raises(dl.DeltaProtocolError, match="PARTITIONED"):
+        dl.delta_clone(spark, src, tgt)
+    src2 = str(tmp_path / "src2")
+    dl.delta_write(spark, _df(spark, 0, 5), src2)
+    dl.delta_clone(spark, src2, tgt)
+    with pytest.raises(dl.DeltaProtocolError, match="already a delta table"):
+        dl.delta_clone(spark, src2, tgt)
+
+
+def test_shallow_clone_time_travel_and_checkpoint(spark, tmp_path):
+    """The clone's history starts at its own v0; checkpointing the clone
+    preserves the absolute add paths through replay."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), src)
+    dl.delta_clone(spark, src, tgt)
+    for b in range(1, 6):  # enough commits to cross CHECKPOINT_INTERVAL
+        dl.delta_write(
+            spark,
+            spark.createDataFrame([(100 + b, "x")], "k long, g string"),
+            tgt, mode="append",
+        )
+    assert dl._snapshot_state(spark, tgt)["checkpoint_version"] is not None
+    assert _ks(dl.delta_snapshot(spark, tgt, version=0)) == list(range(10))
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(10)) + [
+        101, 102, 103, 104, 105
+    ]
