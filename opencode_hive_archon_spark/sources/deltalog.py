@@ -1536,7 +1536,15 @@ def delta_clone(
         createdTime=_now_ms(),
     )})
     for f in src["files"]:
-        nf = dict(f, path=_encode_path(_abs_path(source_table, f["path"])))
+        # dataChange forced TRUE: a source file written by OPTIMIZE
+        # carries dataChange:false, but for the CLONE these rows are new
+        # content — a change-feed consumer skipping them would miss the
+        # whole table.
+        nf = dict(
+            f,
+            path=_encode_path(_abs_path(source_table, f["path"])),
+            dataChange=True,
+        )
         dv = f.get("deletionVector")
         if dv:
             nf["deletionVector"] = dict(

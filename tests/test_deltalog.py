@@ -1635,3 +1635,18 @@ def test_shallow_clone_time_travel_and_checkpoint(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(10)) + [
         101, 102, 103, 104, 105
     ]
+
+
+def test_shallow_clone_of_optimized_source_feeds_cdf(spark, tmp_path):
+    """A source file written by OPTIMIZE carries dataChange:false; the
+    clone must force TRUE on its adds or a change-feed consumer would
+    skip the whole table."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    for lo, hi in ((0, 5), (5, 10)):
+        dl.delta_write(spark, _df(spark, lo, hi).repartition(1), src,
+                       mode="append")
+    assert dl.delta_optimize(spark, src, target_bytes=1 << 30) is not None
+    dl.delta_clone(spark, src, tgt)
+    feed = dl.delta_changes(spark, tgt, -1, 0)
+    assert sorted(r["k"] for r in feed.collect()) == list(range(10))
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
