@@ -323,3 +323,30 @@ def test_dv_scan_plan_shape(spark, tmp_path):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10" in plan
     got = sorted(r["k"] for r in df.collect())
     assert got == list(range(10, 90))
+
+
+def test_dv_delete_on_shallow_clone_external_file(spark, tmp_path):
+    """use_dv=True on a CLONE: the external data file stays untouched,
+    the bitmap lands under the CLONE's root, and the source is
+    unaffected."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ).repartition(1),
+        src,
+    )
+    dl.delta_clone(spark, src, tgt)
+    dl.delta_delete(spark, tgt, "k >= 7", use_dv=True)
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(7))
+    assert _ks(dl.delta_snapshot(spark, src)) == list(range(10))
+    state = dl._snapshot_state(spark, tgt)
+    f = state["files"][0]
+    assert f["deletionVector"]["cardinality"] == 3
+    # The bitmap lives under the clone, the data under the source.
+    assert os.path.exists(
+        os.path.join(tgt, dl._decode_path(f["deletionVector"]["pathOrInlineDv"]))
+    )
+    assert dl._abs_path(tgt, f["path"]).startswith(os.path.abspath(src))
+    assert dl.delta_count(spark, tgt) == 7
