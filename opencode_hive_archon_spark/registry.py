@@ -59,42 +59,41 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-16 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
-# after the r15 snapshot the stalest evidence is the r12-aged set. Slots:
-#   (a) ALL 35 queries whose latest driver row is r12 (derived from the
-#       committed CORRECTNESS_r01..r15 artifacts — the recall/scenario
-#       reference family, text analysis, plan-diff, early TPC-H,
-#       reshape, UDF trio, stream_mv_maintenance);
-#   (b) 5 slots for the queries REGISTERED this round (null/string data
-#       skipping, row-granular MERGE CDF, log-tailing CDF MV stream,
-#       deletion vectors) — new code outranks evidence age;
-#   (c) 10 slots: the alphabetically-first r13-aged entries for
-#       determinism.
-# After this round the max driver-row age anywhere in the registry is r13.
+# ROUND-17 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
+# after the r16 snapshot the stalest evidence is the r13-aged set, plus two
+# queries with NO driver row at all (VERDICT r16 / ADVICE: the late-r16
+# registrations source_delta_update and source_delta_clone missed the r16
+# window). Slots:
+#   (a) 2 never-driver-checked queries — zero evidence outranks any age;
+#   (b) ALL 40 queries whose latest driver row is r13 (derived from the
+#       committed CORRECTNESS_r01..r16 artifacts — the dedup ladder,
+#       streaming family, multimodal, reshape/set ops, remaining TPC-H);
+#   (c) 8 slots for queries REGISTERED this round (r17 delta-protocol
+#       work: spec DV codec, partitioned clone, OCC conflict matrix,
+#       CDF stream rate limiting, DV-aware OPTIMIZE) — new code
+#       outranks evidence age.
+# After this round the max driver-row age anywhere in the registry is r14.
 _PRIORITY = [
-    # (a) every query whose latest driver row is r12
-    "join_range_bucketed", "join_shuffle", "local_supplier_volume",
-    "multimodal_decode", "pivot_lineitem_status", "plan_diff_extract",
-    "plan_diff_metrics", "pricing_summary", "promo_revenue_share",
-    "q21_waiting_suppliers", "recall_compat", "recall_envelope",
-    "recall_envelope_reranked", "recall_multi_provider_merge",
-    "recall_summary_branch", "rollup_orders", "scan_project_filter",
-    "scenario_forced_branches", "scenario_replay", "scenario_tag_filter",
-    "similarity_join_labels", "similarity_topk", "stream_mv_maintenance",
-    "text_fingerprint", "text_lang_profile", "text_langid",
-    "text_quality_score", "text_repetition_stats",
-    "text_rolling_fingerprint", "text_token_count", "text_token_stats",
-    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
-    "window_rank_topk_per_group",
-    # (b) queries registered this round (delta skipping + CDF + DV)
-    "source_delta_null_skipping", "source_delta_string_skipping",
-    "source_delta_cdf_update_images", "stream_delta_cdf_mv",
-    "source_delta_deletion_vectors",
-    # (c) r13 re-gates: alphabetically-first r13-aged entries
-    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
-    "array_ops_embeddings", "catalog_roundtrip", "corpus_decontaminate",
-    "corpus_dedup_pipeline", "corpus_domain_cap", "corpus_span_dedup",
-    "corpus_train_val_split",
+    # (a) never driver-checked (registered after the r16 window was cut)
+    "source_delta_update", "source_delta_clone",
+    # (b) every query whose latest driver row is r13
+    "cube_events", "dedup_clusters", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_near", "dedup_ngram_jaccard", "dedup_simhash",
+    "grouping_sets_orders", "join_asof_pandas", "join_outer_coalesce",
+    "join_semi_anti", "json_extract_events", "multimodal_decode_arrow",
+    "multimodal_join", "multimodal_meta_profile", "multimodal_resize_plan",
+    "plan_diff_extracted_metrics", "q18_large_orders",
+    "q3_shipping_priority", "recall_graph_khop", "scalar_string_date_math",
+    "scalar_subquery_orders", "set_ops", "sort_multi_limit",
+    "source_bucketed_join", "source_partitioned_pruning",
+    "sql_pricing_summary", "stream_dedup", "stream_foreachbatch_sink",
+    "stream_late_data", "stream_session_windows", "stream_sliding_avg",
+    "stream_stateful_user_stats", "stream_static_join",
+    "stream_stream_join", "stream_tumbling_counts", "text_rarity_score",
+    "unpivot_lineitem_status", "window_moving_avg", "window_running",
+    # (c) queries registered this round (r17 delta-protocol work) are
+    # appended here as they land, up to 8; any overflow past slot 50
+    # waits for the r18 window.
 ]
 
 

@@ -218,10 +218,44 @@ def parse_skipping_predicate(text: str):
 _HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _atom_can_match(col: str, op: str, lit, add: dict) -> bool:
+def _string_typed_cols(meta: dict | None) -> frozenset[str]:
+    """Names (logical AND physical, so the set works both before and
+    after `_rename_atoms`) of top-level STRING-typed columns, from the
+    metaData schemaString. Empty when the schema is unavailable — which
+    makes every string-literal partition comparison fall back to "keep
+    the file" (sound)."""
+    if not meta or not meta.get("schemaString"):
+        return frozenset()
+    out: set[str] = set()
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields", [])
+    except (ValueError, TypeError):
+        return frozenset()
+    for field in fields:
+        if field.get("type") == "string":
+            out.add(field["name"])
+            md = field.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if phys:
+                out.add(phys)
+    return frozenset(out)
+
+
+def _atom_can_match(
+    col: str, op: str, lit, add: dict, string_cols: frozenset = frozenset()
+) -> bool:
     """Could `col op lit` be true for ANY row of this file? Partition
     values are exact (every row shares them); data columns use the
-    footer [min, max]; anything unresolvable keeps the file."""
+    footer [min, max]; anything unresolvable keeps the file.
+
+    `string_cols` names the columns the table schema declares as STRING:
+    a string literal compared against a partition column is evaluated
+    lexicographically ONLY when the column is string-typed. For any
+    other type Spark CASTS before comparing (``p < '10'`` with partition
+    value ``'9'`` on an int column is 9 < 10 = true, but '9' < '10' is
+    lexicographically false), so a raw string compare would skip files
+    that contain matching rows — those columns fall through to the
+    numeric parse of the partition value, or keep the file."""
     pv = add.get("partitionValues") or {}
     if col in pv:
         raw = pv[col]
@@ -231,12 +265,32 @@ def _atom_can_match(col: str, op: str, lit, add: dict) -> bool:
             # comparison atom.
             return False
         if isinstance(lit, str):
-            # Partition values are stored as strings; compare directly
-            # (code-point order == Spark's binary collation).
-            return {
-                "<": raw < lit, "<=": raw <= lit, ">": raw > lit,
-                ">=": raw >= lit, "=": raw == lit, "!=": raw != lit,
-            }[op]
+            if col not in string_cols:
+                # String literal vs a non-string (or unknown-typed)
+                # partition column: Spark compares post-cast, not
+                # lexicographically. If the literal parses as a number,
+                # compare numerically (mirrors Spark's string↔numeric
+                # coercion); otherwise conservatively keep the file.
+                try:
+                    lit = int(lit)
+                except (TypeError, ValueError):
+                    try:
+                        lit = float(lit)
+                    except (TypeError, ValueError):
+                        return True
+                if isinstance(lit, float) and math.isnan(lit):
+                    # A NaN literal compares under Spark's NaN-greatest
+                    # order, not Python's all-False — keep the file
+                    # rather than model that rarity here.
+                    return True
+            else:
+                # Partition values are stored as strings; compare
+                # directly (code-point order == Spark's binary
+                # collation).
+                return {
+                    "<": raw < lit, "<=": raw <= lit, ">": raw > lit,
+                    ">=": raw >= lit, "=": raw == lit, "!=": raw != lit,
+                }[op]
         try:
             # int first (exact at any magnitude), float only for
             # decimal-shaped values.
@@ -340,17 +394,17 @@ def _null_can_match(col: str, neg: bool, add: dict) -> bool:
     return nc > 0  # IS NULL: any null row?
 
 
-def _can_match(node, add: dict) -> bool:
+def _can_match(node, add: dict, string_cols: frozenset = frozenset()) -> bool:
     kind = node[0]
     if kind == "and":
-        return all(_can_match(b, add) for b in node[1])
+        return all(_can_match(b, add, string_cols) for b in node[1])
     if kind == "or":
-        return any(_can_match(b, add) for b in node[1])
+        return any(_can_match(b, add, string_cols) for b in node[1])
     if kind == "null":
         _, col, neg = node
         return _null_can_match(col, neg, add)
     _, col, op, lit = node
-    return _atom_can_match(col, op, lit, add)
+    return _atom_can_match(col, op, lit, add, string_cols)
 
 
 def _rename_atoms(node, mapping: dict[str, str]):
@@ -374,7 +428,8 @@ def prune_files(state: dict, predicate: str) -> list[dict]:
         return list(state["files"])
     if _mapping_enabled(state.get("meta")):
         node = _rename_atoms(node, _physical_map(state["meta"]))
-    return [f for f in state["files"] if _can_match(node, f)]
+    string_cols = _string_typed_cols(state.get("meta"))
+    return [f for f in state["files"] if _can_match(node, f, string_cols)]
 
 
 def prune_files_by_key_bounds(

@@ -138,70 +138,69 @@ class TestBranchProperties:
 #          images, log-tailing CDF MV stream) + 11 r13 re-gates
 #          (alphabetically first). After r16 the max driver-row age is
 #          r13.
+#   r17:   the 2 queries with NO driver row at all (source_delta_update /
+#          source_delta_clone, registered after the r16 window was cut;
+#          ADVICE r16 #3) + ALL 40 queries whose latest driver row is
+#          r13 + up to 8 slots for round-17 registrations. After r17 the
+#          max driver-row age is r14.
 
-# Every query whose LATEST driver correctness row is r12 — derived from
-# the committed CORRECTNESS_r01..r15 artifacts (max round containing each
-# name), not hand-maintained intuition. All 35 must be in the r16 window
-# so no r12-aged evidence survives the round.
-_R16_STALE_R12: set[str] = {
-    "join_range_bucketed", "join_shuffle", "local_supplier_volume",
-    "multimodal_decode", "pivot_lineitem_status", "plan_diff_extract",
-    "plan_diff_metrics", "pricing_summary", "promo_revenue_share",
-    "q21_waiting_suppliers", "recall_compat", "recall_envelope",
-    "recall_envelope_reranked", "recall_multi_provider_merge",
-    "recall_summary_branch", "rollup_orders", "scan_project_filter",
-    "scenario_forced_branches", "scenario_replay", "scenario_tag_filter",
-    "similarity_join_labels", "similarity_topk", "stream_mv_maintenance",
-    "text_fingerprint", "text_lang_profile", "text_langid",
-    "text_quality_score", "text_repetition_stats",
-    "text_rolling_fingerprint", "text_token_count", "text_token_stats",
-    "udaf_grouped_normalize", "udf_scalar_clamp", "udtf_explode_tokens",
-    "window_rank_topk_per_group",
-}
-
-# The 15 remaining slots: 5 for the queries REGISTERED this round (the
-# delta skipping/CDF/deletion-vector extensions — zero driver evidence
-# outranks evidence age), then r13 re-gates filled alphabetically for
-# determinism.
-_R16_REGATES: set[str] = {
-    # registered in round 16
-    "source_delta_null_skipping", "source_delta_string_skipping",
-    "source_delta_cdf_update_images", "stream_delta_cdf_mv",
-    "source_delta_deletion_vectors",
-    # r13 re-gates (alphabetically first r13-aged entries)
-    "agg_approx_distinct", "agg_approx_quantile_error", "agg_distinct",
-    "array_ops_embeddings", "catalog_roundtrip", "corpus_decontaminate",
-    "corpus_dedup_pipeline", "corpus_domain_cap", "corpus_span_dedup",
-    "corpus_train_val_split",
-}
+# The 42 pinned r17 slots: 2 never-driver-checked queries, then every
+# query whose LATEST driver correctness row is r13 — derived from the
+# committed CORRECTNESS_r01..r16 artifacts (max round containing each
+# name), not hand-maintained intuition.
+_R17_PINNED: list[str] = [
+    "source_delta_update", "source_delta_clone",
+    "cube_events", "dedup_clusters", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_near", "dedup_ngram_jaccard", "dedup_simhash",
+    "grouping_sets_orders", "join_asof_pandas", "join_outer_coalesce",
+    "join_semi_anti", "json_extract_events", "multimodal_decode_arrow",
+    "multimodal_join", "multimodal_meta_profile", "multimodal_resize_plan",
+    "plan_diff_extracted_metrics", "q18_large_orders",
+    "q3_shipping_priority", "recall_graph_khop", "scalar_string_date_math",
+    "scalar_subquery_orders", "set_ops", "sort_multi_limit",
+    "source_bucketed_join", "source_partitioned_pruning",
+    "sql_pricing_summary", "stream_dedup", "stream_foreachbatch_sink",
+    "stream_late_data", "stream_session_windows", "stream_sliding_avg",
+    "stream_stateful_user_stats", "stream_static_join",
+    "stream_stream_join", "stream_tumbling_counts", "text_rarity_score",
+    "unpivot_lineitem_status", "window_moving_avg", "window_running",
+]
 
 
 def test_priority_window_contents():
-    """Round-16 rotation pin: the window is exactly 50 deep, carries EVERY
-    query whose latest driver row is r12, and fills the rest with pinned
-    re-gates. A query registered during round 16 must be added BOTH here
-    and to the window, or this test fails naming it."""
+    """Round-17 rotation pin: the window starts with the 42 pinned slots
+    (2 never-checked + all 40 r13-aged), and every slot beyond them is a
+    round-17 registration with no prior driver evidence. A query
+    registered during round 17 must be appended to _PRIORITY (capacity
+    permitting) or deliberately left for the r18 window."""
+    import glob
+    import json
+    import re
+
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
-    assert len(_PRIORITY) == 50
+    assert 42 <= len(_PRIORITY) <= 50
+    assert _PRIORITY[:42] == _R17_PINNED
     specs = all_specs()
-    window = list(specs)[:50]
+    window = list(specs)[: len(_PRIORITY)]
     assert window == _PRIORITY
-    missing = _R16_STALE_R12 - set(window)
-    assert not missing, f"r12-aged queries outside the r16 window: {missing}"
-    # Every remaining slot is an explicitly pinned re-gate or new query.
-    extra = set(window) - _R16_STALE_R12
-    assert extra <= _R16_REGATES, (
-        f"window slots that are neither r12-aged nor pinned re-gates: "
-        f"{sorted(extra - _R16_REGATES)}"
+    # Slots past the pinned 42 must be NEW this round — no driver row in
+    # any committed artifact.
+    seen: set[str] = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        seen |= set(json.load(open(p)))
+    stale_extras = [n for n in _PRIORITY[42:] if n in seen]
+    assert not stale_extras, (
+        f"non-new queries occupying r17 new-registration slots: "
+        f"{stale_extras}"
     )
 
 
-def test_r16_window_is_oldest_evidence_first():
+def test_r17_window_is_oldest_evidence_first():
     """The rotation CLAIM, checked against the artifacts of record: every
-    registry query outside the r16 window has a driver row in
-    CORRECTNESS_r13..r15 — i.e. after this round's snapshot lands, no
-    driver evidence anywhere is older than r13."""
+    registry query outside the r17 window has a driver row in
+    CORRECTNESS_r14..r16 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r14."""
     import glob
     import json
     import re
@@ -214,10 +213,8 @@ def test_r16_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    # 0 = registered so late in the round the window was already pinned
-    # (source_delta_update) — no evidence to age; next rotation takes it.
-    aged = sorted(n for n in outside if 0 < latest.get(n, 0) < 13)
-    assert not aged, f"queries outside the window with pre-r13 evidence: {aged}"
+    aged = sorted(n for n in outside if latest.get(n, 99) < 14)
+    assert not aged, f"queries outside the window with pre-r14 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff

@@ -45,7 +45,10 @@ def test_dv_delete_matches_copy_on_write(spark, tmp_path):
     assert {f["path"] for f in state_a["files"]} == before_a  # no rewrite
     dv = state_a["files"][0]["deletionVector"]
     assert dv["cardinality"] == 3
-    assert dv["storageType"] == dl.DV_STORAGE_LOCAL
+    # r17: spec storage — a 'u' descriptor naming a version-1 DV file.
+    assert dv["storageType"] == "u"
+    assert dv["offset"] == 1  # first entry, right after the version byte
+    assert os.path.getsize(dl._dv_path(a, dv)) == 1 + 4 + dv["sizeInBytes"] + 4
     assert json.loads(state_a["files"][0]["stats"])["tightBounds"] is False
     # count comes from stats minus cardinality — no data read.
     assert dl.delta_count(spark, a) == 7
@@ -86,9 +89,16 @@ def test_dv_foreign_storage_type_fails_loudly(spark, tmp_path):
     state = dl._snapshot_state(spark, tbl)
     f = dict(state["files"][0])
     f["deletionVector"] = dict(
-        f["deletionVector"], storageType="u", pathOrInlineDv="ab%cd"
+        f["deletionVector"], storageType="x", pathOrInlineDv="ab%cd"
     )
     with pytest.raises(dl.DeltaProtocolError, match="storageType"):
+        dl._read_state(spark, tbl, dict(state, files=[f])).collect()
+    # A 'u' descriptor whose pathOrInlineDv can't carry a z85 UUID is
+    # malformed, not silently unreadable.
+    f["deletionVector"] = dict(
+        f["deletionVector"], storageType="u", pathOrInlineDv="ab%cd"
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="malformed"):
         dl._read_state(spark, tbl, dict(state, files=[f])).collect()
 
 
@@ -270,10 +280,11 @@ def test_dv_vacuum_sweeps_superseded_dv_files(spark, tmp_path):
     dl.delta_delete(spark, tbl, "k = 1", use_dv=True)  # supersedes DV 1
     dvs = [n for n in os.listdir(tbl) if n.startswith("deletion_vector_")]
     assert len(dvs) == 2
-    live_dv = dl._decode_path(
-        dl._snapshot_state(spark, tbl)["files"][0]["deletionVector"][
-            "pathOrInlineDv"
-        ]
+    live_dv = os.path.basename(
+        dl._dv_path(
+            tbl,
+            dl._snapshot_state(spark, tbl)["files"][0]["deletionVector"],
+        )
     )
     # Age everything past the orphan floor, then vacuum with zero
     # retention: the superseded DV goes, the live one stays.
@@ -345,8 +356,94 @@ def test_dv_delete_on_shallow_clone_external_file(spark, tmp_path):
     f = state["files"][0]
     assert f["deletionVector"]["cardinality"] == 3
     # The bitmap lives under the clone, the data under the source.
-    assert os.path.exists(
-        os.path.join(tgt, dl._decode_path(f["deletionVector"]["pathOrInlineDv"]))
-    )
+    dv_file = dl._dv_path(tgt, f["deletionVector"])
+    assert os.path.exists(dv_file)
+    assert os.path.abspath(dv_file).startswith(os.path.abspath(tgt))
     assert dl._abs_path(tgt, f["path"]).startswith(os.path.abspath(src))
     assert dl.delta_count(spark, tgt) == 7
+
+
+def test_dv_wide_delete_built_on_executors(spark, tmp_path, monkeypatch):
+    """r17 (VERDICT r16 #3): a wide low-selectivity DV delete — >10^6
+    dead rows — builds its bitmaps per-file on EXECUTORS; the driver
+    handles descriptors only. Pinned by forbidding driver-side
+    _dv_write during the delete (executor calls run in worker
+    processes, invisible to the patch) and by the result itself."""
+    tbl = str(tmp_path / "t")
+    n = 1_200_000
+    dl.delta_write(
+        spark,
+        spark.range(0, n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).repartition(4),
+        tbl,
+    )
+
+    def _driver_dv_write_forbidden(table, indexes):
+        raise AssertionError("DV bitmap built driver-side")
+
+    monkeypatch.setattr(dl, "_dv_write", _driver_dv_write_forbidden)
+    v = dl.delta_delete(spark, tbl, "k >= 100000", use_dv=True)
+    monkeypatch.undo()
+    assert v == 1
+    state = dl._snapshot_state(spark, tbl)
+    assert sum(
+        f["deletionVector"]["cardinality"]
+        for f in state["files"]
+        if f.get("deletionVector")
+    ) == n - 100000
+    assert dl.delta_count(spark, tbl) == 100000
+    snap = dl.delta_snapshot(spark, tbl)
+    assert snap.count() == 100000
+    assert snap.agg(F.max("k")).collect()[0][0] == 99999
+    # Descriptors are spec 'u' files with verifiable checksums.
+    for f in state["files"]:
+        d = f.get("deletionVector")
+        if d:
+            assert d["storageType"] == "u"
+            from opencode_hive_archon_spark.sources import dvformat
+            data = dvformat.read_dv_entry(
+                dl._dv_path(tbl, d), d["offset"], d["sizeInBytes"]
+            )
+            assert len(
+                dvformat.deserialize_roaring_bitmap_array(data)
+            ) == d["cardinality"]
+
+
+def test_dv_aware_optimize_rewrites_mostly_dead_file(spark, tmp_path):
+    """r17 (VERDICT r16 #8): OPTIMIZE selects on LIVE bytes — a big file
+    that is 90% dead under its DV is rewritten (DV purged, dataChange:
+    false), and the snapshot content is byte-identical before/after."""
+    tbl = str(tmp_path / "t")
+    n = 50_000
+    dl.delta_write(
+        spark,
+        spark.range(0, n).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("s"),
+        ).repartition(1),
+        tbl,
+    )
+    f0 = dl._snapshot_state(spark, tbl)["files"][0]
+    dl.delta_delete(spark, tbl, "k >= 5000", use_dv=True)  # 90% dead
+    before = sorted(
+        (r["k"], r["s"]) for r in dl.delta_snapshot(spark, tbl).collect()
+    )
+    # target_bytes far below the file's PHYSICAL size: the pre-r17
+    # selector (physical size >= target -> skip) would never pick it;
+    # live-bytes selection + the purge ratio must.
+    assert f0["size"] > 64 * 1024
+    v = dl.delta_optimize(spark, tbl, target_bytes=64 * 1024)
+    assert v is not None
+    state = dl._snapshot_state(spark, tbl)
+    assert all(not f.get("deletionVector") for f in state["files"])
+    assert {f["path"] for f in state["files"]}.isdisjoint({f0["path"]})
+    after = sorted(
+        (r["k"], r["s"]) for r in dl.delta_snapshot(spark, tbl).collect()
+    )
+    assert after == before
+    # Invisible to the change feed (dataChange: false end to end).
+    assert dl.delta_changes(spark, tbl, v - 1, v).count() == 0
+    # And the physical bytes actually shrank (dead rows dropped).
+    new_bytes = sum(f["size"] for f in state["files"])
+    assert new_bytes < f0["size"] / 2

@@ -1607,15 +1607,58 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
 
 
 def test_shallow_clone_refusals(spark, tmp_path):
-    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
-    dl.delta_write(spark, _df(spark, 0, 10, "a"), src, partition_by=["g"])
-    with pytest.raises(dl.DeltaProtocolError, match="PARTITIONED"):
-        dl.delta_clone(spark, src, tgt)
     src2 = str(tmp_path / "src2")
+    tgt = str(tmp_path / "tgt")
     dl.delta_write(spark, _df(spark, 0, 5), src2)
     dl.delta_clone(spark, src2, tgt)
     with pytest.raises(dl.DeltaProtocolError, match="already a delta table"):
         dl.delta_clone(spark, src2, tgt)
+
+
+def test_shallow_clone_partitioned_source(spark, tmp_path):
+    """r17: a PARTITIONED source clones zero-copy — partition columns
+    resolve through per-root basePath scans; partition-pruned reads,
+    copy-on-write divergence and VACUUM isolation all hold."""
+    from opencode_hive_archon_spark.sources import deltastats as ds
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("long").alias("bucket"),
+    ).repartition(3)
+    dl.delta_write(spark, df, src, partition_by=["bucket"])
+    dl.delta_clone(spark, src, tgt)
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(30))
+    # Zero bytes copied.
+    assert not [
+        n for _, _, ns in os.walk(tgt) for n in ns if n.endswith(".parquet")
+    ]
+    # Partition values survive the multi-root read, and partition
+    # pruning still works on the clone.
+    got = sorted(
+        r["k"] for r in ds.delta_scan(spark, tgt, "bucket = 1").collect()
+    )
+    assert got == [k for k in range(30) if k % 3 == 1]
+    total, scanned = ds.delta_scan_accounting(spark, tgt, "bucket = 1")
+    assert scanned < total
+    # Copy-on-write divergence: the clone's DELETE rewrites ONLY the hit
+    # partitions LOCALLY (hive layout under the clone root), and mixed
+    # internal/external partitioned scans stay correct.
+    dl.delta_delete(spark, tgt, "k >= 27")
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(27))
+    assert _ks(dl.delta_snapshot(spark, src)) == list(range(30))
+    assert [
+        n for _, _, ns in os.walk(tgt) for n in ns if n.endswith(".parquet")
+    ]
+    got = {
+        (r["k"], r["bucket"])
+        for r in dl.delta_snapshot(spark, tgt).collect()
+    }
+    assert got == {(k, k % 3) for k in range(27)}
+    # VACUUM on the clone never reaches into the source.
+    dl.delta_vacuum(spark, tgt, retain_ms=0)
+    assert _ks(dl.delta_snapshot(spark, src)) == list(range(30))
+    assert _ks(dl.delta_snapshot(spark, tgt)) == list(range(27))
 
 
 def test_shallow_clone_time_travel_and_checkpoint(spark, tmp_path):
@@ -1650,3 +1693,103 @@ def test_shallow_clone_of_optimized_source_feeds_cdf(spark, tmp_path):
     feed = dl.delta_changes(spark, tgt, -1, 0)
     assert sorted(r["k"] for r in feed.collect()) == list(range(10))
     assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+
+def test_cdf_stream_rate_limited_multi_batch(spark, tmp_path):
+    """r17: maxFilesPerTrigger drains a burst of commits in BOUNDED
+    micro-batches; the MV-style signed aggregate is batching-invariant,
+    so the rate-limited result equals the unlimited one exactly."""
+    import pyspark.sql.functions as SF
+
+    tbl = str(tmp_path / "t")
+    for i in range(6):  # 6 commits, 1 change file each
+        dl.delta_write(
+            spark,
+            spark.createDataFrame(
+                [(i * 10 + j, float(i)) for j in range(5)],
+                "k long, v double",
+            ).repartition(1),
+            tbl, mode="append",
+        )
+    dl.delta_delete(spark, tbl, "k < 10")  # fully-dead file: 1 remove
+    spark.dataSource.register(dl.DeltaCdfStreamSource)
+    sink = f"cdf_rl_{abs(hash(tbl)) % 10**8}"
+    q = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", tbl)
+        .option("maxFilesPerTrigger", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    feed = spark.table(sink)
+    # >= 4 non-empty batches (9 change files / 2 per trigger).
+    assert n_batches >= 4
+    sign = SF.when(SF.col("_change_type") == "insert", 1).otherwise(-1)
+    got = feed.agg(
+        SF.sum(sign).alias("n"), SF.sum(sign * SF.col("v")).alias("sv")
+    ).collect()[0]
+    snap = dl.delta_snapshot(spark, tbl).agg(
+        SF.count(SF.lit(1)).alias("n"), SF.sum("v").alias("sv")
+    ).collect()[0]
+    assert got["n"] == snap["n"]
+    assert abs(got["sv"] - snap["sv"]) < 1e-9
+    # Every served version is complete (no commit torn ACROSS the final
+    # state) and all 7 data-changing commits flowed.
+    assert {r["_commit_version"] for r in feed.collect()} == set(range(7))
+
+
+def test_cdf_stream_partitioned_table(spark, tmp_path):
+    """r17: a PARTITIONED table streams through delta_cdf_stream with
+    its partition columns injected from partitionValues — values, types
+    and signed aggregates all match the snapshot."""
+    import pyspark.sql.functions as SF
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(30)],
+        "k long, bucket long, v double",
+    ).repartition(3)
+    dl.delta_write(spark, df, tbl, partition_by=["bucket"])
+    dl.delta_delete(spark, tbl, "k >= 24")
+    spark.dataSource.register(dl.DeltaCdfStreamSource)
+    sink = f"cdf_part_{abs(hash(tbl)) % 10**8}"
+    q = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = spark.table(sink)
+    assert dict(feed.dtypes)["bucket"] == "bigint"
+    sign = SF.when(SF.col("_change_type") == "insert", 1).otherwise(-1)
+    got = {
+        r["bucket"]: (r["n"], r["sv"])
+        for r in feed.groupBy("bucket").agg(
+            SF.sum(sign).alias("n"),
+            SF.sum(sign * SF.col("v")).alias("sv"),
+        ).collect()
+    }
+    want = {
+        r["bucket"]: (r["n"], r["sv"])
+        for r in dl.delta_snapshot(spark, tbl).groupBy("bucket").agg(
+            SF.count(SF.lit(1)).alias("n"), SF.sum("v").alias("sv")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][0] == want[b][0]
+        assert abs(got[b][1] - want[b][1]) < 1e-9
