@@ -94,6 +94,9 @@ _PRIORITY = [
     # (c) queries registered this round (r17 delta-protocol work) are
     # appended here as they land, up to 8; any overflow past slot 50
     # waits for the r18 window.
+    "source_delta_clone_partitioned", "source_delta_optimize_dv",
+    "source_delta_dv_clone_interop", "stream_delta_cdf_mv_ratelimited",
+    "stream_delta_cdf_partitioned",
 ]
 
 

@@ -4344,6 +4344,252 @@ ORDER BY commit_version, change_type
 """
 
 
+PCLONE_SLICE_MOD = 4      # source = orders with o_orderkey ≡ 0 (mod 4)
+PCLONE_DEL_MOD = 6        # clone-side DELETE: keys ≡ 0 (mod 6)
+
+
+def source_delta_clone_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHALLOW CLONE of a PARTITIONED source (r17, VERDICT r16 #4):
+    the source is hive-partitioned by o_orderpriority (five values, one
+    of them containing a space — the dir-encoding path is exercised);
+    the clone's scan groups its absolute-path adds per derived root and
+    plans one basePath scan per root, so partition columns resolve for
+    external and clone-local files alike. A clone-side DELETE then
+    rewrites only the hit partitions LOCALLY; the result joins source
+    and clone per-partition aggregates, hash-checking both that the
+    source is intact and that the clone reflects exactly the delete.
+
+    Scale shape: the clone commit is still a metadata walk; the mixed
+    scan adds O(#roots) plan nodes (2 here), never O(#files)."""
+    table = _demo_table(sf_dir, "pclonesrc", "orders.parquet")
+    clone = _demo_table(sf_dir, "pclonetgt", "orders.parquet")
+    marker = os.path.join(clone, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(clone, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % PCLONE_SLICE_MOD == 0)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        )
+        delta_write(
+            spark,
+            base.repartitionByRange(2, "o_orderkey"),
+            table,
+            partition_by=["o_orderpriority"],
+        )
+        delta_clone(spark, table, clone)
+        delta_delete(spark, clone, f"o_orderkey % {PCLONE_DEL_MOD} = 0")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    src_agg = (
+        delta_snapshot(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("src_rows"))
+    )
+    clone_agg = (
+        delta_snapshot(spark, clone)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("clone_rows"),
+            F.sum("o_orderkey").alias("clone_key_sum"),
+            _cents("o_totalprice").alias("clone_price_cents"),
+        )
+    )
+    return (
+        src_agg.join(clone_agg, "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_PCLONE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderkey % {PCLONE_SLICE_MOD} = 0
+)
+SELECT o_orderpriority,
+       count(*) AS src_rows,
+       count(CASE WHEN o_orderkey % {PCLONE_DEL_MOD} <> 0 THEN 1 END)
+         AS clone_rows,
+       CAST(sum(CASE WHEN o_orderkey % {PCLONE_DEL_MOD} <> 0
+                     THEN o_orderkey END) AS BIGINT) AS clone_key_sum,
+       CAST(sum(CASE WHEN o_orderkey % {PCLONE_DEL_MOD} <> 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS clone_price_cents
+FROM base
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+OPTDV_SLICE_MOD = 3       # table = orders with o_orderkey ≡ 0 (mod 3)
+OPTDV_KEEP_MOD = 10       # DV delete keeps ONLY keys ≡ 7 (mod 10): 90% dead
+
+
+def source_delta_optimize_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-aware OPTIMIZE (r17, VERDICT r16 #8): a single-file table is
+    90%-killed by a merge-on-read DELETE, leaving a big file whose
+    PHYSICAL size never qualifies for compaction — selection on LIVE
+    bytes (and the 0.05 dead-ratio purge rule) rewrites it anyway,
+    purging the deletion vector under dataChange:false. Pinned: one
+    live file, zero DV cardinality, an EMPTY change feed across the
+    OPTIMIZE commit; the live rows hash-check against the relational
+    reconstruction.
+
+    Scale shape: merge-on-read debt is repaid file-by-file — each
+    rewrite reads one file's live rows, never the table."""
+    table = _demo_table(sf_dir, "optdv", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % OPTDV_SLICE_MOD == 0)
+            .select("o_orderkey", "o_totalprice")
+        )
+        delta_write(spark, base.repartition(1), table)
+        delta_delete(
+            spark, table,
+            f"o_orderkey % {OPTDV_KEEP_MOD} != 7", use_dv=True,
+        )
+        v = delta_optimize(spark, table)  # default 128 MiB target
+        assert v == 2, f"optimize did not run (v={v})"
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    state = _snapshot_state(spark, table)
+    n_files = len(state["files"])
+    dv_card = sum(
+        (f.get("deletionVector") or {}).get("cardinality", 0)
+        for f in state["files"]
+    )
+    n_feed = delta_changes(spark, table, 1, 2).count()
+    return delta_snapshot(spark, table).agg(
+        F.lit(n_files).alias("n_files"),
+        F.lit(dv_card).alias("dv_cardinality"),
+        F.lit(n_feed).alias("optimize_feed_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+
+
+_ORACLE_OPTDV = f"""
+WITH live AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % {OPTDV_SLICE_MOD} = 0
+    AND o_orderkey % {OPTDV_KEEP_MOD} = 7
+)
+SELECT 1 AS n_files,
+       0 AS dv_cardinality,
+       0 AS optimize_feed_rows,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM live
+"""
+
+
+DVC_SLICE_MOD = 5         # table = orders with o_orderkey ≡ 2 (mod 5)
+DVC_SRC_DEL_MOD = 7       # source DV delete: keys ≡ 0 (mod 7)
+DVC_CLONE_DEL_MOD = 2     # clone DV delete: keys ≡ 0 (mod 2) — hits all files
+
+
+def source_delta_dv_clone_interop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spec DV storage types composing across a SHALLOW CLONE (r17):
+    a DV delete on the SOURCE writes 'u' (UUID-named spec DV files);
+    the clone re-references them as 'p' (absolute path); a DV delete on
+    the CLONE then reads the 'p' bytes, unions in its own dead rows,
+    and writes fresh 'u' files under the clone's root — the full
+    u -> p -> u protocol round-trip a real Delta reader performs.
+    Pinned: every storage type at each stage; source and clone live
+    aggregates hash-check against the relational reconstruction (the
+    source must NOT see the clone's delete).
+
+    Scale shape: each stage is descriptor metadata + cardinality-
+    proportional bitmap bytes; no data file is ever rewritten."""
+    table = _demo_table(sf_dir, "dvcsrc", "orders.parquet")
+    clone = _demo_table(sf_dir, "dvctgt", "orders.parquet")
+    marker = os.path.join(clone, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(clone, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % DVC_SLICE_MOD == 2)
+            .select("o_orderkey", "o_totalprice")
+        )
+        delta_write(spark, base.repartitionByRange(2, "o_orderkey"), table)
+        delta_delete(
+            spark, table, f"o_orderkey % {DVC_SRC_DEL_MOD} = 0", use_dv=True
+        )
+        delta_clone(spark, table, clone)
+        delta_delete(
+            spark, clone, f"o_orderkey % {DVC_CLONE_DEL_MOD} = 0",
+            use_dv=True,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    def _storages(state: dict) -> set[str]:
+        return {
+            f["deletionVector"]["storageType"]
+            for f in state["files"]
+            if f.get("deletionVector")
+        }
+
+    src_u = int(_storages(_snapshot_state(spark, table)) == {"u"})
+    clone_v0_p = int(
+        _storages(_snapshot_state(spark, clone, version=0)) == {"p"}
+    )
+    clone_head_u = int(_storages(_snapshot_state(spark, clone)) == {"u"})
+    src_agg = delta_snapshot(spark, table).agg(
+        F.count(F.lit(1)).alias("src_rows"),
+        F.sum("o_orderkey").alias("src_key_sum"),
+    )
+    clone_agg = delta_snapshot(spark, clone).agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("o_orderkey").alias("clone_key_sum"),
+        _cents("o_totalprice").alias("clone_price_cents"),
+    )
+    return src_agg.crossJoin(clone_agg).select(
+        F.lit(src_u).alias("src_all_u"),
+        F.lit(clone_v0_p).alias("clone_v0_all_p"),
+        F.lit(clone_head_u).alias("clone_head_all_u"),
+        "src_rows", "src_key_sum",
+        "clone_rows", "clone_key_sum", "clone_price_cents",
+    )
+
+
+_ORACLE_DVC = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % {DVC_SLICE_MOD} = 2
+),
+src_live AS (
+  SELECT * FROM base WHERE o_orderkey % {DVC_SRC_DEL_MOD} <> 0
+),
+clone_live AS (
+  SELECT * FROM src_live WHERE o_orderkey % {DVC_CLONE_DEL_MOD} <> 0
+)
+SELECT 1 AS src_all_u,
+       1 AS clone_v0_all_p,
+       1 AS clone_head_all_u,
+       (SELECT count(*) FROM src_live) AS src_rows,
+       (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM src_live)
+         AS src_key_sum,
+       count(*) AS clone_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS clone_key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS clone_price_cents
+FROM clone_live
+"""
+
+
 SPECS = [
     QuerySpec(
         "source_delta_change_feed", source_delta_change_feed,
@@ -4400,5 +4646,29 @@ SPECS = [
         "Shallow clone: zero-copy table from a source snapshot via "
         "absolute-path adds, then clone-side DELETE — bidirectional "
         "isolation hash-checked, cloned file count pinned",
+    ),
+    QuerySpec(
+        "source_delta_clone_partitioned", source_delta_clone_partitioned,
+        _ORACLE_PCLONE, "sources",
+        "Shallow clone of a PARTITIONED source: per-root basePath scans "
+        "resolve partition columns for external and local files alike; "
+        "clone-side DELETE rewrites only hit partitions — per-partition "
+        "isolation hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_optimize_dv", source_delta_optimize_dv,
+        _ORACLE_OPTDV, "sources",
+        "DV-aware OPTIMIZE: a 90%-dead file qualifies on LIVE bytes and "
+        "is rewritten with its deletion vector purged under "
+        "dataChange:false — file count, DV cardinality and empty change "
+        "feed pinned, live rows hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_dv_clone_interop", source_delta_dv_clone_interop,
+        _ORACLE_DVC, "sources",
+        "Spec DV storage types across a shallow clone: source 'u' files "
+        "re-referenced as 'p', clone-side DV delete reads 'p' bytes and "
+        "writes fresh 'u' under the clone root — storage types pinned, "
+        "both tables hash-checked",
     ),
 ]

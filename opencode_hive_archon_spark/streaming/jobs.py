@@ -1278,7 +1278,9 @@ CDFMV_INS_MOD = 97                     # v3 MERGE: clone keys ≡0 (mod 97)
 CDFMV_INS_OFFSET = 10_000_000_000
 
 
-def stream_delta_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_delta_cdf_mv(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """MV maintenance fed by the DELTA LOG's change feed (VERDICT r15
     #4): where stream_mv_maintenance consumes a hand-built CDC directory,
     this job seeds the per-customer MV from a delta table's v0 snapshot
@@ -1386,16 +1388,32 @@ def stream_delta_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mv_merge_batch(bdf.sparkSession, mv_dir, delta, batch_id)
 
         spark.dataSource.register(DeltaCdfStreamSource)
-        q = (
+        reader = (
             spark.readStream.format("delta_cdf_stream")
             .option("path", table)
             .option("startingVersion", 0)
-            .load()
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
+        if max_files_per_trigger is not None:
+            # Rate-limited: (version, file) offsets cap each micro-batch
+            # at that many change files; the default micro-batch trigger
+            # (not availableNow) lets processAllAvailable drain the
+            # backlog across MULTIPLE bounded batches.
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+            writer = (
+                reader.load()
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+            )
+        else:
+            writer = (
+                reader.load()
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+            )
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:
@@ -1415,6 +1433,136 @@ def stream_delta_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def stream_delta_cdf_mv_ratelimited(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME log-tailing MV maintenance as stream_delta_cdf_mv, but
+    rate-limited to TWO change files per micro-batch
+    (maxFilesPerTrigger=2, r17): the burst of append/delete/merge
+    commits drains across many bounded batches instead of one, with
+    batch boundaries landing mid-commit (the seed commit alone spans
+    two batches). Sharing
+    stream_delta_cdf_mv's oracle string makes the driver's hash check a
+    PROOF of batching invariance — the signed-delta merge is
+    associative, so MV state cannot depend on where batch boundaries
+    fall, even mid-commit.
+
+    Scale shape: rate limiting bounds per-batch memory/shuffle at the
+    cost of more batches — the knob a 100 TB backlog catch-up needs."""
+    return stream_delta_cdf_mv(spark, sf_dir, max_files_per_trigger=2)
+
+
+CDFP_SLICE_MOD = 4        # table = orders with o_orderkey ≡ 3 (mod 4)
+CDFP_APPEND_MOD = 9       # appended clones: keys ≡ 0 (mod 9)
+CDFP_APPEND_OFFSET = 900_000_000
+CDFP_DELETE_FLOOR = 300_000.0
+
+
+def stream_delta_cdf_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDF streaming over a PARTITIONED delta table (r17): the
+    delta_cdf_stream source injects each change file's partition
+    column from its action's partitionValues as an Arrow constant
+    (remove actions carry partitionValues too, so delete-side rows are
+    attributed correctly). An append and a copy-on-write delete flow
+    through; the signed per-priority aggregate of the feed must equal
+    the full recompute of the mutated snapshot — carried rows cancel.
+
+    Scale shape: per batch the stream reads only the files the tailed
+    commits touched; partition injection is a constant column per Arrow
+    batch, no dir-name parsing, no Python row loop."""
+    from opencode_hive_archon_spark.sources.deltalog import (
+        DeltaCdfStreamSource,
+        delta_delete,
+        delta_write,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="cdfpart_stream_")
+    table = os.path.join(workdir, "tbl")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        s0 = orders.filter(F.col("o_orderkey") % CDFP_SLICE_MOD == 3)
+        delta_write(
+            spark, s0.repartition(2), table,
+            partition_by=["o_orderpriority"],
+        )
+        appended = s0.filter(
+            F.col("o_orderkey") % CDFP_APPEND_MOD == 0
+        ).select(
+            (F.col("o_orderkey") + F.lit(CDFP_APPEND_OFFSET))
+            .alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        delta_write(spark, appended.repartition(1), table, mode="append")
+        delta_delete(
+            spark, table, f"o_totalprice >= {CDFP_DELETE_FLOOR}"
+        )
+        spark.dataSource.register(DeltaCdfStreamSource)
+        sink = f"cdfpart_{uuid.uuid4().hex[:12]}"
+        q = (
+            spark.readStream.format("delta_cdf_stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        feed = spark.table(sink)
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        return (
+            feed.groupBy("o_orderpriority")
+            .agg(
+                F.sum(sign).alias("n_rows"),
+                F.sum(sign * F.col("o_orderkey")).alias("key_sum"),
+                F.sum(
+                    sign
+                    * F.round(F.col("o_totalprice") * F.lit(100))
+                    .cast("long")
+                ).alias("price_cents"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_ORACLE_CDFP = f"""
+WITH s0 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderkey % {CDFP_SLICE_MOD} = 3
+),
+t1 AS (
+  SELECT * FROM s0
+  UNION ALL
+  SELECT o_orderkey + {CDFP_APPEND_OFFSET}, o_totalprice, o_orderpriority
+  FROM s0 WHERE o_orderkey % {CDFP_APPEND_MOD} = 0
+),
+t2 AS (
+  SELECT * FROM t1 WHERE NOT (o_totalprice >= {CDFP_DELETE_FLOOR})
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM t2
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
 
 # Oracle: FULL RECOMPUTE of the per-customer view over the mutated
@@ -1498,6 +1646,20 @@ SPECS = [
               "append/delete/merge commits as signed deltas into the "
               "bucketed foreachBatch MV merge — oracle = full recompute "
               "of the mutated snapshot"),
+    QuerySpec("stream_delta_cdf_mv_ratelimited",
+              stream_delta_cdf_mv_ratelimited, _ORACLE_CDFMV,
+              "streaming",
+              "the same log-tailing MV maintenance rate-limited to TWO "
+              "change files per micro-batch (maxFilesPerTrigger) — "
+              "sharing the unlimited run's oracle hash-proves batching "
+              "invariance, boundaries falling mid-commit included"),
+    QuerySpec("stream_delta_cdf_partitioned", stream_delta_cdf_partitioned,
+              _ORACLE_CDFP,
+              "streaming",
+              "CDF streaming over a PARTITIONED delta table: partition "
+              "columns injected per change file from action "
+              "partitionValues (remove side included) — signed "
+              "per-partition aggregate equals full recompute"),
     QuerySpec("stream_dedup_ladder", stream_dedup_ladder, _ORACLE_DEDUP_LADDER,
               "streaming",
               "incremental exact-dedup ingest: watermarked duplicate-"

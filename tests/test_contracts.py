@@ -370,9 +370,12 @@ _CENSUS = [
     "source_delta_change_feed",
     "source_delta_checkpoint_log",
     "source_delta_clone",
+    "source_delta_clone_partitioned",
     "source_delta_deletion_vectors",
+    "source_delta_dv_clone_interop",
     "source_delta_merge_upsert",
     "source_delta_null_skipping",
+    "source_delta_optimize_dv",
     "source_delta_stats_skipping",
     "source_delta_string_skipping",
     "source_delta_update",
@@ -384,6 +387,8 @@ _CENSUS = [
     "sql_pricing_summary",
     "stream_dedup",
     "stream_delta_cdf_mv",
+    "stream_delta_cdf_mv_ratelimited",
+    "stream_delta_cdf_partitioned",
     "stream_foreachbatch_sink",
     "stream_late_data",
     "stream_dedup_ladder",
