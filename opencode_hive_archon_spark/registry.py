@@ -96,7 +96,7 @@ _PRIORITY = [
     # waits for the r18 window.
     "source_delta_clone_partitioned", "source_delta_optimize_dv",
     "source_delta_dv_clone_interop", "stream_delta_cdf_mv_ratelimited",
-    "stream_delta_cdf_partitioned",
+    "stream_delta_cdf_partitioned", "stream_delta_cdf_dv",
 ]
 
 

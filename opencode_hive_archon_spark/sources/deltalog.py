@@ -3384,7 +3384,10 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             return DeltaLogStreamReader(self.options["path"])
 
     class _DeltaCdfPartition(InputPartition):
-        def __init__(self, path: str, tag: str, version: int, part_cols):
+        def __init__(
+            self, path: str, tag: str, version: int, part_cols,
+            table: str | None = None, dv: dict | None = None,
+        ):
             self.path = path
             self.tag = tag
             self.version = version
@@ -3392,6 +3395,13 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             # — partition columns to inject (parquet files of a
             # partitioned table don't carry them).
             self.part_cols = part_cols
+            # Deletion-vector descriptor of THIS incarnation (r17): the
+            # executor filters the file's rows by position so only LIVE
+            # rows flow — serving live(old DV) as deletes and live(new
+            # DV) as inserts makes a DV supersede net out to exactly the
+            # newly-dead rows for an associative consumer.
+            self.table = table
+            self.dv = dv
 
     _PA_PART_TYPES = {
         "string", "long", "integer", "short", "byte",
@@ -3439,7 +3449,10 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         are served as Arrow record batches with the two tag columns
         appended — no Python row loop; a PARTITIONED table's partition
         columns are injected as Arrow constants from the action's
-        partitionValues (r17).
+        partitionValues (r17), and a DELETION-VECTOR incarnation is
+        served as its LIVE rows via a positional Arrow filter (r17) —
+        a DV supersede's delete+insert sides then cancel down to
+        exactly the newly-dead rows.
 
         Offsets are (version, file) positions, so `maxFilesPerTrigger`
         (r17) caps each micro-batch at that many CHANGE FILES — a burst
@@ -3525,21 +3538,6 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                         act = action.get(kind)
                         if not act or not act.get("dataChange", True):
                             continue
-                        if act.get("deletionVector"):
-                            # A DV action's live rows are physical minus
-                            # its bitmap; the Arrow partition reader
-                            # serves files verbatim, so a DV commit
-                            # flowing through would resurrect deleted
-                            # rows. Row-index filtering in the stream
-                            # reader is the documented extension; batch
-                            # delta_changes already serves DV commits
-                            # row-granularly.
-                            raise DeltaProtocolError(
-                                f"delta_cdf_stream does not support "
-                                f"deletion-vector commits (v{v} of "
-                                f"{self._table}); consume the batch "
-                                "change feed instead"
-                            )
                         out.append((tag, act))
             return out
 
@@ -3620,7 +3618,11 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                             (idx, name, ptype, pv.get(name))
                             for idx, name, ptype in self._part_inject
                         ]
-                    parts.append(_DeltaCdfPartition(full, tag, v, inject))
+                    parts.append(_DeltaCdfPartition(
+                        full, tag, v, inject,
+                        table=self._table,
+                        dv=act.get("deletionVector"),
+                    ))
             return parts
 
         def read(self, partition):  # executor-side
@@ -3628,6 +3630,25 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(partition.path)
+            if partition.dv:
+                # Merge-on-read: drop this incarnation's dead rows by
+                # POSITION (DV indexes are physical row positions; a
+                # whole-file read preserves them). Serving live rows per
+                # incarnation makes a DV supersede net out to exactly
+                # the newly-dead rows downstream.
+                from opencode_hive_archon_spark.sources import (
+                    deltalog as _dl,
+                )
+
+                dead = _dl._dv_read(partition.table, partition.dv)
+                if dead:
+                    import numpy as np
+
+                    mask = np.ones(tbl.num_rows, dtype=bool)
+                    hits = [i for i in dead if i < tbl.num_rows]
+                    if hits:
+                        mask[hits] = False
+                    tbl = tbl.filter(pa.array(mask))
             n = tbl.num_rows
             # Inject partition columns at their schema positions.
             for idx, name, ptype, raw in sorted(partition.part_cols):

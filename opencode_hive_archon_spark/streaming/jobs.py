@@ -1565,6 +1565,98 @@ ORDER BY o_orderpriority
 """
 
 
+CDFDV_SLICE_MOD = 6       # table = orders with o_orderkey ≡ 1 (mod 6)
+CDFDV_DEL1_MOD = 7        # first DV delete: keys ≡ 0 (mod 7)
+CDFDV_DEL2_MOD = 5        # second DV delete: keys ≡ 0 (mod 5) — supersedes
+
+
+def stream_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF streaming over DELETION-VECTOR commits (r17): two
+    merge-on-read DELETEs never rewrite a data file — each commit
+    supersedes (file, DV) incarnations — and the stream serves each
+    incarnation's LIVE rows via a positional Arrow filter, so the
+    delete+insert sides of a supersede cancel down to exactly the
+    newly-dead rows. The signed per-status aggregate of the whole feed
+    must equal the full recompute of the final snapshot.
+
+    Scale shape: per batch the stream reads the touched files once and
+    applies a positional mask — no row-index join, no Python row loop;
+    a wide DV delete streams as one masked re-read of its hit files."""
+    from opencode_hive_archon_spark.sources.deltalog import (
+        DeltaCdfStreamSource,
+        delta_delete,
+        delta_write,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="cdfdv_stream_")
+    table = os.path.join(workdir, "tbl")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        s0 = orders.filter(F.col("o_orderkey") % CDFDV_SLICE_MOD == 1)
+        delta_write(spark, s0.repartition(2), table)
+        delta_delete(
+            spark, table, f"o_orderkey % {CDFDV_DEL1_MOD} = 0", use_dv=True
+        )
+        delta_delete(
+            spark, table, f"o_orderkey % {CDFDV_DEL2_MOD} = 0", use_dv=True
+        )
+        spark.dataSource.register(DeltaCdfStreamSource)
+        sink = f"cdfdv_{uuid.uuid4().hex[:12]}"
+        q = (
+            spark.readStream.format("delta_cdf_stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        feed = spark.table(sink)
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        return (
+            feed.groupBy("o_orderstatus")
+            .agg(
+                F.sum(sign).alias("n_rows"),
+                F.sum(sign * F.col("o_orderkey")).alias("key_sum"),
+                F.sum(
+                    sign
+                    * F.round(F.col("o_totalprice") * F.lit(100))
+                    .cast("long")
+                ).alias("price_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_ORACLE_CDFDV = f"""
+WITH live AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % {CDFDV_SLICE_MOD} = 1
+    AND o_orderkey % {CDFDV_DEL1_MOD} <> 0
+    AND o_orderkey % {CDFDV_DEL2_MOD} <> 0
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM live
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # Oracle: FULL RECOMPUTE of the per-customer view over the mutated
 # snapshot, reconstructed relationally commit by commit (append -> delete
 # -> merge) — log-tailing delta-merge must equal it exactly.
@@ -1660,6 +1752,12 @@ SPECS = [
               "columns injected per change file from action "
               "partitionValues (remove side included) — signed "
               "per-partition aggregate equals full recompute"),
+    QuerySpec("stream_delta_cdf_dv", stream_delta_cdf_dv, _ORACLE_CDFDV,
+              "streaming",
+              "CDF streaming over DELETION-VECTOR commits: each "
+              "incarnation served as its live rows via a positional "
+              "Arrow filter, supersedes cancel to the newly-dead rows — "
+              "signed per-status aggregate equals full recompute"),
     QuerySpec("stream_dedup_ladder", stream_dedup_ladder, _ORACLE_DEDUP_LADDER,
               "streaming",
               "incremental exact-dedup ingest: watermarked duplicate-"

@@ -386,6 +386,7 @@ _CENSUS = [
     "source_zorder_layout",
     "sql_pricing_summary",
     "stream_dedup",
+    "stream_delta_cdf_dv",
     "stream_delta_cdf_mv",
     "stream_delta_cdf_mv_ratelimited",
     "stream_delta_cdf_partitioned",

@@ -250,25 +250,47 @@ def test_dv_partitioned_table(spark, tmp_path):
     assert got == [k for k in range(24) if k % 3 == 1]
 
 
-def test_dv_streams_refuse_dv_commits(spark, tmp_path):
+def test_dv_commits_flow_through_cdf_stream(spark, tmp_path):
+    """r17: the CDF stream serves a DV incarnation's LIVE rows (the
+    pre-r17 refusal removed) — two DV deletes net out to exactly the
+    newly-dead rows under signed accumulation, and the final signed
+    state equals the snapshot."""
     tbl = _mk(spark, tmp_path)
-    dl.delta_delete(spark, tbl, "k = 1", use_dv=True)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    dl.delta_delete(spark, tbl, "k = 2", use_dv=True)  # supersedes DV 1
     spark.dataSource.register(dl.DeltaCdfStreamSource)
     q = (
         spark.readStream.format("delta_cdf_stream")
         .option("path", tbl)
         .load()
         .writeStream.format("memory")
-        .queryName("dv_refuse_sink")
+        .queryName("dv_cdf_sink")
         .trigger(availableNow=True)
         .start()
     )
     try:
-        with pytest.raises(Exception, match="deletion-vector"):
-            q.processAllAvailable()
-            q.awaitTermination()
+        q.processAllAvailable()
     finally:
         q.stop()
+    feed = spark.table("dv_cdf_sink").collect()
+    # Net signed rows per key = final liveness; deleted keys net to 0.
+    net: dict[int, int] = {}
+    for r in feed:
+        net[r["k"]] = net.get(r["k"], 0) + (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert {k for k, n in net.items() if n == 1} == {0, 1, 3, 4, 5, 6}
+    assert all(n in (0, 1) for n in net.values())
+    # The v2 supersede nets to exactly the one newly-dead row (k=2):
+    # live(DV1) inserts minus live(DV2) deletes.
+    v2 = [r for r in feed if r["_commit_version"] == 2]
+    net2: dict[int, int] = {}
+    for r in v2:
+        net2[r["k"]] = net2.get(r["k"], 0) + (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert {k for k, n in net2.items() if n != 0} == {2}
+    assert net2[2] == -1
 
 
 def test_dv_vacuum_sweeps_superseded_dv_files(spark, tmp_path):
