@@ -3284,8 +3284,14 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
     )
 
     class _DeltaFilePartition(InputPartition):
-        def __init__(self, path: str):
+        def __init__(
+            self, path: str, part_cols=(),
+            table: str | None = None, dv: dict | None = None,
+        ):
             self.path = path
+            self.part_cols = part_cols
+            self.table = table
+            self.dv = dv
 
     class DeltaLogStreamReader(DataSourceStreamReader):
         """Tails the transaction log: offsets are commit versions; each
@@ -3293,10 +3299,20 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         in (start, end] — so appends/rewrites flow downstream while
         OPTIMIZE rearrangements are skipped, exactly the contract the
         dataChange flag exists for. Rows are served as Arrow record
-        batches straight from the parquet files (no Python row loop)."""
+        batches straight from the parquet files (no Python row loop); a
+        PARTITIONED table's partition columns are injected from
+        partitionValues, and a DV'd add serves its LIVE rows via a
+        positional filter (r17) — the same re-emit contract a
+        copy-on-write rewrite already has."""
 
         def __init__(self, table: str):
             self._table = table
+            try:
+                self._part_inject = DeltaCdfStreamReader._partition_injection(
+                    _peek_meta_fs(table)
+                )
+            except DeltaProtocolError:
+                self._part_inject = None
 
         def initialOffset(self) -> dict:
             return {"version": -1}
@@ -3321,28 +3337,50 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                         action = json.loads(line)
                         add = action.get("add")
                         if add and add.get("dataChange", True):
-                            if add.get("deletionVector"):
-                                # Verbatim Arrow serving would resurrect
-                                # the DV's deleted rows — refuse loudly
-                                # (row-index filtering in the stream
-                                # reader is the documented extension).
-                                raise DeltaProtocolError(
-                                    "delta_log_stream does not support "
-                                    f"deletion-vector commits (v{v} of "
-                                    f"{self._table})"
-                                )
+                            inject = []
+                            if self._part_inject is not None:
+                                pv = add.get("partitionValues") or {}
+                                inject = [
+                                    (idx, name, ptype, pv.get(name))
+                                    for idx, name, ptype
+                                    in self._part_inject
+                                ]
                             parts.append(_DeltaFilePartition(
                                 os.path.join(
                                     self._table,
                                     _rel_path(self._table, add["path"]),
-                                )
+                                ),
+                                part_cols=inject,
+                                table=self._table,
+                                dv=add.get("deletionVector"),
                             ))
             return parts
 
         def read(self, partition):  # executor-side
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            yield from pq.read_table(partition.path).to_batches()
+            tbl = pq.read_table(partition.path)
+            if partition.dv:
+                from opencode_hive_archon_spark.sources import (
+                    deltalog as _dl,
+                )
+
+                dead = _dl._dv_read(partition.table, partition.dv)
+                if dead:
+                    import numpy as np
+
+                    mask = np.ones(tbl.num_rows, dtype=bool)
+                    hits = [i for i in dead if i < tbl.num_rows]
+                    if hits:
+                        mask[hits] = False
+                    tbl = tbl.filter(pa.array(mask))
+            for idx, name, ptype, raw in sorted(partition.part_cols):
+                tbl = tbl.add_column(
+                    idx, name,
+                    _pa_partition_array(ptype, raw, tbl.num_rows),
+                )
+            yield from tbl.to_batches()
 
         def commit(self, end: dict) -> None:
             pass
@@ -3350,9 +3388,9 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
     class DeltaLogStreamSource(DataSource):
         """``spark.readStream.format("delta_log_stream")
         .option("path", table).load()`` — the read-side complement of
-        ``delta_stream_sink``. Unpartitioned tables only (partitioned
-        data files don't carry their partition columns; re-deriving them
-        per file is the documented extension)."""
+        ``delta_stream_sink``. Partitioned tables are served with their
+        partition columns injected from partitionValues (r17);
+        column-mapped tables remain refused."""
 
         @classmethod
         def name(cls) -> str:
@@ -3368,16 +3406,9 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                     "tables (physical-name translation is the documented "
                     "extension)"
                 )
-            if meta.get("partitionColumns"):
-                # Data files of a partitioned table don't carry their
-                # partition columns; re-deriving them per file is the
-                # documented extension. Fail HERE with a named reason,
-                # not executor-side with an Arrow column-count mismatch.
-                raise DeltaProtocolError(
-                    "delta_log_stream supports unpartitioned tables only "
-                    f"(table has partitionColumns="
-                    f"{list(meta['partitionColumns'])})"
-                )
+            # Validate partition-column injectability HERE, with a named
+            # reason — not executor-side with an Arrow type error.
+            DeltaCdfStreamReader._partition_injection(meta)
             return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
         def streamReader(self, schema) -> DeltaLogStreamReader:

@@ -256,14 +256,33 @@ def test_overwrite_with_new_schema_updates_metadata(spark, tmp_path):
     assert dl.delta_snapshot(spark, tbl, version=0).columns == ["k", "g"]
 
 
-def test_stream_source_rejects_partitioned_tables(spark, tmp_path):
+def test_stream_source_serves_partitioned_tables(spark, tmp_path):
+    """r17: the log stream injects partition columns from
+    partitionValues (the pre-r17 unpartitioned-only refusal removed)."""
     tbl = str(tmp_path / "t")
     dl.delta_write(spark, _df(spark, 0, 10, "a"), tbl, partition_by=["g"])
+    dl.delta_write(spark, _df(spark, 10, 15, "b"), tbl, mode="append")
     spark.dataSource.register(dl.DeltaLogStreamSource)
-    with pytest.raises(Exception, match="unpartitioned"):
-        spark.readStream.format("delta_log_stream").option(
-            "path", tbl
-        ).load()
+    q = (
+        spark.readStream.format("delta_log_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("part_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["k"], r["g"])
+        for r in spark.sql("SELECT k, g FROM part_tail").collect()
+    }
+    assert got == {(k, "a") for k in range(10)} | {
+        (k, "b") for k in range(10, 15)
+    }
 
 
 def test_change_feed_names_vacuumed_horizon(spark, tmp_path):
@@ -1793,3 +1812,31 @@ def test_cdf_stream_partitioned_table(spark, tmp_path):
     for b in want:
         assert got[b][0] == want[b][0]
         assert abs(got[b][1] - want[b][1]) < 1e-9
+
+
+def test_stream_source_serves_dv_adds_live_rows(spark, tmp_path):
+    """r17: a DV supersede's add (dataChange: true) re-emits its LIVE
+    rows only — the same re-emit contract a copy-on-write rewrite has;
+    deleted rows never flow."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    spark.dataSource.register(dl.DeltaLogStreamSource)
+    q = (
+        spark.readStream.format("delta_log_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["k"] for r in spark.sql("SELECT k FROM dv_tail").collect()
+    )
+    # v0 emits 0..9; v1's DV'd re-add emits survivors 0..6 again.
+    assert got == sorted(list(range(10)) + list(range(7)))
