@@ -1127,13 +1127,13 @@ def _scan_with_row_index(
     the positional hook real DV readers use). On the READ side the DV
     row lists are cardinality-bounded driver-side metadata (distributing
     the bitmap JOIN build is the documented 100 TB extension); the WRITE
-    side builds bitmaps per-file on executors (delete path, r17)."""
-    if _mapping_enabled(state.get("meta")):
-        raise DeltaProtocolError(
-            "deletion vectors on a column-mapped table are not supported "
-            "(physical-name translation of the row-index scan is the "
-            "documented extension)"
-        )
+    side builds bitmaps per-file on executors (delete path, r17).
+
+    Column-mapped tables (r17): the files carry PHYSICAL names — read
+    with the physical schema and project back to logical inside each
+    scan branch, exactly like `_read_paths` (the mapped+partitioned
+    combination stays refused there, so partition grouping never meets
+    mapping here)."""
     deleted: list[tuple[str, int]] = []
     paths = []
     for f in files:
@@ -1143,10 +1143,28 @@ def _scan_with_row_index(
         if dv:
             full = os.path.abspath(os.path.join(table, rel))
             deleted.extend((full, int(i)) for i in _dv_read(table, dv))
+    schema = state["schema"]
+    read_schema = schema
+    logical_cols = [F.col(f.name) for f in schema.fields]
+    if _mapping_enabled(state.get("meta")):
+        if state["partition_columns"]:
+            raise DeltaProtocolError(
+                "reading a column-mapped PARTITIONED table is not "
+                f"supported (partitionColumns="
+                f"{state['partition_columns']})"
+            )
+        phys = _physical_map(state["meta"])
+        read_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ])
+        logical_cols = [
+            F.col(phys[f.name]).alias(f.name) for f in schema.fields
+        ]
     df = _read_parquet_grouped(
-        spark, state["schema"], table, state, paths,
+        spark, read_schema, table, state, paths,
         project=lambda d: d.select(
-            "*",
+            *logical_cols,
             _norm_file_uri().alias("_dv_fp"),
             F.col("_metadata.row_index").alias("_dv_ri"),
         ),

@@ -469,3 +469,31 @@ def test_dv_aware_optimize_rewrites_mostly_dead_file(spark, tmp_path):
     # And the physical bytes actually shrank (dead rows dropped).
     new_bytes = sum(f["size"] for f in state["files"])
     assert new_bytes < f0["size"] / 2
+
+
+def test_dv_on_column_mapped_table(spark, tmp_path):
+    """r17: deletion vectors compose with column mapping (the pre-r17
+    refusal removed) — the row-index scan reads physical names and
+    projects back to logical, so a DV DELETE on a renamed column's
+    table serves the right rows under the right names."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k * 10)) for k in range(10)], "k long, v double"
+        ).repartition(1),
+        tbl,
+    )
+    dl.delta_enable_column_mapping(spark, tbl)
+    dl.delta_rename_column(spark, tbl, "v", "price")
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    snap = dl.delta_snapshot(spark, tbl)
+    assert set(snap.columns) == {"k", "price"}
+    got = {r["k"]: r["price"] for r in snap.collect()}
+    assert got == {k: float(k * 10) for k in range(7)}
+    assert dl.delta_count(spark, tbl) == 7
+    # A second DV delete unions; predicate names the LOGICAL column.
+    dl.delta_delete(spark, tbl, "price = 20.0", use_dv=True)
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 3, 4, 5, 6]
+    # Time travel to the pre-delete version still serves every row.
+    assert dl.delta_snapshot(spark, tbl, version=2).count() == 10
