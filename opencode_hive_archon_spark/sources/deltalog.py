@@ -1253,6 +1253,77 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
         )
 
 
+_APPEND_ONLY_KEY = "delta.appendOnly"
+
+
+def _check_append_only(state: dict, op: str) -> None:
+    """PROTOCOL.md appendOnly (legacy writer-2 feature / `appendOnly`
+    table feature): when `delta.appendOnly=true`, log entries MUST NOT
+    change or remove data — DELETE/UPDATE/MERGE/overwrite/RESTORE are
+    refused upfront; appends and dataChange:false rearrangements
+    (OPTIMIZE) stay legal."""
+    conf = (state["meta"].get("configuration") or {})
+    if conf.get(_APPEND_ONLY_KEY) == "true":
+        raise DeltaProtocolError(
+            f"{op} is not allowed: this table is configured appendOnly "
+            f"({_APPEND_ONLY_KEY}=true)"
+        )
+
+
+def delta_set_property(
+    spark: SparkSession, table: str, key: str, value: str
+) -> int:
+    """ALTER TABLE SET TBLPROPERTIES (one key): commits a metaData
+    update carrying configuration[key]=value. Constraint keys must go
+    through delta_add_constraint (which validates existing rows);
+    column-mapping mode through delta_enable_column_mapping (protocol
+    fence + physical-name minting)."""
+    if key.startswith(_CONSTRAINT_PREFIX):
+        raise DeltaProtocolError(
+            f"set constraint properties via delta_add_constraint ({key!r})"
+        )
+    if key == COLUMN_MAPPING_KEY:
+        raise DeltaProtocolError(
+            "enable column mapping via delta_enable_column_mapping"
+        )
+    state = _snapshot_state(spark, table)
+    v = state["version"] + 1
+    conf = dict(state["meta"].get("configuration") or {})
+    conf[key] = value
+    _commit(table, v, [
+        {"commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "SET TBLPROPERTIES",
+            "operationParameters": {"properties": json.dumps({key: value})},
+        }},
+        {"metaData": {**state["meta"], "configuration": conf}},
+    ])
+    if (v + 1) % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, table, v)
+    return v
+
+
+_INTERVAL_UNIT_MS = {
+    "second": 1000, "minute": 60_000, "hour": 3_600_000,
+    "day": 86_400_000, "week": 7 * 86_400_000,
+}
+
+
+def _parse_retention_interval(text: str) -> int:
+    """Milliseconds of a `interval N unit(s)` retention value (the spec's
+    delta.deletedFileRetentionDuration / logRetentionDuration format)."""
+    m = re.fullmatch(
+        r"\s*interval\s+(\d+)\s+(second|minute|hour|day|week)s?\s*",
+        text, re.IGNORECASE,
+    )
+    if not m:
+        raise DeltaProtocolError(
+            f"unparseable retention interval {text!r} "
+            "(want 'interval N second|minute|hour|day|week[s]')"
+        )
+    return int(m.group(1)) * _INTERVAL_UNIT_MS[m.group(2).lower()]
+
+
 def delta_add_constraint(
     spark: SparkSession, table: str, name: str, expr: str
 ) -> int:
@@ -1543,6 +1614,7 @@ def delta_restore(spark: SparkSession, table: str, version: int) -> int:
     Fails loudly if any target file was already vacuumed — a restore
     that silently resurrects missing paths would corrupt the table."""
     cur = _snapshot_state(spark, table)
+    _check_append_only(cur, "RESTORE")
     if version == cur["version"]:
         return cur["version"]
     tgt = _snapshot_state(spark, table, version)
@@ -1773,6 +1845,7 @@ def delta_write(
         }})
     elif mode == "overwrite":
         prior = _snapshot_state(spark, table, v - 1)
+        _check_append_only(prior, "overwrite")
         _enforce_constraints(df, prior["meta"])
         write_meta = prior["meta"]
         ts = _now_ms()
@@ -2073,6 +2146,7 @@ def _delta_update_attempt(
     from opencode_hive_archon_spark.sources.deltastats import prune_files
 
     state = _snapshot_state(spark, table)
+    _check_append_only(state, "UPDATE")
     v = state["version"] + 1
     cols = [f.name for f in state["schema"].fields]
     unknown = [c for c in assignments if c not in cols]
@@ -2181,6 +2255,7 @@ def _delta_delete_attempt(
     from opencode_hive_archon_spark.sources.deltastats import prune_files
 
     state = _snapshot_state(spark, table)
+    _check_append_only(state, "DELETE")
     v = state["version"] + 1
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     actions: list[dict] = [{
@@ -2318,6 +2393,7 @@ def _delta_merge_attempt(
     spec's cardinality rule — more than one source row per key is an
     error, not a nondeterministic pick."""
     state = _snapshot_state(spark, table)
+    _check_append_only(state, "MERGE")
     v = state["version"] + 1
     if not _same_shape(
         state["meta"]["schemaString"], source.schema.json()
@@ -3026,7 +3102,7 @@ def delta_optimize(
 
 
 def delta_vacuum(
-    spark: SparkSession, table: str, retain_ms: int = TOMBSTONE_RETENTION_MS
+    spark: SparkSession, table: str, retain_ms: int | None = None
 ) -> list[str]:
     """Physically reclaim storage: delete data files unreachable from the
     LATEST snapshot once past retention — (a) tombstoned files whose
@@ -3046,8 +3122,21 @@ def delta_vacuum(
     that may be a concurrent in-flight writer's already-staged file
     (staging precedes the commit race), and deleting it would leave the
     winning commit's add actions pointing at nothing. vacuum(0) is
-    therefore safe to run beside live writers."""
+    therefore safe to run beside live writers.
+
+    When `retain_ms` is omitted, the table's own
+    `delta.deletedFileRetentionDuration` configuration governs
+    (spec format `interval N unit`), defaulting to
+    TOMBSTONE_RETENTION_MS — the precedence real VACUUM applies."""
     state = _snapshot_state(spark, table)
+    if retain_ms is None:
+        conf = state["meta"].get("configuration") or {}
+        dur = conf.get("delta.deletedFileRetentionDuration")
+        retain_ms = (
+            _parse_retention_interval(dur)
+            if dur
+            else TOMBSTONE_RETENTION_MS
+        )
     now = _now_ms()
     orphan_retain_ms = max(retain_ms, ORPHAN_SAFETY_WINDOW_MS)
     # Both the decoded (spec) and raw (pre-encoding legacy) forms are

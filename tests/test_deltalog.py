@@ -1840,3 +1840,72 @@ def test_stream_source_serves_dv_adds_live_rows(spark, tmp_path):
     )
     # v0 emits 0..9; v1's DV'd re-add emits survivors 0..6 again.
     assert got == sorted(list(range(10)) + list(range(7)))
+
+
+def test_append_only_table_property(spark, tmp_path):
+    """r17: delta.appendOnly=true (PROTOCOL.md writer feature) refuses
+    every data-changing/removing verb while appends and OPTIMIZE
+    (dataChange: false) stay legal; unsetting restores them."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(2), tbl)
+    dl.delta_set_property(spark, tbl, "delta.appendOnly", "true")
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.delta_delete(spark, tbl, "k = 1")
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.delta_delete(spark, tbl, "k = 1", use_dv=True)
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.delta_update(spark, tbl, "k = 1", {"g": "'x'"})
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.delta_merge(
+            spark, tbl,
+            spark.createDataFrame([(1, "z")], "k long, g string"),
+            on=["k"],
+        )
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.delta_write(spark, _df(spark, 0, 1), tbl, mode="overwrite")
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.delta_restore(spark, tbl, 0)
+    # Appends and dataChange:false rearrangements stay legal.
+    dl.delta_write(spark, _df(spark, 10, 12), tbl, mode="append")
+    assert dl.delta_optimize(spark, tbl, target_bytes=1 << 30) is not None
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(12))
+    # Unset (set to false) re-enables the verbs.
+    dl.delta_set_property(spark, tbl, "delta.appendOnly", "false")
+    dl.delta_delete(spark, tbl, "k = 0")
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(1, 12))
+
+
+def test_set_property_guards_special_keys(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 3), tbl)
+    with pytest.raises(dl.DeltaProtocolError, match="delta_add_constraint"):
+        dl.delta_set_property(spark, tbl, "delta.constraints.c", "k > 0")
+    with pytest.raises(
+        dl.DeltaProtocolError, match="delta_enable_column_mapping"
+    ):
+        dl.delta_set_property(spark, tbl, "delta.columnMapping.mode", "name")
+
+
+def test_vacuum_honors_retention_configuration(spark, tmp_path):
+    """r17: with retain_ms omitted, VACUUM reads the table's
+    delta.deletedFileRetentionDuration — a week-long interval keeps a
+    fresh tombstone's file; an explicit retain_ms=0 still overrides."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(spark, _df(spark, 0, 10).repartition(1), tbl)
+    dl.delta_set_property(
+        spark, tbl, "delta.deletedFileRetentionDuration", "interval 1 week"
+    )
+    dl.delta_delete(spark, tbl, "k >= 0")  # tombstones the only file
+    assert dl.delta_vacuum(spark, tbl) == []  # config interval retains
+    assert dl.delta_snapshot(spark, tbl, version=0).count() == 10
+    assert dl.delta_vacuum(spark, tbl, retain_ms=0)  # explicit override
+    with pytest.raises(Exception, match="not exist|PATH_NOT_FOUND"):
+        dl.delta_snapshot(spark, tbl, version=0).collect()
+    # Malformed intervals fail loudly, not as a silent 0.
+    tbl2 = str(tmp_path / "t2")
+    dl.delta_write(spark, _df(spark, 0, 3), tbl2)
+    dl.delta_set_property(
+        spark, tbl2, "delta.deletedFileRetentionDuration", "1 fortnight"
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="interval"):
+        dl.delta_vacuum(spark, tbl2)
