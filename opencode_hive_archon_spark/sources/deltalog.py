@@ -1570,6 +1570,56 @@ _HISTORY_SCHEMA = T.StructType([
 ])
 
 
+LOG_RETENTION_MS = 30 * 86_400_000  # spec default: interval 30 days
+
+
+def delta_cleanup_metadata(spark: SparkSession, table: str) -> list[str]:
+    """Spec metadata cleanup: delete commit JSONs (and superseded
+    checkpoint files) STRICTLY OLDER than the newest complete checkpoint
+    AND older than the table's `delta.logRetentionDuration` (default 30
+    days). Replay from the retained checkpoint + JSON tail is unaffected
+    by construction; time travel and change feeds older than the cleaned
+    horizon fail loudly afterwards (their loud-failure paths are already
+    pinned). Returns deleted file names. A table without a complete
+    checkpoint is left untouched — cleanup must never orphan the only
+    reconstruction evidence."""
+    state = _snapshot_state(spark, table)
+    conf = state["meta"].get("configuration") or {}
+    dur = conf.get("delta.logRetentionDuration")
+    retain_ms = (
+        _parse_retention_interval(dur) if dur else LOG_RETENTION_MS
+    )
+    ckpts = _checkpoint_versions(table)
+    if not ckpts:
+        return []
+    horizon = max(ckpts)
+    now = _now_ms()
+    deleted: list[str] = []
+    for v in _list_log(table, _VERSION_RE):
+        if v >= horizon:
+            continue
+        vf = _version_file(table, v)
+        try:
+            age_ms = now - os.stat(vf).st_mtime * 1000
+        except OSError:
+            continue
+        if age_ms >= retain_ms:
+            os.remove(vf)
+            deleted.append(os.path.basename(vf))
+    for cv in ckpts:
+        if cv >= horizon:
+            continue
+        for part in _checkpoint_parts(table, cv):
+            try:
+                age_ms = now - os.stat(part).st_mtime * 1000
+            except OSError:
+                continue
+            if age_ms >= retain_ms:
+                os.remove(part)
+                deleted.append(os.path.basename(part))
+    return deleted
+
+
 def delta_history(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per RETAINED commit (newest first) —
     version, commitInfo timestamp (log-file mtime for undated foreign

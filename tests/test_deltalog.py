@@ -1909,3 +1909,43 @@ def test_vacuum_honors_retention_configuration(spark, tmp_path):
     )
     with pytest.raises(dl.DeltaProtocolError, match="interval"):
         dl.delta_vacuum(spark, tbl2)
+
+
+def test_metadata_cleanup_respects_checkpoint_and_retention(spark, tmp_path):
+    """r17: delta_cleanup_metadata deletes commit JSONs (and superseded
+    checkpoints) behind the newest checkpoint once past
+    delta.logRetentionDuration; replay from the retained tail is
+    unaffected; fresh JSONs and checkpoint-less tables are untouched."""
+    tbl = str(tmp_path / "t")
+    for lo in range(0, 12, 2):
+        dl.delta_write(
+            spark, _df(spark, lo, lo + 2).repartition(1), tbl, mode="append"
+        )
+    # CHECKPOINT_INTERVAL=5 auto-checkpointed at v4; horizon = 4.
+    assert dl._checkpoint_versions(tbl) == [4]
+    # Fresh files: default 30-day retention keeps everything.
+    assert dl.delta_cleanup_metadata(spark, tbl) == []
+    # Shrink retention via configuration and age the files.
+    dl.delta_set_property(
+        spark, tbl, "delta.logRetentionDuration", "interval 1 second"
+    )
+    for v in range(5):
+        os.utime(dl._version_file(tbl, v), (0, 0))
+    deleted = dl.delta_cleanup_metadata(spark, tbl)
+    assert sorted(deleted) == [
+        f"{v:020d}.json" for v in range(4)
+    ]
+    # Replay still reconstructs from checkpoint v4 + the JSON tail.
+    assert _ks(dl.delta_snapshot(spark, tbl)) == list(range(12))
+    assert dl.latest_version(tbl) == 6  # 6 writes + SET TBLPROPERTIES
+    # Time travel past the horizon now fails loudly.
+    with pytest.raises(dl.DeltaProtocolError):
+        dl.delta_snapshot(spark, tbl, version=1).collect()
+    # A table with no checkpoint is never cleaned.
+    tbl2 = str(tmp_path / "t2")
+    dl.delta_write(spark, _df(spark, 0, 2), tbl2)
+    dl.delta_set_property(
+        spark, tbl2, "delta.logRetentionDuration", "interval 1 second"
+    )
+    os.utime(dl._version_file(tbl2, 0), (0, 0))
+    assert dl.delta_cleanup_metadata(spark, tbl2) == []
