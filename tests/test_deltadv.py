@@ -497,3 +497,29 @@ def test_dv_on_column_mapped_table(spark, tmp_path):
     assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 3, 4, 5, 6]
     # Time travel to the pre-delete version still serves every row.
     assert dl.delta_snapshot(spark, tbl, version=2).count() == 10
+
+
+def test_dv_inline_descriptor_read_path(spark, tmp_path):
+    """A spec 'i' (inline) descriptor — bitmap bytes z85-padded into the
+    action itself — serves through the same read path as on-disk DVs
+    (foreign writers may inline small DVs; ours writes 'u')."""
+    from opencode_hive_archon_spark.sources import dvformat
+
+    tbl = _mk(spark, tmp_path)
+    state = dl._snapshot_state(spark, tbl)
+    data = dvformat.serialize_roaring_bitmap_array({0, 3, 9})
+    f = dict(
+        state["files"][0],
+        deletionVector={
+            "storageType": "i",
+            "pathOrInlineDv": dvformat.inline_encode(data),
+            "sizeInBytes": len(data),
+            "cardinality": 3,
+        },
+    )
+    got = sorted(
+        r["k"]
+        for r in dl._read_state(spark, tbl, dict(state, files=[f])).collect()
+    )
+    assert got == [1, 2, 4, 5, 6, 7, 8]
+    assert dl._dv_read(tbl, f["deletionVector"]) == {0, 3, 9}
