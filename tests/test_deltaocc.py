@@ -268,3 +268,41 @@ def test_dv_delete_vs_disjoint_append_single_attempt(
     got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
     assert got == [0, 1, 2, 3, 4, 5, 6, 900]
     assert dl._snapshot_state(spark, tbl)["files"]  # DV'd file live
+
+
+def test_threaded_writers_all_land(spark, tmp_path):
+    """REAL concurrency: six threads blind-append disjoint bands while
+    the main thread issues a stats-disjoint DELETE — every commit lands
+    (appends via the conflict-matrix fast path, the delete either first
+    try or after advancing past non-conflicting winners), versions are
+    contiguous, and the final state is the serializable union."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, val double"
+        ).repartition(1),
+        tbl,
+    )
+
+    def append(i: int) -> int:
+        df = spark.createDataFrame(
+            [(100 + i * 10 + j, float(i)) for j in range(3)],
+            "k long, val double",
+        ).repartition(1)
+        return dl.delta_write(spark, df, tbl, mode="append")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(append, i) for i in range(6)]
+        v_del = dl.delta_delete(spark, tbl, "k = 3")
+        versions = [f.result() for f in futs]
+    assert sorted(versions + [v_del]) == list(range(1, 8))  # contiguous
+    got = sorted(r["k"] for r in dl.delta_snapshot(spark, tbl).collect())
+    want = sorted(
+        [k for k in range(10) if k != 3]
+        + [100 + i * 10 + j for i in range(6) for j in range(3)]
+    )
+    assert got == want
+    assert dl.latest_version(tbl) == 7
