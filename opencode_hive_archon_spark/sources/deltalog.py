@@ -1117,24 +1117,36 @@ def _norm_file_uri():
     return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
+# Above this many deleted rows (summed descriptor cardinality — free
+# driver-side metadata) the DV anti-join input is built ON EXECUTORS
+# (mapInPandas over the descriptors) and shuffle-joined; below it, the
+# bitmaps are read driver-side and broadcast (one stage fewer, the plan
+# every small-to-medium DV table wants).
+DV_BROADCAST_MAX_ROWS = 5_000_000
+
+
 def _scan_with_row_index(
     spark: SparkSession, table: str, state: dict, files: list[dict]
 ) -> DataFrame:
     """Scan `files` with two extra columns — `_dv_fp` (absolute file
     path) and `_dv_ri` (row index within the file) — and the files' DVs
-    applied as a broadcast anti-join on (file, row_index): the standard
+    applied as an anti-join on (file, row_index): the standard
     merge-on-read DV plan (Spark's parquet row-index metadata column is
-    the positional hook real DV readers use). On the READ side the DV
-    row lists are cardinality-bounded driver-side metadata (distributing
-    the bitmap JOIN build is the documented 100 TB extension); the WRITE
-    side builds bitmaps per-file on executors (delete path, r17).
+    the positional hook real DV readers use). The join INPUT is built
+    driver-side and broadcast while the summed DV cardinality fits
+    DV_BROADCAST_MAX_ROWS; a wider delete set expands its bitmaps on
+    EXECUTORS (mapInPandas over the descriptor list) and shuffle-joins —
+    driver memory is bounded by descriptors at any delete width (r17;
+    the WRITE side has built bitmaps per-file on executors since r17
+    too).
 
     Column-mapped tables (r17): the files carry PHYSICAL names — read
     with the physical schema and project back to logical inside each
     scan branch, exactly like `_read_paths` (the mapped+partitioned
     combination stays refused there, so partition grouping never meets
     mapping here)."""
-    deleted: list[tuple[str, int]] = []
+    dv_descs: list[tuple[str, str]] = []  # (abs file path, descriptor json)
+    total_card = 0
     paths = []
     for f in files:
         rel = _rel_path(table, f["path"])
@@ -1142,7 +1154,8 @@ def _scan_with_row_index(
         dv = f.get("deletionVector")
         if dv:
             full = os.path.abspath(os.path.join(table, rel))
-            deleted.extend((full, int(i)) for i in _dv_read(table, dv))
+            dv_descs.append((full, json.dumps(dv)))
+            total_card += int(dv.get("cardinality") or 0)
     schema = state["schema"]
     read_schema = schema
     logical_cols = [F.col(f.name) for f in schema.fields]
@@ -1169,11 +1182,44 @@ def _scan_with_row_index(
             F.col("_metadata.row_index").alias("_dv_ri"),
         ),
     )
-    if not deleted:
+    if not dv_descs:
         return df
-    dv_df = spark.createDataFrame(deleted, "_del_fp string, _del_ri bigint")
+    table_abs = os.path.abspath(table)
+    if total_card <= DV_BROADCAST_MAX_ROWS:
+        deleted = [
+            (fp, int(i))
+            for fp, dvj in dv_descs
+            for i in _dv_read(table, json.loads(dvj))
+        ]
+        if not deleted:
+            return df
+        dv_df = F.broadcast(
+            spark.createDataFrame(deleted, "_del_fp string, _del_ri bigint")
+        )
+    else:
+        desc_df = spark.createDataFrame(
+            dv_descs, "_del_fp string, _dv_json string"
+        ).repartition(min(len(dv_descs), 32))
+
+        def _expand(batches):
+            # EXECUTOR-side bitmap expansion: one output row per deleted
+            # row index; driver never materializes the index lists.
+            import pandas as pd
+
+            from opencode_hive_archon_spark.sources import deltalog as _dl
+
+            for pdf in batches:
+                for fp, dvj in zip(pdf["_del_fp"], pdf["_dv_json"]):
+                    idx = sorted(_dl._dv_read(table_abs, json.loads(dvj)))
+                    yield pd.DataFrame(
+                        {"_del_fp": [fp] * len(idx), "_del_ri": idx}
+                    )
+
+        dv_df = desc_df.mapInPandas(
+            _expand, "_del_fp string, _del_ri bigint"
+        )
     return df.join(
-        F.broadcast(dv_df),
+        dv_df,
         (F.col("_dv_fp") == F.col("_del_fp"))
         & (F.col("_dv_ri") == F.col("_del_ri")),
         "left_anti",

@@ -523,3 +523,28 @@ def test_dv_inline_descriptor_read_path(spark, tmp_path):
     )
     assert got == [1, 2, 4, 5, 6, 7, 8]
     assert dl._dv_read(tbl, f["deletionVector"]) == {0, 3, 9}
+
+
+def test_dv_wide_read_expands_bitmaps_on_executors(spark, tmp_path, monkeypatch):
+    """r17: past DV_BROADCAST_MAX_ROWS (forced to 0 here) the anti-join
+    input is expanded from descriptors ON EXECUTORS (mapInPandas) and
+    shuffle-joined — same rows as the broadcast path, no driver-side
+    bitmap materialization (_dv_read is forbidden on the driver)."""
+    tbl = _mk(spark, tmp_path, n=50, parts=2)
+    dl.delta_delete(spark, tbl, "k % 3 = 0", use_dv=True)
+    want = _ks(dl.delta_snapshot(spark, tbl))  # broadcast path
+    assert want == [k for k in range(50) if k % 3 != 0]
+    monkeypatch.setattr(dl, "DV_BROADCAST_MAX_ROWS", 0)
+
+    def _driver_dv_read_forbidden(table, descriptor):
+        raise AssertionError("DV bitmap expanded driver-side")
+
+    monkeypatch.setattr(dl, "_dv_read", _driver_dv_read_forbidden)
+    df = dl.delta_snapshot(spark, tbl)
+    got = _ks(df)
+    assert got == want
+    # And the distributed path expands bitmaps in a MapInPandas stage,
+    # not a broadcast of driver rows.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    monkeypatch.undo()
