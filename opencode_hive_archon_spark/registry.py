@@ -59,44 +59,44 @@ _SPEC_MODULES = [
 # Registration-order priority. The driver's correctness snapshot records the
 # FIRST 50 registered queries, so ordering is part of the contract.
 #
-# ROUND-17 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
-# after the r16 snapshot the stalest evidence is the r13-aged set, plus two
-# queries with NO driver row at all (VERDICT r16 / ADVICE: the late-r16
-# registrations source_delta_update and source_delta_clone missed the r16
-# window). Slots:
-#   (a) 2 never-driver-checked queries — zero evidence outranks any age;
-#   (b) ALL 40 queries whose latest driver row is r13 (derived from the
-#       committed CORRECTNESS_r01..r16 artifacts — the dedup ladder,
-#       streaming family, multimodal, reshape/set ops, remaining TPC-H);
-#   (c) 8 slots for queries REGISTERED this round (r17 delta-protocol
-#       work: spec DV codec, partitioned clone, OCC conflict matrix,
-#       CDF stream rate limiting, DV-aware OPTIMIZE) — new code
-#       outranks evidence age.
-# After this round the max driver-row age anywhere in the registry is r14.
+# ROUND-18 ROTATION (oldest-evidence-first, the standing VERDICT cadence):
+# after the r17 snapshot the stalest driver evidence is the r14-aged set —
+# 49 queries (ANN family, corpus assembly, embedding ops, events funnels,
+# the remaining TPC-H half, the r14 delta/source block, stream ladder).
+# Slots:
+#   (a) ALL 49 queries whose latest driver row is r14 (derived from the
+#       committed CORRECTNESS_r01..r17 artifacts);
+#   (b) 1 tail slot for a query REGISTERED this round (r18 protocol work:
+#       column-mapping on partitioned tables, overwriteSchema, MERGE
+#       schema evolution / BY SOURCE, ZORDER, multi-part checkpoints).
+#       The window holds 50; r18 registrations past slot 50 carry
+#       committed SWEEP_r18 hash-exact evidence and rotate into the r19
+#       window first (zero-driver-evidence outranks any age).
+# After this round the max driver-row age anywhere in the registry is r15.
 _PRIORITY = [
-    # (a) never driver-checked (registered after the r16 window was cut)
-    "source_delta_update", "source_delta_clone",
-    # (b) every query whose latest driver row is r13
-    "cube_events", "dedup_clusters", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_near", "dedup_ngram_jaccard", "dedup_simhash",
-    "grouping_sets_orders", "join_asof_pandas", "join_outer_coalesce",
-    "join_semi_anti", "json_extract_events", "multimodal_decode_arrow",
-    "multimodal_join", "multimodal_meta_profile", "multimodal_resize_plan",
-    "plan_diff_extracted_metrics", "q18_large_orders",
-    "q3_shipping_priority", "recall_graph_khop", "scalar_string_date_math",
-    "scalar_subquery_orders", "set_ops", "sort_multi_limit",
-    "source_bucketed_join", "source_partitioned_pruning",
-    "sql_pricing_summary", "stream_dedup", "stream_foreachbatch_sink",
-    "stream_late_data", "stream_session_windows", "stream_sliding_avg",
-    "stream_stateful_user_stats", "stream_static_join",
-    "stream_stream_join", "stream_tumbling_counts", "text_rarity_score",
-    "unpivot_lineitem_status", "window_moving_avg", "window_running",
-    # (c) queries registered this round (r17 delta-protocol work) are
-    # appended here as they land, up to 8; any overflow past slot 50
-    # waits for the r18 window.
-    "source_delta_clone_partitioned", "source_delta_optimize_dv",
-    "source_delta_dv_clone_interop", "stream_delta_cdf_mv_ratelimited",
-    "stream_delta_cdf_partitioned", "stream_delta_cdf_dv",
+    # (a) every query whose latest driver row is r14
+    "agg_heavy_hitters", "ann_ivf_kmeans_topk", "ann_ivf_recall",
+    "ann_ivf_topk", "ann_lsh_recall", "ann_lsh_topk", "ann_pq_topk",
+    "ann_quantized_topk", "catalog_column_stats", "corpus_bpe_pair_stats",
+    "corpus_curation", "corpus_importance_sample", "corpus_pack_sequences",
+    "corpus_pretraining_pipeline", "corpus_stratified_sample",
+    "dedup_embedding_cosine", "embedding_kmeans_lloyd",
+    "embedding_label_centroids", "embedding_random_projection",
+    "events_funnel", "events_path_analysis", "events_retention",
+    "join_skew_salted", "multimodal_frame_sample", "multimodal_frame_table",
+    "mv_incremental_refresh", "q10_returned_items", "q12_shipmode_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "recall_score_topk", "source_cdc_diff",
+    "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
+    "source_delta_merge_upsert", "source_schema_evolution",
+    "source_upsert_pattern", "source_zorder_layout", "stream_dedup_ladder",
+    "stream_ohlc_bars", "window_analytics",
+    # (b) r18 registrations are appended here as they land (1 slot fits
+    # the 50-query window; overflow waits for the r19 window with sweep
+    # evidence in the meantime).
 ]
 
 

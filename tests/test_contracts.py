@@ -143,64 +143,77 @@ class TestBranchProperties:
 #          ADVICE r16 #3) + ALL 40 queries whose latest driver row is
 #          r13 + up to 8 slots for round-17 registrations. After r17 the
 #          max driver-row age is r14.
+#   r18:   ALL 49 queries whose latest driver row is r14 + 1 tail slot
+#          for a round-18 registration (protocol work: column mapping on
+#          partitioned tables, overwriteSchema, MERGE evolution, ZORDER,
+#          multi-part checkpoints; overflow past slot 50 carries
+#          SWEEP_r18 evidence and rotates into r19). After r18 the max
+#          driver-row age is r15.
 
-# The 42 pinned r17 slots: 2 never-driver-checked queries, then every
-# query whose LATEST driver correctness row is r13 — derived from the
-# committed CORRECTNESS_r01..r16 artifacts (max round containing each
-# name), not hand-maintained intuition.
-_R17_PINNED: list[str] = [
-    "source_delta_update", "source_delta_clone",
-    "cube_events", "dedup_clusters", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_near", "dedup_ngram_jaccard", "dedup_simhash",
-    "grouping_sets_orders", "join_asof_pandas", "join_outer_coalesce",
-    "join_semi_anti", "json_extract_events", "multimodal_decode_arrow",
-    "multimodal_join", "multimodal_meta_profile", "multimodal_resize_plan",
-    "plan_diff_extracted_metrics", "q18_large_orders",
-    "q3_shipping_priority", "recall_graph_khop", "scalar_string_date_math",
-    "scalar_subquery_orders", "set_ops", "sort_multi_limit",
-    "source_bucketed_join", "source_partitioned_pruning",
-    "sql_pricing_summary", "stream_dedup", "stream_foreachbatch_sink",
-    "stream_late_data", "stream_session_windows", "stream_sliding_avg",
-    "stream_stateful_user_stats", "stream_static_join",
-    "stream_stream_join", "stream_tumbling_counts", "text_rarity_score",
-    "unpivot_lineitem_status", "window_moving_avg", "window_running",
+# The 49 pinned r18 slots: every query whose LATEST driver correctness
+# row is r14 — derived from the committed CORRECTNESS_r01..r17 artifacts
+# (max round containing each name), not hand-maintained intuition.
+_R18_PINNED: list[str] = [
+    "agg_heavy_hitters", "ann_ivf_kmeans_topk", "ann_ivf_recall",
+    "ann_ivf_topk", "ann_lsh_recall", "ann_lsh_topk", "ann_pq_topk",
+    "ann_quantized_topk", "catalog_column_stats", "corpus_bpe_pair_stats",
+    "corpus_curation", "corpus_importance_sample", "corpus_pack_sequences",
+    "corpus_pretraining_pipeline", "corpus_stratified_sample",
+    "dedup_embedding_cosine", "embedding_kmeans_lloyd",
+    "embedding_label_centroids", "embedding_random_projection",
+    "events_funnel", "events_path_analysis", "events_retention",
+    "join_skew_salted", "multimodal_frame_sample", "multimodal_frame_table",
+    "mv_incremental_refresh", "q10_returned_items", "q12_shipmode_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "recall_score_topk", "source_cdc_diff",
+    "source_delta_acid_roundtrip", "source_delta_checkpoint_log",
+    "source_delta_merge_upsert", "source_schema_evolution",
+    "source_upsert_pattern", "source_zorder_layout", "stream_dedup_ladder",
+    "stream_ohlc_bars", "window_analytics",
 ]
 
 
+_PIN_ROUND = 18
+
+
 def test_priority_window_contents():
-    """Round-17 rotation pin: the window starts with the 42 pinned slots
-    (2 never-checked + all 40 r13-aged), and every slot beyond them is a
-    round-17 registration with no prior driver evidence. A query
-    registered during round 17 must be appended to _PRIORITY (capacity
-    permitting) or deliberately left for the r18 window."""
+    """Round-18 rotation pin: the window starts with the 49 pinned slots
+    (all r14-aged), and every slot beyond them is a round-18 registration
+    with no prior driver evidence. Evidence is counted ONLY from rounds
+    BEFORE the pin round — the driver's own r18 snapshot records exactly
+    these slots, so counting it would self-falsify the test (the r17
+    failure mode, VERDICT r17 task #1)."""
     import glob
     import json
     import re
 
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
-    assert 42 <= len(_PRIORITY) <= 50
-    assert _PRIORITY[:42] == _R17_PINNED
+    assert 49 <= len(_PRIORITY) <= 50
+    assert _PRIORITY[:49] == _R18_PINNED
     specs = all_specs()
     window = list(specs)[: len(_PRIORITY)]
     assert window == _PRIORITY
-    # Slots past the pinned 42 must be NEW this round — no driver row in
-    # any committed artifact.
     seen: set[str] = set()
     for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        seen |= set(json.load(open(p)))
-    stale_extras = [n for n in _PRIORITY[42:] if n in seen]
+        rnd = int(re.search(r"r(\d+)", p).group(1))
+        if rnd < _PIN_ROUND:
+            seen |= set(json.load(open(p)))
+    stale_extras = [n for n in _PRIORITY[49:] if n in seen]
     assert not stale_extras, (
-        f"non-new queries occupying r17 new-registration slots: "
+        f"non-new queries occupying r18 new-registration slots: "
         f"{stale_extras}"
     )
 
 
-def test_r17_window_is_oldest_evidence_first():
+def test_r18_window_is_oldest_evidence_first():
     """The rotation CLAIM, checked against the artifacts of record: every
-    registry query outside the r17 window has a driver row in
-    CORRECTNESS_r14..r16 — i.e. after this round's snapshot lands, no
-    driver evidence anywhere is older than r14."""
+    registry query outside the r18 window has a driver row in
+    CORRECTNESS_r15..r17 — i.e. after this round's snapshot lands, no
+    driver evidence anywhere is older than r15."""
     import glob
     import json
     import re
@@ -213,8 +226,8 @@ def test_r17_window_is_oldest_evidence_first():
     from opencode_hive_archon_spark.registry import _PRIORITY, all_specs
 
     outside = [n for n in all_specs() if n not in set(_PRIORITY)]
-    aged = sorted(n for n in outside if latest.get(n, 99) < 14)
-    assert not aged, f"queries outside the window with pre-r14 evidence: {aged}"
+    aged = sorted(n for n in outside if latest.get(n, 99) < 15)
+    assert not aged, f"queries outside the window with pre-r15 evidence: {aged}"
 
 
 # Pinned full-inventory census: every registered query, by name. A diff
