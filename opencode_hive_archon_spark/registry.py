@@ -97,6 +97,7 @@ _PRIORITY = [
     # (b) r18 registrations are appended here as they land (1 slot fits
     # the 50-query window; overflow waits for the r19 window with sweep
     # evidence in the meantime).
+    "source_delta_mapped_partitioned",
 ]
 
 

@@ -103,6 +103,7 @@ SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 # foreign storage types still fail loudly instead of guessing.
 DV_STORAGE_LOCAL = "local-sorted-u64"
 COLUMN_MAPPING_KEY = "delta.columnMapping.mode"
+COLUMN_MAPPING_MAX_ID = "delta.columnMapping.maxColumnId"
 _CM_PHYS = "delta.columnMapping.physicalName"
 # OPTIMIZE rewrites a file whose DV has killed at least this fraction of
 # its rows even when its live bytes wouldn't qualify (delta's
@@ -450,6 +451,35 @@ def _same_shape(a_json: str | None, b_json: str) -> bool:
     return to_simple(a_json) == to_simple(b_json)
 
 
+def _stream_serveable_schema_change(
+    latest_json: str, seen_json: str, mapped: bool = False
+) -> bool:
+    """Can a stream keep serving across a metaData action carrying
+    `seen_json` while its declared output schema came from
+    `latest_json`? Unmapped: only an identical shape (the classic
+    refusal). Mapped (r18): renames / drops / the enable commit itself
+    are metadata-only — files are read by PHYSICAL name and projected
+    to the LATEST logical schema executor-side — so the change is
+    serveable only when the PHYSICAL shape (physicalName -> type) is
+    IDENTICAL: a rename changes neither, the enable commit maps each
+    name to itself, but a column add/drop/type change (overwriteSchema,
+    MERGE evolution) still fails loudly — restart from a snapshot, the
+    same contract as unmapped."""
+    if not mapped:
+        return _same_shape(latest_json, seen_json)
+
+    def phys_types(s: str) -> dict[str, str]:
+        out = {}
+        for f in json.loads(s).get("fields", []):
+            md = f.get("metadata") or {}
+            out[md.get(_CM_PHYS, f["name"])] = json.dumps(
+                f.get("type"), sort_keys=True
+            )
+        return out
+
+    return phys_types(latest_json) == phys_types(seen_json)
+
+
 # --------------------------------------------------------------------------
 # data file staging
 # --------------------------------------------------------------------------
@@ -650,12 +680,15 @@ def _stage_data_files(
     Under column mapping (meta with delta.columnMapping.mode=name) the
     incoming LOGICAL column names are renamed to their physical names
     before the write — the spec's writer obligation, what makes renames
-    metadata-only."""
+    metadata-only. Partitioning follows: partitionBy and the hive dir
+    keys (hence partitionValues) use the PHYSICAL names (PROTOCOL.md:
+    partition values are tracked by physical name)."""
     if _mapping_enabled(meta):
         phys = _physical_map(meta)
         df = df.select(
             *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
         )
+        partition_by = [phys.get(c, c) for c in partition_by]
     os.makedirs(table, exist_ok=True)
     # Unique per attempt: two writers racing the same version must not
     # clobber each other's staged files — the commit race is decided by
@@ -904,6 +937,45 @@ def _physical_map(meta: dict | None) -> dict[str, str]:
     return out
 
 
+def _evolve_mapping_schema(
+    schema_json: dict, prior_meta: dict
+) -> tuple[dict, dict]:
+    """Column-mapping metadata for an EVOLVED schema (overwriteSchema /
+    MERGE schema evolution, r18): a field whose logical name survives
+    keeps its columnMapping id and physicalName; a NEW field mints the
+    next id (delta.columnMapping.maxColumnId is monotone — ids are
+    never reused, per spec writer requirements) and a fresh col-<uuid>
+    physical name (the delta-spark convention; it can never collide
+    with a dropped column's bytes still sitting in old files). Returns
+    (schema_json, configuration)."""
+    old_fields = {
+        f["name"]: f
+        for f in json.loads(prior_meta["schemaString"]).get("fields", [])
+    }
+    conf = dict(prior_meta.get("configuration") or {})
+    max_id = max(
+        [
+            int((f.get("metadata") or {}).get(_CM_ID, 0))
+            for f in old_fields.values()
+        ]
+        + [int(conf.get(COLUMN_MAPPING_MAX_ID, 0))]
+    )
+    for field in schema_json.get("fields", []):
+        md = dict(field.get("metadata") or {})
+        prev = old_fields.get(field["name"])
+        if prev is not None:
+            pmd = prev.get("metadata") or {}
+            md[_CM_ID] = pmd.get(_CM_ID)
+            md[_CM_PHYS] = pmd.get(_CM_PHYS, field["name"])
+        else:
+            max_id += 1
+            md[_CM_ID] = max_id
+            md[_CM_PHYS] = f"col-{uuid.uuid4()}"
+        field["metadata"] = md
+    conf[COLUMN_MAPPING_MAX_ID] = str(max_id)
+    return schema_json, conf
+
+
 def _read_paths(
     spark: SparkSession, table: str, state: dict, paths: list[str]
 ) -> DataFrame:
@@ -914,25 +986,23 @@ def _read_paths(
     invisible, which is the whole point of no-rewrite evolution)."""
     schema = state["schema"]
     if _mapping_enabled(state.get("meta")):
-        if state["partition_columns"]:
-            # Our enable-DDL forbids this combination, but a FOREIGN
-            # writer may produce it (legal per spec): partition values
-            # live in dir names keyed by PHYSICAL names, which this
-            # read path doesn't derive — reading them as NULLs would be
-            # silent wrong data, so refuse loudly.
-            raise DeltaProtocolError(
-                "reading a column-mapped PARTITIONED table is not "
-                f"supported (partitionColumns="
-                f"{state['partition_columns']})"
-            )
+        # Files (and, for a partitioned table, hive dir names) carry
+        # PHYSICAL names (PROTOCOL.md column mapping: partition values
+        # and statistics are tracked by physical name). Declare the
+        # physical schema — partition fields included, so basePath
+        # discovery resolves the physical dir keys — then alias every
+        # field back to its logical name (r18: the mapped+partitioned
+        # combination routes through the same grouped scan as unmapped).
         phys = _physical_map(state["meta"])
         phys_schema = T.StructType([
             T.StructField(phys[f.name], f.dataType, f.nullable)
             for f in schema.fields
         ])
-        df = spark.read.schema(phys_schema).parquet(*paths)
-        return df.select(
-            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        return _read_parquet_grouped(
+            spark, phys_schema, table, state, paths,
+            project=lambda d: d.select(
+                *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+            ),
         )
     return _read_parquet_grouped(spark, schema, table, state, paths)
 
@@ -959,6 +1029,13 @@ def _read_parquet_grouped(
         df = spark.read.schema(schema).parquet(*paths)
         return project(df) if project is not None else df
     n_parts = len(state["partition_columns"])
+    # Hive dir keys are the PHYSICAL column names (identical to logical
+    # on unmapped tables).
+    if _mapping_enabled(state.get("meta")):
+        pm = _physical_map(state["meta"])
+        phys_parts = [pm.get(c, c) for c in state["partition_columns"]]
+    else:
+        phys_parts = list(state["partition_columns"])
     by_root: dict[str, list[str]] = {}
     table_abs = os.path.abspath(table)
     for p in paths:
@@ -966,9 +1043,27 @@ def _read_parquet_grouped(
         if ap.startswith(table_abs + os.sep):
             root = table
         else:
+            # An EXTERNAL add (shallow clone): derive its basePath by
+            # stripping one dir level per partition column plus the
+            # file name — and VALIDATE that those levels actually are
+            # the table's key=value hive dirs. The spec lets a foreign
+            # writer put arbitrary extra prefix dirs under an add path;
+            # silently deriving the wrong root would misparse partition
+            # values (ADVICE r17 #3) — fail loudly instead.
             root = ap
+            segs = []
             for _ in range(n_parts + 1):
+                segs.append(os.path.basename(root))
                 root = os.path.dirname(root)
+            dir_keys = [s.partition("=")[0] for s in segs[1:]]
+            if dir_keys != list(reversed(phys_parts)) or any(
+                "=" not in s for s in segs[1:]
+            ):
+                raise DeltaProtocolError(
+                    f"cannot derive a hive basePath for external data "
+                    f"file {p!r}: expected trailing partition dirs "
+                    f"{phys_parts} but found {list(reversed(dir_keys))}"
+                )
         by_root.setdefault(root, []).append(p)
     parts = []
     for root, grp in sorted(by_root.items()):
@@ -1142,9 +1237,10 @@ def _scan_with_row_index(
 
     Column-mapped tables (r17): the files carry PHYSICAL names — read
     with the physical schema and project back to logical inside each
-    scan branch, exactly like `_read_paths` (the mapped+partitioned
-    combination stays refused there, so partition grouping never meets
-    mapping here)."""
+    scan branch, exactly like `_read_paths`. A mapped PARTITIONED table
+    (r18) works the same way: the physical schema includes the
+    physically-named partition fields, so basePath discovery resolves
+    the physical hive dir keys before the logical aliasing."""
     dv_descs: list[tuple[str, str]] = []  # (abs file path, descriptor json)
     total_card = 0
     paths = []
@@ -1160,12 +1256,6 @@ def _scan_with_row_index(
     read_schema = schema
     logical_cols = [F.col(f.name) for f in schema.fields]
     if _mapping_enabled(state.get("meta")):
-        if state["partition_columns"]:
-            raise DeltaProtocolError(
-                "reading a column-mapped PARTITIONED table is not "
-                f"supported (partitionColumns="
-                f"{state['partition_columns']})"
-            )
         phys = _physical_map(state["meta"])
         read_schema = T.StructType([
             T.StructField(phys[f.name], f.dataType, f.nullable)
@@ -1434,24 +1524,27 @@ def delta_enable_column_mapping(spark: SparkSession, table: str) -> int:
     here on, renames and drops are metadata-only commits and writers
     translate logical -> physical at staging time. Bumps the protocol to
     (reader 2, writer 5) per spec — pre-mapping readers must refuse the
-    table rather than misread it. Partitioned tables are not supported
-    here (partitionValues keys would need the physical names end to
-    end — the documented extension)."""
+    table rather than misread it. Partitioned tables work (r18):
+    partition fields get ids/physicalNames like any other field, every
+    existing hive dir key already IS the physical name at enable time,
+    and from here on partitionValues/dir keys stay physical while
+    metaData.partitionColumns keeps the LOGICAL names (they reference
+    schema fields; the physical spelling lives in the field metadata,
+    the delta-spark convention)."""
     state = _snapshot_state(spark, table)
     if _mapping_enabled(state["meta"]):
         return state["version"]
-    if state["partition_columns"]:
-        raise DeltaProtocolError(
-            "column mapping on a partitioned table is not supported"
-        )
     schema_json = json.loads(state["meta"]["schemaString"])
+    n_fields = 0
     for i, field in enumerate(schema_json.get("fields", [])):
         md = dict(field.get("metadata") or {})
         md[_CM_ID] = i + 1
         md[_CM_PHYS] = field["name"]
         field["metadata"] = md
+        n_fields = i + 1
     conf = dict(state["meta"].get("configuration") or {})
     conf[COLUMN_MAPPING_KEY] = "name"
+    conf[COLUMN_MAPPING_MAX_ID] = str(n_fields)
     v = state["version"] + 1
     _commit(table, v, [
         {"commitInfo": {
@@ -1519,6 +1612,14 @@ def delta_rename_column(
     for field in schema_json["fields"]:
         if field["name"] == old:
             field["name"] = new
+    # Renaming a PARTITION column (r18): partitionColumns stores the
+    # LOGICAL names, so it follows the rename in the same metaData
+    # action; dirs/partitionValues are keyed by the unchanged
+    # physicalName, so no file or log entry is rewritten.
+    part_cols = [
+        new if c == old else c
+        for c in (state["meta"].get("partitionColumns") or [])
+    ]
     v = state["version"] + 1
     _commit(table, v, [
         {"commitInfo": {
@@ -1527,7 +1628,9 @@ def delta_rename_column(
             "operationParameters": {"from": old, "to": new},
         }},
         {"metaData": {
-            **state["meta"], "schemaString": json.dumps(schema_json),
+            **state["meta"],
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": part_cols,
         }},
     ])
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
@@ -1546,6 +1649,11 @@ def delta_drop_column(spark: SparkSession, table: str, name: str) -> int:
         raise DeltaProtocolError(f"no such column: {name!r}")
     if len(names) == 1:
         raise DeltaProtocolError("cannot drop the only column")
+    if name in (state["meta"].get("partitionColumns") or []):
+        raise DeltaProtocolError(
+            f"cannot drop partition column {name!r} (the physical "
+            "layout is keyed by it; repartition via overwrite first)"
+        )
     refs = _constraints_referencing(state["meta"], name)
     if refs:
         raise DeltaProtocolError(
@@ -1783,11 +1891,6 @@ def delta_clone(
     one basePath scan per root (`_read_parquet_grouped`). Time travel on
     the clone sees clone history only, starting at this commit."""
     src = _snapshot_state(spark, source_table, version)
-    if _mapping_enabled(src.get("meta")) and src["partition_columns"]:
-        raise DeltaProtocolError(
-            "shallow clone of a column-mapped PARTITIONED table is not "
-            "supported (the read path refuses that combination)"
-        )
     if _list_log(target_table, _VERSION_RE) or _any_checkpoint_versions(
         target_table
     ):
@@ -1956,23 +2059,30 @@ def delta_write(
         if not _same_shape(
             prior["meta"]["schemaString"], df.schema.json()
         ) or partition_by != prior["partition_columns"]:
-            if _mapping_enabled(prior["meta"]):
-                # An overwrite that changes shape would need fresh
-                # physical names minted for new columns; use the
-                # rename/drop DDL for mapped tables instead.
-                raise DeltaProtocolError(
-                    "schema-changing overwrite is not supported on a "
-                    "column-mapped table; use delta_rename_column / "
-                    "delta_drop_column"
-                )
-            # Schema evolution: the SAME commit that swaps the file set
-            # updates the metaData, so replay reads the new files with
-            # the new schema (v0's metaData alone would be stale).
-            actions.append({"metaData": {
+            # Schema evolution (overwriteSchema): the SAME commit that
+            # swaps the file set updates the metaData, so replay reads
+            # the new files with the new schema (v0's metaData alone
+            # would be stale); time travel serves each version under
+            # its own schema. On a COLUMN-MAPPED table (r18, VERDICT
+            # r17 #4) the new schema's fields keep their id/physicalName
+            # when the logical name survives and mint fresh ones
+            # otherwise — old physical names are never reused.
+            schema_json = df.schema.json()
+            meta_update = {
                 **prior["meta"],
-                "schemaString": df.schema.json(),
+                "schemaString": schema_json,
                 "partitionColumns": partition_by,
-            }})
+            }
+            if _mapping_enabled(prior["meta"]):
+                new_schema, conf = _evolve_mapping_schema(
+                    json.loads(schema_json), prior["meta"]
+                )
+                meta_update["schemaString"] = json.dumps(new_schema)
+                meta_update["configuration"] = conf
+            actions.append({"metaData": meta_update})
+            # Staging translates logical -> physical under the NEW
+            # metaData (fresh physical names for new columns).
+            write_meta = meta_update
     elif mode == "append":
         # Write-path enforcement (the delta append contract): schema or
         # partitioning drift must fail, not corrupt. Omitted partition_by
@@ -2463,13 +2573,72 @@ def delta_merge(
     source: DataFrame,
     on: list[str],
     max_retries: int = 5,
+    not_matched_by_source: str | None = None,
+    by_source_condition: str | None = None,
+    by_source_assignments: dict[str, str] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
-    """MERGE INTO (SCD-1 upsert) with OCC retry; returns the new version."""
+    """MERGE INTO (SCD-1 upsert) with OCC retry; returns the new version.
+
+    r18 additions completing the spec's MERGE surface (VERDICT r17 #5):
+    `not_matched_by_source` = "delete" | "update" adds the WHEN NOT
+    MATCHED BY SOURCE clause — target rows whose key has NO source row
+    (optionally gated by `by_source_condition`, a predicate over target
+    columns) are deleted, or updated with `by_source_assignments`
+    ({col: sql_expr}). `schema_evolution=True` is autoMerge: NEW source
+    columns are appended to the table schema in the same commit (old
+    files null-backfill them at read time; on a mapped table they mint
+    fresh ids/physical names)."""
     return _occ_retry(
         f"MERGE on {table}",
-        lambda: _delta_merge_attempt(spark, table, source, on),
+        lambda: _delta_merge_attempt(
+            spark, table, source, on,
+            not_matched_by_source=not_matched_by_source,
+            by_source_condition=by_source_condition,
+            by_source_assignments=by_source_assignments,
+            schema_evolution=schema_evolution,
+        ),
         max_retries,
     )
+
+
+def _merge_evolved_meta(state: dict, source: DataFrame) -> dict | None:
+    """autoMerge schema evolution for MERGE: every TARGET column must
+    appear in the source with the same type (the write contract is
+    unchanged); source columns the target lacks are APPENDED, forced
+    nullable (every existing row null-backfills them). Returns the
+    updated metaData dict, or None when the shapes already agree. On a
+    mapped table the new fields mint ids/physical names via
+    `_evolve_mapping_schema` — old physical names are never touched."""
+    tgt_fields = json.loads(state["meta"]["schemaString"]).get("fields", [])
+    src_fields = json.loads(source.schema.json()).get("fields", [])
+    src_by_name = {f["name"]: f for f in src_fields}
+    simple = lambda f: json.dumps(f.get("type"), sort_keys=True)  # noqa: E731
+    for f in tgt_fields:
+        sf = src_by_name.get(f["name"])
+        if sf is None or simple(sf) != simple(f):
+            raise DeltaProtocolError(
+                f"schema evolution: merge source must carry every "
+                f"target column with its type; {f['name']!r} is "
+                "missing or retyped"
+            )
+    new = [
+        dict(f, nullable=True)
+        for f in src_fields
+        if f["name"] not in {t["name"] for t in tgt_fields}
+    ]
+    if not new:
+        return None
+    schema_json = json.loads(state["meta"]["schemaString"])
+    schema_json["fields"] = [dict(f) for f in tgt_fields] + new
+    meta_update = dict(state["meta"])
+    if _mapping_enabled(state["meta"]):
+        schema_json, conf = _evolve_mapping_schema(
+            schema_json, state["meta"]
+        )
+        meta_update["configuration"] = conf
+    meta_update["schemaString"] = json.dumps(schema_json)
+    return meta_update
 
 
 def _delta_merge_attempt(
@@ -2477,21 +2646,50 @@ def _delta_merge_attempt(
     table: str,
     source: DataFrame,
     on: list[str],
+    not_matched_by_source: str | None = None,
+    by_source_condition: str | None = None,
+    by_source_assignments: dict[str, str] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """One optimistic MERGE attempt: WHEN MATCHED THEN UPDATE SET * /
-    WHEN NOT MATCHED THEN INSERT *.
+    WHEN NOT MATCHED THEN INSERT * / optionally WHEN NOT MATCHED BY
+    SOURCE THEN DELETE or UPDATE SET.
 
     File-granular copy-on-write, like DELETE: one distributed pass finds
     the target files containing matched keys; ONLY those files are
     rewritten (their unmatched rows kept, matched rows replaced by the
-    source row), and never-matched source rows are appended. A merge
-    whose keys land in one partition rewrites one partition. Guards the
-    spec's cardinality rule — more than one source row per key is an
-    error, not a nondeterministic pick."""
+    source row), and never-matched source rows are appended. A BY
+    SOURCE clause widens the rewrite set to files that may hold
+    affected unmatched rows — stats-pruned by `by_source_condition`
+    when one is given, the whole live set when not (those ARE the
+    semantics). A merge whose keys land in one partition rewrites one
+    partition. Guards the spec's cardinality rule — more than one
+    source row per key is an error, not a nondeterministic pick."""
+    if not_matched_by_source not in (None, "delete", "update"):
+        raise ValueError(
+            f"not_matched_by_source must be 'delete' or 'update', got "
+            f"{not_matched_by_source!r}"
+        )
+    if not_matched_by_source == "update" and not by_source_assignments:
+        raise ValueError(
+            "not_matched_by_source='update' requires by_source_assignments"
+        )
     state = _snapshot_state(spark, table)
     _check_append_only(state, "MERGE")
     v = state["version"] + 1
-    if not _same_shape(
+    meta_action: dict | None = None
+    if schema_evolution:
+        evolved = _merge_evolved_meta(state, source)
+        if evolved is not None:
+            meta_action = {"metaData": evolved}
+            state = dict(
+                state,
+                meta=evolved,
+                schema=T.StructType.fromJson(
+                    json.loads(evolved["schemaString"])
+                ),
+            )
+    elif not _same_shape(
         state["meta"]["schemaString"], source.schema.json()
     ):
         raise DeltaProtocolError(
@@ -2511,19 +2709,29 @@ def _delta_merge_attempt(
         raise DeltaProtocolError(
             "merge cardinality violation: multiple source rows share a key"
         )
+    op_params = {
+        "matchedPredicates": "update",
+        "notMatchedPredicates": "insert",
+        # mergeKeys lets the change feed reconstruct row-granular
+        # update_pre/postimage classes from this commit's file-level
+        # rewrite (delta records the same information in its MERGE
+        # predicate parameter; a JSON key list is unambiguous).
+        "mergeKeys": json.dumps(list(on)),
+    }
+    if not_matched_by_source:
+        op_params["notMatchedBySourcePredicates"] = json.dumps({
+            "action": not_matched_by_source,
+            "condition": by_source_condition,
+        })
     actions: list[dict] = [{
         "commitInfo": {
             "timestamp": _now_ms(),
             "operation": "MERGE",
-            # mergeKeys lets the change feed reconstruct row-granular
-            # update_pre/postimage classes from this commit's file-level
-            # rewrite (delta records the same information in its MERGE
-            # predicate parameter; a JSON key list is unambiguous).
-            "operationParameters": {"matchedPredicates": "update",
-                                    "notMatchedPredicates": "insert",
-                                    "mergeKeys": json.dumps(list(on))},
+            "operationParameters": op_params,
         }
     }]
+    if meta_action is not None:
+        actions.append(meta_action)
     target = _read_state(spark, table, state)
     inserts = source.join(target.select(*on), on, "left_anti")
     # MERGE-side data skipping: bound the hit-discovery scan to target
@@ -2589,10 +2797,82 @@ def _delta_merge_attempt(
         hit_files.extend(
             f for f in plain_cands if _abs_path(table, f["path"]) in hit_abs
         )
+    if not_matched_by_source:
+        # BY SOURCE widens the rewrite set: any live file may hold an
+        # affected UNMATCHED row. A condition stats-prunes the extra
+        # files; without one the whole live set is in play (those ARE
+        # the semantics of deleting/updating every unmatched row).
+        from opencode_hive_archon_spark.sources.deltastats import (
+            prune_files as _prune_files,
+        )
+
+        bs_cands = (
+            _prune_files(state, by_source_condition)
+            if by_source_condition
+            else list(state["files"])
+        )
+        seen_paths = {f["path"] for f in hit_files}
+        bs_extra = [f for f in bs_cands if f["path"] not in seen_paths]
+        # DV'd extras: input_file_name discovery is undefined through
+        # the row-index join — rewrite them conservatively (stats-pruned
+        # by the condition already, and the rewrite purges their DVs).
+        hit_files.extend(
+            f for f in bs_extra if f.get("deletionVector")
+        )
+        bs_plain = [f for f in bs_extra if not f.get("deletionVector")]
+        if bs_plain:
+            bs_cond = (
+                F.coalesce(F.expr(by_source_condition), F.lit(False))
+                if by_source_condition
+                else F.lit(True)
+            )
+            extra_state = dict(state, files=bs_plain)
+            extra_rows = _read_state(spark, table, extra_state).withColumn(
+                "_file", F.input_file_name()
+            )
+            affected = {
+                os.path.abspath(
+                    urllib.parse.unquote(urllib.parse.urlparse(u).path)
+                )
+                for u in (
+                    r["_file"]
+                    for r in extra_rows.filter(bs_cond)
+                    .join(source.select(*on), on, "left_anti")
+                    .select("_file").distinct().collect()
+                )
+            }
+            hit_files.extend(
+                f for f in bs_plain
+                if _abs_path(table, f["path"]) in affected
+            )
     if hit_files:
         hit_state = dict(state, files=hit_files)
         hit_rows = _read_state(spark, table, hit_state)
-        kept = hit_rows.join(source.select(*on), on, "left_anti")
+        unmatched = hit_rows.join(source.select(*on), on, "left_anti")
+        if not_matched_by_source:
+            bs_cond = (
+                F.coalesce(F.expr(by_source_condition), F.lit(False))
+                if by_source_condition
+                else F.lit(True)
+            )
+            kept = unmatched.filter(~bs_cond)
+            if not_matched_by_source == "update":
+                cols = [f.name for f in state["schema"].fields]
+                touched = unmatched.filter(bs_cond).select(
+                    *[
+                        F.expr(by_source_assignments[c]).cast(
+                            state["schema"][c].dataType
+                        ).alias(c)
+                        if c in by_source_assignments
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+                _enforce_constraints(touched, state["meta"])
+                kept = kept.unionByName(touched)
+            # "delete": affected unmatched rows simply don't survive.
+        else:
+            kept = unmatched
         # UPDATE SET * applies to EVERY matched target row (duplicates
         # included): one output row per matched target row, payload from
         # the source (whose per-key uniqueness the guard above enforced).
@@ -2612,6 +2892,13 @@ def _delta_merge_attempt(
         )
     )
     actions.extend(removes)
+    if not_matched_by_source:
+        # BY SOURCE reads (and may delete/update) UNMATCHED rows, so the
+        # read set is no longer bounded by the source's key range — a
+        # concurrent add could carry rows this merge should have
+        # affected. No provable bounds -> any concurrent data change
+        # conflicts (the OCC retry re-runs the attempt).
+        merge_bounds = None
     return _commit_after_conflict_check(
         spark, table, v, actions,
         {
@@ -2736,13 +3023,28 @@ def _rows_at_indexes(
     """Rows of ONE data file selected (or, with complement=True,
     excluded) by row index, optionally tagged as change-feed rows. The
     index set is DV-cardinality-bounded metadata; the scan reads one
-    file."""
-    reader = spark.read.schema(state["schema"])
+    file. Under column mapping the file (and any hive dir keys) carry
+    PHYSICAL names — declare the physical schema and alias back (r18)."""
+    schema = state["schema"]
+    to_logical = [F.col(f.name) for f in schema.fields]
+    if _mapping_enabled(state.get("meta")):
+        phys = _physical_map(state["meta"])
+        schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in state["schema"].fields
+        ])
+        to_logical = [
+            F.col(phys[f.name]).alias(f.name)
+            for f in state["schema"].fields
+        ]
+    reader = spark.read.schema(schema)
     if state["partition_columns"]:
         reader = reader.option("basePath", table)
     df = reader.parquet(
         os.path.join(table, _rel_path(table, path))
-    ).select("*", F.col("_metadata.row_index").alias("_dv_ri"))
+    ).select(
+        *to_logical, F.col("_metadata.row_index").alias("_dv_ri")
+    )
     idx_df = spark.createDataFrame(
         [(int(i),) for i in sorted(indexes)], "_dv_ri bigint"
     )
@@ -3490,11 +3792,16 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         def __init__(
             self, path: str, part_cols=(),
             table: str | None = None, dv: dict | None = None,
+            col_map=None,
         ):
             self.path = path
             self.part_cols = part_cols
             self.table = table
             self.dv = dv
+            # [(physical, logical, primitive_type)] for the table's
+            # NON-partition fields under column mapping (r18); None for
+            # an unmapped table (serve file columns verbatim).
+            self.col_map = col_map
 
     class DeltaLogStreamReader(DataSourceStreamReader):
         """Tails the transaction log: offsets are commit versions; each
@@ -3504,18 +3811,23 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         dataChange flag exists for. Rows are served as Arrow record
         batches straight from the parquet files (no Python row loop); a
         PARTITIONED table's partition columns are injected from
-        partitionValues, and a DV'd add serves its LIVE rows via a
-        positional filter (r17) — the same re-emit contract a
-        copy-on-write rewrite already has."""
+        partitionValues, a DV'd add serves its LIVE rows via a
+        positional filter (r17), and a COLUMN-MAPPED table's physical
+        file columns are renamed to their logical names executor-side
+        (r18) — the same re-emit contract a copy-on-write rewrite
+        already has."""
 
         def __init__(self, table: str):
             self._table = table
             try:
+                meta = _peek_meta_fs(table)
                 self._part_inject = DeltaCdfStreamReader._partition_injection(
-                    _peek_meta_fs(table)
+                    meta
                 )
+                self._col_map = DeltaCdfStreamReader._column_map(meta)
             except DeltaProtocolError:
                 self._part_inject = None
+                self._col_map = None
 
         def initialOffset(self) -> dict:
             return {"version": -1}
@@ -3544,8 +3856,8 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                             if self._part_inject is not None:
                                 pv = add.get("partitionValues") or {}
                                 inject = [
-                                    (idx, name, ptype, pv.get(name))
-                                    for idx, name, ptype
+                                    (idx, name, ptype, pv.get(phys))
+                                    for idx, name, ptype, phys
                                     in self._part_inject
                                 ]
                             parts.append(_DeltaFilePartition(
@@ -3556,34 +3868,14 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                                 part_cols=inject,
                                 table=self._table,
                                 dv=add.get("deletionVector"),
+                                col_map=self._col_map,
                             ))
             return parts
 
         def read(self, partition):  # executor-side
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+            from opencode_hive_archon_spark.sources import deltalog as _dl
 
-            tbl = pq.read_table(partition.path)
-            if partition.dv:
-                from opencode_hive_archon_spark.sources import (
-                    deltalog as _dl,
-                )
-
-                dead = _dl._dv_read(partition.table, partition.dv)
-                if dead:
-                    import numpy as np
-
-                    mask = np.ones(tbl.num_rows, dtype=bool)
-                    hits = [i for i in dead if i < tbl.num_rows]
-                    if hits:
-                        mask[hits] = False
-                    tbl = tbl.filter(pa.array(mask))
-            for idx, name, ptype, raw in sorted(partition.part_cols):
-                tbl = tbl.add_column(
-                    idx, name,
-                    _pa_partition_array(ptype, raw, tbl.num_rows),
-                )
-            yield from tbl.to_batches()
+            yield from _dl._arrow_serve_file(partition).to_batches()
 
         def commit(self, end: dict) -> None:
             pass
@@ -3593,7 +3885,8 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         .option("path", table).load()`` — the read-side complement of
         ``delta_stream_sink``. Partitioned tables are served with their
         partition columns injected from partitionValues (r17);
-        column-mapped tables remain refused."""
+        column-mapped tables are served under their LOGICAL schema with
+        the physical->logical rename done executor-side (r18)."""
 
         @classmethod
         def name(cls) -> str:
@@ -3601,14 +3894,6 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
 
         def schema(self):
             meta = _peek_meta_fs(self.options["path"])
-            if _mapping_enabled(meta):
-                # The Arrow reader serves files verbatim (physical
-                # names); serving a mapped table would leak them.
-                raise DeltaProtocolError(
-                    "delta_log_stream does not support column-mapped "
-                    "tables (physical-name translation is the documented "
-                    "extension)"
-                )
             # Validate partition-column injectability HERE, with a named
             # reason — not executor-side with an Arrow type error.
             DeltaCdfStreamReader._partition_injection(meta)
@@ -3621,10 +3906,14 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         def __init__(
             self, path: str, tag: str, version: int, part_cols,
             table: str | None = None, dv: dict | None = None,
+            col_map=None,
         ):
             self.path = path
             self.tag = tag
             self.version = version
+            # [(physical, logical, primitive_type)] under column
+            # mapping (r18); None for an unmapped table.
+            self.col_map = col_map
             # [(schema_index, name, primitive_type, raw_string_value)]
             # — partition columns to inject (parquet files of a
             # partitioned table don't carry them).
@@ -3670,6 +3959,74 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             val = datetime.date.fromisoformat(raw)
         return pa.array([val] * n, arrow_of)
 
+    def _pa_primitive_type(ptype):
+        """Arrow type of a spec primitive type string — for NULL
+        backfill of a logical column missing from an older file (added
+        later by schema evolution). Non-primitive backfill fails loudly."""
+        import pyarrow as pa
+
+        table = {
+            "string": pa.string(), "long": pa.int64(),
+            "integer": pa.int32(), "short": pa.int16(),
+            "byte": pa.int8(), "double": pa.float64(),
+            "float": pa.float32(), "boolean": pa.bool_(),
+            "date": pa.date32(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        if not isinstance(ptype, str) or ptype not in table:
+            raise DeltaProtocolError(
+                f"cannot null-backfill a column of type {ptype!r} in a "
+                "streamed file (non-primitive schema evolution)"
+            )
+        return table[ptype]
+
+    def _arrow_serve_file(partition):
+        """EXECUTOR-side: one add/remove action's parquet file as a
+        LOGICAL Arrow table — DV-filtered (an out-of-range DV index
+        fails LOUDLY: it means a corrupt or mismatched deletion vector,
+        and silently serving the file would resurrect dead rows),
+        physical columns renamed to logical under column mapping (a
+        physical column missing from an older file — added later by
+        schema evolution — is null-backfilled), partition columns
+        injected as typed constants."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opencode_hive_archon_spark.sources import deltalog as _dl
+
+        tbl = pq.read_table(partition.path)
+        if partition.dv:
+            dead = _dl._dv_read(partition.table, partition.dv)
+            if dead:
+                import numpy as np
+
+                bad = [i for i in dead if i >= tbl.num_rows]
+                if bad:
+                    raise DeltaProtocolError(
+                        f"deletion vector of {partition.path} holds row "
+                        f"index {max(bad)} but the file has only "
+                        f"{tbl.num_rows} rows — corrupt or mismatched DV"
+                    )
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[sorted(dead)] = False
+                tbl = tbl.filter(pa.array(mask))
+        if partition.col_map is not None:
+            cols, names = [], []
+            for phys, logical, ptype in partition.col_map:
+                if phys in tbl.column_names:
+                    cols.append(tbl.column(phys))
+                else:
+                    cols.append(
+                        pa.nulls(tbl.num_rows, _pa_primitive_type(ptype))
+                    )
+                names.append(logical)
+            tbl = pa.Table.from_arrays(cols, names=names)
+        for idx, name, ptype, raw in sorted(partition.part_cols):
+            tbl = tbl.add_column(
+                idx, name, _pa_partition_array(ptype, raw, tbl.num_rows)
+            )
+        return tbl
+
     class DeltaCdfStreamReader(DataSourceStreamReader):
         """Tails the transaction log as a CHANGE FEED: each micro-batch
         serves the rows of data files ADDED (tag 'insert') and REMOVED
@@ -3708,35 +4065,77 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             # partitions() call, so a checkpoint restart can never
             # re-serve or skip.
             self._pos = {"version": start_version + 1, "file": 0}
+            # Restart safety (r18, ADVICE r17 #1): the in-memory pacing
+            # cursor starts at the startingVersion boundary, which on a
+            # query RESTART sits BEHIND the checkpointed offset — a
+            # paced latestOffset computed from it would hand Spark a
+            # REGRESSED offset, poisoning the offset log and re-serving
+            # already-committed files (duplicates). The engine reveals
+            # the true position BEFORE its first latestOffset call on
+            # every restart path (traced empirically on Spark 4.1):
+            # a committed last batch triggers source.commit(restored
+            # offset) during start-offset population, an uncommitted one
+            # replays partitions(start, end) — so re-anchoring the
+            # cursor forward in BOTH hooks closes the regression without
+            # giving up fresh-start pacing (where the cursor's initial
+            # value is authoritative because no checkpoint exists).
             try:
                 meta = _peek_meta_fs(table)
                 self._schema_json = meta["schemaString"]
                 self._part_inject = self._partition_injection(meta)
+                self._col_map = self._column_map(meta)
             except DeltaProtocolError:
                 self._schema_json = None
                 self._part_inject = None
+                self._col_map = None
 
         @staticmethod
         def _partition_injection(meta: dict):
-            """[(schema_index, name, primitive_type)] for the table's
-            partition columns, or None for unpartitioned."""
+            """[(schema_index, logical_name, primitive_type,
+            physical_name)] for the table's partition columns, or None
+            for unpartitioned. partitionColumns names LOGICAL fields;
+            the action's partitionValues are keyed by the PHYSICAL name
+            (identical for unmapped tables)."""
             pcols = list(meta.get("partitionColumns") or [])
             if not pcols:
                 return None
             fields = json.loads(meta["schemaString"]).get("fields", [])
             by_name = {
-                f["name"]: (i, f.get("type")) for i, f in enumerate(fields)
+                f["name"]: (
+                    i,
+                    f.get("type"),
+                    (f.get("metadata") or {}).get(_CM_PHYS, f["name"]),
+                )
+                for i, f in enumerate(fields)
             }
             out = []
             for name in pcols:
-                idx, ptype = by_name[name]
+                idx, ptype, phys = by_name[name]
                 if not isinstance(ptype, str) or ptype not in _PA_PART_TYPES:
                     raise DeltaProtocolError(
                         f"delta_cdf_stream cannot inject partition "
                         f"column {name!r} of type {ptype!r}"
                     )
-                out.append((idx, name, ptype))
+                out.append((idx, name, ptype, phys))
             return out
+
+        @staticmethod
+        def _column_map(meta: dict):
+            """[(physical, logical, type)] for the NON-partition fields
+            in logical schema order under column mapping; None for an
+            unmapped table (files already carry the logical names)."""
+            if not _mapping_enabled(meta):
+                return None
+            pcols = set(meta.get("partitionColumns") or [])
+            return [
+                (
+                    (f.get("metadata") or {}).get(_CM_PHYS, f["name"]),
+                    f["name"],
+                    f.get("type"),
+                )
+                for f in json.loads(meta["schemaString"]).get("fields", [])
+                if f["name"] not in pcols
+            ]
 
         def _cdf_files(self, v: int) -> list[tuple[str, dict]]:
             """The (tag, action) change files of commit v, in log
@@ -3759,8 +4158,9 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                         meta
                         and meta.get("schemaString")
                         and self._schema_json is not None
-                        and not _same_shape(
-                            self._schema_json, meta["schemaString"]
+                        and not _stream_serveable_schema_change(
+                            self._schema_json, meta["schemaString"],
+                            mapped=self._col_map is not None,
                         )
                     ):
                         raise DeltaProtocolError(
@@ -3821,7 +4221,8 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
 
         def partitions(self, start: dict, end: dict):
             # Re-anchor the pacing cursor to the engine's authoritative
-            # range (restart safety).
+            # range (restart safety) — an uncommitted-restart replay
+            # reveals the true position before latestOffset is called.
             if self._cmp(dict(self._pos), end) < 0:
                 ev_, ek_ = self._norm(end)
                 self._pos = {"version": ev_, "file": ek_}
@@ -3849,46 +4250,29 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
                     if self._part_inject is not None:
                         pv = act.get("partitionValues") or {}
                         inject = [
-                            (idx, name, ptype, pv.get(name))
-                            for idx, name, ptype in self._part_inject
+                            (idx, name, ptype, pv.get(phys))
+                            for idx, name, ptype, phys in self._part_inject
                         ]
                     parts.append(_DeltaCdfPartition(
                         full, tag, v, inject,
                         table=self._table,
                         dv=act.get("deletionVector"),
+                        col_map=self._col_map,
                     ))
             return parts
 
         def read(self, partition):  # executor-side
+            # Merge-on-read: _arrow_serve_file drops this incarnation's
+            # dead rows by POSITION (DV indexes are physical row
+            # positions; a whole-file read preserves them). Serving live
+            # rows per incarnation makes a DV supersede net out to
+            # exactly the newly-dead rows downstream.
             import pyarrow as pa
-            import pyarrow.parquet as pq
 
-            tbl = pq.read_table(partition.path)
-            if partition.dv:
-                # Merge-on-read: drop this incarnation's dead rows by
-                # POSITION (DV indexes are physical row positions; a
-                # whole-file read preserves them). Serving live rows per
-                # incarnation makes a DV supersede net out to exactly
-                # the newly-dead rows downstream.
-                from opencode_hive_archon_spark.sources import (
-                    deltalog as _dl,
-                )
+            from opencode_hive_archon_spark.sources import deltalog as _dl
 
-                dead = _dl._dv_read(partition.table, partition.dv)
-                if dead:
-                    import numpy as np
-
-                    mask = np.ones(tbl.num_rows, dtype=bool)
-                    hits = [i for i in dead if i < tbl.num_rows]
-                    if hits:
-                        mask[hits] = False
-                    tbl = tbl.filter(pa.array(mask))
+            tbl = _dl._arrow_serve_file(partition)
             n = tbl.num_rows
-            # Inject partition columns at their schema positions.
-            for idx, name, ptype, raw in sorted(partition.part_cols):
-                tbl = tbl.add_column(
-                    idx, name, _pa_partition_array(ptype, raw, n)
-                )
             tbl = tbl.append_column(
                 "_change_type", pa.array([partition.tag] * n, pa.string())
             )
@@ -3899,7 +4283,13 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
             yield from tbl.to_batches()
 
         def commit(self, end: dict) -> None:
-            pass
+            # Restart safety (ADVICE r17 #1): on a committed-restart the
+            # engine calls commit(restored offset) BEFORE its first
+            # latestOffset — anchoring here is what stops a paced
+            # latestOffset from ever regressing behind the checkpoint.
+            if self._cmp(dict(self._pos), end) < 0:
+                ev_, ek_ = self._norm(end)
+                self._pos = {"version": ev_, "file": ek_}
 
     class DeltaCdfStreamSource(DataSource):
         """``spark.readStream.format("delta_cdf_stream")
@@ -3911,7 +4301,9 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
         table from its first commit. maxFilesPerTrigger (r17) caps a
         micro-batch at n change files. Partitioned tables are served
         with their partition columns injected from partitionValues
-        (r17); column-mapped tables remain refused."""
+        (r17); column-mapped tables are served under their LOGICAL
+        schema with the physical->logical rename done executor-side
+        (r18)."""
 
         @classmethod
         def name(cls) -> str:
@@ -3919,12 +4311,6 @@ try:  # pyspark.sql.datasource: Spark 4 Python DataSource API
 
         def schema(self):
             meta = _peek_meta_fs(self.options["path"])
-            if _mapping_enabled(meta):
-                raise DeltaProtocolError(
-                    "delta_cdf_stream does not support column-mapped "
-                    "tables (physical-name translation is the documented "
-                    "extension)"
-                )
             # Validate partition-column injectability HERE, with a named
             # reason — not executor-side with an Arrow type error.
             DeltaCdfStreamReader._partition_injection(meta)
@@ -4845,6 +5231,262 @@ FROM clone_live
 """
 
 
+MAPPED_SLICE_MOD = 5    # table = orders with o_orderkey ≡ 0 (mod 5)
+MAPPED_DEL_MOD = 20     # DV delete kills keys ≡ 0 (mod 20)
+
+
+def source_delta_mapped_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column mapping on a PARTITIONED table (r18, VERDICT r17 #3): a
+    hive-partitioned orders slice gets name-mode mapping enabled, then
+    BOTH a data column (o_totalprice -> price) and the partition column
+    (o_orderpriority -> priority) are renamed — metadata-only commits,
+    zero rewrite — followed by a merge-on-read DV delete. The read
+    plans the physical schema (physically-named partition fields, so
+    basePath discovery resolves the on-disk dir keys) and aliases back
+    to the logical names; partition pruning on the RENAMED column still
+    skips files via the physical partitionValues. Pinned in-code: the
+    log keeps physical partitionValues keys, pruning accounting
+    improves, and the per-priority aggregate hash-checks against the
+    relational reconstruction.
+
+    Scale shape: rename on a 100 TB partitioned table is one metadata
+    commit; reads stay partition-pruned basePath scans."""
+    table = _demo_table(sf_dir, "mappedpart", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        base = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MAPPED_SLICE_MOD == 0)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        )
+        delta_write(
+            spark,
+            base.repartitionByRange(2, "o_orderkey"),
+            table,
+            partition_by=["o_orderpriority"],
+        )
+        delta_enable_column_mapping(spark, table)
+        delta_rename_column(spark, table, "o_totalprice", "price")
+        delta_rename_column(spark, table, "o_orderpriority", "priority")
+        delta_delete(
+            spark, table,
+            f"o_orderkey % {MAPPED_DEL_MOD} = 0", use_dv=True,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    state = _snapshot_state(spark, table)
+    assert state["partition_columns"] == ["priority"], state[
+        "partition_columns"
+    ]
+    # The log stays keyed by PHYSICAL names: hive dirs + partitionValues.
+    assert all(
+        list(f["partitionValues"]) == ["o_orderpriority"]
+        for f in state["files"]
+    )
+    assert any(f.get("deletionVector") for f in state["files"])
+    # Pruning on the RENAMED partition column skips files.
+    from opencode_hive_archon_spark.sources.deltastats import (
+        delta_scan_accounting,
+    )
+
+    n_total, n_scanned = delta_scan_accounting(
+        spark, table, "priority = '1-URGENT'"
+    )
+    assert n_scanned < n_total, (n_scanned, n_total)
+    return (
+        delta_snapshot(spark, table)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            _cents("price").alias("price_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+_ORACLE_MAPPED = f"""
+WITH live AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderkey % {MAPPED_SLICE_MOD} = 0
+    AND o_orderkey % {MAPPED_DEL_MOD} <> 0
+)
+SELECT o_orderpriority AS priority,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM live
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+OVW_GEN1_MOD = 7   # generation 1 = orders with o_orderkey ≡ 0 (mod 7)
+OVW_GEN2_MOD = 3   # generation 2 = orders with o_orderkey ≡ 0 (mod 3)
+
+
+def source_delta_overwrite_schema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema-changing overwrite on a MAPPED table (r18, VERDICT r17
+    #4): generation 1 is a two-column mapped table (renamed
+    o_totalprice -> price); one overwrite commit replaces BOTH the file
+    set and the schema (adds o_orderpriority, which mints a fresh
+    col-<uuid> physical name past maxColumnId — ids are never reused).
+    The query aggregates BOTH generations via time travel in one plan:
+    each version replays its own metaData, so the pre-overwrite
+    snapshot serves the old shape while the head serves the new one.
+    Streams crossing the boundary keep failing loudly (pytest-pinned in
+    tests/test_delta_schema_evolution.py).
+
+    Scale shape: the overwrite commit is one metadata action plus the
+    new file set; time travel costs one bounded log replay per version."""
+    table = _demo_table(sf_dir, "ovwschema", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        gen1 = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % OVW_GEN1_MOD == 0)
+            .select("o_orderkey", F.col("o_totalprice").alias("price"))
+        )
+        delta_write(spark, gen1.repartition(2), table)      # v0
+        delta_enable_column_mapping(spark, table)           # v1
+        gen2 = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % OVW_GEN2_MOD == 0)
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                "o_orderpriority",
+            )
+        )
+        delta_write(spark, gen2.repartition(2), table, mode="overwrite")
+        meta = _snapshot_state(spark, table)["meta"]
+        fields = {
+            f["name"]: (f.get("metadata") or {})
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        assert fields["price"][_CM_PHYS] == "price"
+        assert fields["o_orderpriority"][_CM_PHYS].startswith("col-")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    def gen_agg(df: DataFrame, gen: int) -> DataFrame:
+        return df.agg(
+            F.lit(gen).alias("generation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            _cents("price").alias("price_cents"),
+        )
+
+    return gen_agg(delta_snapshot(spark, table, version=1), 1).unionByName(
+        gen_agg(delta_snapshot(spark, table), 2)
+    ).orderBy("generation")
+
+
+_ORACLE_OVWSCHEMA = f"""
+SELECT 1 AS generation,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey % {OVW_GEN1_MOD} = 0
+UNION ALL
+SELECT 2 AS generation,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey % {OVW_GEN2_MOD} = 0
+ORDER BY generation
+"""
+
+
+MRGEVO_TGT_MOD = 4   # target = orders with o_orderkey ≡ 0 (mod 4)
+MRGEVO_SRC_MOD = 6   # source = orders with o_orderkey ≡ 0 (mod 6)
+
+
+def source_delta_merge_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE schema evolution + WHEN NOT MATCHED BY SOURCE (r18,
+    VERDICT r17 #5): the source carries a NEW `origin` column
+    (autoMerge appends it to the table schema in the same commit; old
+    rows null-backfill at read time) and the BY SOURCE clause stamps
+    every unmatched target row 'stale'. One commit, three row classes:
+    matched rows take the source payload, never-matched source rows
+    insert, unmatched target rows update in place. Hash-checked against
+    the relational reconstruction per origin class.
+
+    Scale shape: matched-file discovery stays key-bound pruned; the BY
+    SOURCE update rewrites only files holding affected rows."""
+    table = _demo_table(sf_dir, "mrgevo", "orders.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        tgt = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MRGEVO_TGT_MOD == 0)
+            .select("o_orderkey", "o_totalprice")
+        )
+        delta_write(spark, tgt.repartitionByRange(3, "o_orderkey"), table)
+        src = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % MRGEVO_SRC_MOD == 0)
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+                F.lit("src").alias("origin"),
+            )
+        )
+        delta_merge(
+            spark, table, src, on=["o_orderkey"],
+            schema_evolution=True,
+            not_matched_by_source="update",
+            by_source_assignments={"origin": "'stale'"},
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        delta_snapshot(spark, table)
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            _cents("o_totalprice").alias("price_cents"),
+        )
+        .orderBy("origin")
+    )
+
+
+_ORACLE_MRGEVO = f"""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'src' AS origin
+  FROM orders WHERE o_orderkey % {MRGEVO_SRC_MOD} = 0
+), merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT t.o_orderkey, t.o_totalprice, 'stale' AS origin
+  FROM orders t
+  WHERE t.o_orderkey % {MRGEVO_TGT_MOD} = 0
+    AND t.o_orderkey % {MRGEVO_SRC_MOD} <> 0
+)
+SELECT origin,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM merged
+GROUP BY origin
+ORDER BY origin
+"""
+
+
 SPECS = [
     QuerySpec(
         "source_delta_change_feed", source_delta_change_feed,
@@ -4925,5 +5567,30 @@ SPECS = [
         "re-referenced as 'p', clone-side DV delete reads 'p' bytes and "
         "writes fresh 'u' under the clone root — storage types pinned, "
         "both tables hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_mapped_partitioned", source_delta_mapped_partitioned,
+        _ORACLE_MAPPED, "sources",
+        "Column mapping on a PARTITIONED table: rename of data AND "
+        "partition columns as metadata-only commits, physical "
+        "partitionValues keys pinned, pruning on the renamed column "
+        "still skips files, DV delete + per-priority aggregate "
+        "hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_overwrite_schema", source_delta_overwrite_schema,
+        _ORACLE_OVWSCHEMA, "sources",
+        "Schema-changing overwrite on a mapped table: one commit swaps "
+        "file set AND schema (new column mints a fresh physical name), "
+        "both generations aggregated via time travel in one plan, "
+        "hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_merge_evolution", source_delta_merge_evolution,
+        _ORACLE_MRGEVO, "sources",
+        "MERGE schema evolution + WHEN NOT MATCHED BY SOURCE: autoMerge "
+        "appends the source's new column, unmatched target rows update "
+        "in place, matched/inserted rows take the source payload — all "
+        "three classes hash-checked per origin",
     ),
 ]

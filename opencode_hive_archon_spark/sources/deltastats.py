@@ -218,19 +218,21 @@ def parse_skipping_predicate(text: str):
 _HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _string_typed_cols(meta: dict | None) -> frozenset[str]:
+def _string_typed_cols(meta: dict | None) -> frozenset[str] | None:
     """Names (logical AND physical, so the set works both before and
     after `_rename_atoms`) of top-level STRING-typed columns, from the
-    metaData schemaString. Empty when the schema is unavailable — which
-    makes every string-literal partition comparison fall back to "keep
-    the file" (sound)."""
+    metaData schemaString. None when the schema is UNAVAILABLE — the
+    caller must then treat every column's type as unknown and keep the
+    file (a genuinely string-typed column falling into the numeric
+    fallback could disagree with Spark's lexicographic compare and
+    wrongly prune a matching file; ADVICE r17 #2)."""
     if not meta or not meta.get("schemaString"):
-        return frozenset()
+        return None
     out: set[str] = set()
     try:
         fields = json.loads(meta["schemaString"]).get("fields", [])
     except (ValueError, TypeError):
-        return frozenset()
+        return None
     for field in fields:
         if field.get("type") == "string":
             out.add(field["name"])
@@ -242,7 +244,8 @@ def _string_typed_cols(meta: dict | None) -> frozenset[str]:
 
 
 def _atom_can_match(
-    col: str, op: str, lit, add: dict, string_cols: frozenset = frozenset()
+    col: str, op: str, lit, add: dict,
+    string_cols: frozenset | None = frozenset(),
 ) -> bool:
     """Could `col op lit` be true for ANY row of this file? Partition
     values are exact (every row shares them); data columns use the
@@ -255,7 +258,10 @@ def _atom_can_match(
     value ``'9'`` on an int column is 9 < 10 = true, but '9' < '10' is
     lexicographically false), so a raw string compare would skip files
     that contain matching rows — those columns fall through to the
-    numeric parse of the partition value, or keep the file."""
+    numeric parse of the partition value, or keep the file. A `None`
+    string_cols means the schema is UNKNOWN — then neither compare is
+    provably Spark's, so a string-literal partition atom keeps the
+    file (ADVICE r17 #2)."""
     pv = add.get("partitionValues") or {}
     if col in pv:
         raw = pv[col]
@@ -265,8 +271,14 @@ def _atom_can_match(
             # comparison atom.
             return False
         if isinstance(lit, str):
+            if string_cols is None:
+                # Schema unknown: the column may be string-typed (then
+                # Spark compares lexicographically) or not (then it
+                # casts) — neither fallback is provably right, so keep
+                # the file (sound).
+                return True
             if col not in string_cols:
-                # String literal vs a non-string (or unknown-typed)
+                # String literal vs a schema-confirmed NON-string
                 # partition column: Spark compares post-cast, not
                 # lexicographically. If the literal parses as a number,
                 # compare numerically (mirrors Spark's string↔numeric
@@ -394,7 +406,9 @@ def _null_can_match(col: str, neg: bool, add: dict) -> bool:
     return nc > 0  # IS NULL: any null row?
 
 
-def _can_match(node, add: dict, string_cols: frozenset = frozenset()) -> bool:
+def _can_match(
+    node, add: dict, string_cols: frozenset | None = frozenset()
+) -> bool:
     kind = node[0]
     if kind == "and":
         return all(_can_match(b, add, string_cols) for b in node[1])

@@ -386,9 +386,12 @@ _CENSUS = [
     "source_delta_clone_partitioned",
     "source_delta_deletion_vectors",
     "source_delta_dv_clone_interop",
+    "source_delta_mapped_partitioned",
+    "source_delta_merge_evolution",
     "source_delta_merge_upsert",
     "source_delta_null_skipping",
     "source_delta_optimize_dv",
+    "source_delta_overwrite_schema",
     "source_delta_stats_skipping",
     "source_delta_string_skipping",
     "source_delta_update",

@@ -1037,19 +1037,15 @@ def test_column_mapping_requires_enable_and_guards(spark, tmp_path):
         dl.delta_rename_column(spark, tbl, "nope", "x")
     with pytest.raises(dl.DeltaProtocolError, match="already exists"):
         dl.delta_rename_column(spark, tbl, "k", "g")
-    # Schema-changing overwrite is fenced on mapped tables.
-    with pytest.raises(dl.DeltaProtocolError, match="schema-changing overwrite"):
-        dl.delta_write(
-            spark,
-            spark.range(2).select(F.col("id").alias("z")),
-            tbl,
-            mode="overwrite",
-        )
-    # Partitioned tables can't enable mapping.
+    # Schema-changing overwrite on a mapped table mints fresh mapping
+    # metadata (r18) instead of refusing; see
+    # tests/test_delta_schema_evolution.py. Partitioned tables enable
+    # mapping too (r18); see tests/test_delta_mapping_partitioned.py.
     tbl2 = str(tmp_path / "t2")
     dl.delta_write(spark, _df(spark, 0, 10), tbl2, partition_by=["g"])
-    with pytest.raises(dl.DeltaProtocolError, match="partitioned"):
-        dl.delta_enable_column_mapping(spark, tbl2)
+    v = dl.delta_enable_column_mapping(spark, tbl2)
+    assert v == 1
+    assert _ks(dl.delta_snapshot(spark, tbl2)) == list(range(10))
 
 
 def test_restore_reverts_rename_metadata_only(spark, tmp_path):
@@ -1290,12 +1286,22 @@ def test_incomplete_checkpoint_never_resets_version_counter(spark, tmp_path):
     assert not os.path.exists(dl._version_file(tbl, 0))
 
 
-def test_foreign_mapped_partitioned_table_refused(spark, tmp_path):
-    """A foreign column-mapped PARTITIONED table must be refused loudly
-    — this reader can't derive physical-named partition values, and
-    NULLs would be silent wrong data."""
+def test_foreign_mapped_partitioned_table_reads(spark, tmp_path):
+    """A FOREIGN column-mapped PARTITIONED table (fully-uuid physical
+    names, physical hive dirs, physical partitionValues keys, LOGICAL
+    partitionColumns — the delta-spark layout) reads correctly under
+    its logical schema (r18; this combination was refused through r17)."""
     tbl = str(tmp_path / "t")
     os.makedirs(os.path.join(tbl, "_delta_log"))
+    data_dir = os.path.join(tbl, "col-def=a")
+    os.makedirs(data_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"col-abc": pa.array([1, 2], pa.int64())}),
+        os.path.join(data_dir, "f1.parquet"),
+    )
     schema_json = {
         "type": "struct",
         "fields": [
@@ -1324,8 +1330,9 @@ def test_foreign_mapped_partitioned_table_refused(spark, tmp_path):
     with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(dl.DeltaProtocolError, match="PARTITIONED"):
-        dl.delta_snapshot(spark, tbl).collect()
+    snap = dl.delta_snapshot(spark, tbl)
+    assert set(snap.columns) == {"k", "p"}
+    assert {(r["k"], r["p"]) for r in snap.collect()} == {(1, "a"), (2, "a")}
 
 
 def test_describe_history(spark, tmp_path):
