@@ -38,6 +38,7 @@ _SPEC_MODULES = [
     "opencode_hive_archon_spark.operators.decontaminate",
     "opencode_hive_archon_spark.operators.spandedup",
     "opencode_hive_archon_spark.operators.quality_rules",
+    "opencode_hive_archon_spark.operators.pii",
     "opencode_hive_archon_spark.operators.timeseries",
     "opencode_hive_archon_spark.operators.linkage",
     "opencode_hive_archon_spark.operators.sketches",

@@ -3207,12 +3207,23 @@ def delta_changes(
     # range would silently surface its delete-rows (pre-evolution files)
     # as null columns. Walk the metaData timeline across the range and
     # fail loudly instead — the consumer must split the feed at the
-    # evolution commit (or fall back to snapshot diffs).
+    # evolution commit (or fall back to snapshot diffs). Under column
+    # mapping (r18) a metadata-only rename — of a data OR partition
+    # column — is serveable: files are read by PHYSICAL name and
+    # projected to to_version's logical schema, so the guard compares
+    # PHYSICAL shape (and PHYSICAL partition dirs), same contract as
+    # the CDF/log streams.
+    mapped = _mapping_enabled(state.get("meta"))
+
+    def _phys_parts(meta: dict) -> list[str]:
+        pm = _physical_map(meta) if mapped else {}
+        return [pm.get(c, c) for c in (meta.get("partitionColumns") or [])]
+
     before = None
     if from_version >= 0:
         before = _peek_meta(spark, table, from_version)
     current_json = before["schemaString"] if before else None
-    current_parts = list(before.get("partitionColumns") or []) if before else None
+    current_parts = _phys_parts(before) if before else None
     for v in need:
         with open(_version_file(table, v)) as fh:
             for line in fh:
@@ -3220,8 +3231,14 @@ def delta_changes(
                     continue
                 meta = json.loads(line).get("metaData")
                 if meta and meta.get("schemaString"):
-                    parts_v = list(meta.get("partitionColumns") or [])
-                    if not _same_shape(current_json, meta["schemaString"]) or (
+                    parts_v = _phys_parts(meta)
+                    serveable = (
+                        current_json is None
+                        or _stream_serveable_schema_change(
+                            current_json, meta["schemaString"], mapped=mapped
+                        )
+                    )
+                    if not serveable or (
                         current_parts is not None and parts_v != current_parts
                     ):
                         raise DeltaProtocolError(

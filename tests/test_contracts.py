@@ -256,6 +256,7 @@ _CENSUS = [
     "array_ops_embeddings",
     "catalog_column_stats",
     "catalog_roundtrip",
+    "corpus_blocklist_filter",
     "corpus_bpe_pair_stats",
     "corpus_chunk_overlap",
     "corpus_curation",
@@ -421,6 +422,7 @@ _CENSUS = [
     "text_fingerprint",
     "text_lang_profile",
     "text_langid",
+    "text_pii_redact",
     "text_quality_score",
     "text_rarity_score",
     "text_repetition_stats",

@@ -231,3 +231,47 @@ def test_stream_dv_out_of_range_index_fails_loudly(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_batch_change_feed_serves_across_mapped_rename(spark, tmp_path):
+    """The BATCH change feed (delta_changes) crosses the mapping-enable
+    and rename commits — metadata-only, physical shape identical — and
+    serves every row under to_version's LOGICAL names, the same r18
+    contract the CDF/log streams already honor."""
+    tbl = _mk_partitioned_mapped(spark, tmp_path, n=8)
+    dl.delta_delete(spark, tbl, "k = 3")
+    v = dl.latest_version(tbl)
+    feed = dl.delta_changes(spark, tbl, -1, v)
+    assert set(feed.columns) == {
+        "k", "region", "price", "_change_type", "_commit_version"
+    }
+    rows = feed.collect()
+    v0_inserts = {
+        (r["k"], r["region"], r["price"])
+        for r in rows
+        if r["_change_type"] == "insert" and r["_commit_version"] == 0
+    }
+    assert v0_inserts == {(k, k % 4, k * 1.5) for k in range(8)}
+    # Row-granular DELETE classes: only the row the predicate hit
+    # surfaces; the carried k=7 row the rewrite moved is elided.
+    deletes = {
+        (r["k"], r["region"], r["price"], r["_commit_version"])
+        for r in rows
+        if r["_change_type"] == "delete"
+    }
+    assert deletes == {(3, 3, 4.5, v)}
+    assert len(rows) == 9
+
+
+def test_batch_change_feed_still_refuses_mapped_overwrite_schema(
+    spark, tmp_path
+):
+    """A rename is serveable; a PHYSICAL shape change is not: an
+    overwriteSchema commit on the mapped table still splits the feed."""
+    tbl = _mk_partitioned_mapped(spark, tmp_path, n=8)
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, "x")], "k long, region long, price double, tag string"
+    )
+    dl.delta_write(spark, df, tbl, mode="overwrite", partition_by=["region"])
+    with pytest.raises(dl.DeltaProtocolError, match="schema or partition"):
+        dl.delta_changes(spark, tbl, -1, dl.latest_version(tbl))

@@ -1109,9 +1109,13 @@ def test_change_feed_on_column_mapped_table(spark, tmp_path):
     assert [(r["key"], r["val"], r["_change_type"]) for r in feed] == [
         (2, 20.0, "insert")
     ]
-    # Crossing the rename still fails loudly (schema change in range).
-    with pytest.raises(dl.DeltaProtocolError, match="schema or partition"):
-        dl.delta_changes(spark, tbl, 0, 3)
+    # Crossing the rename is serveable (r18): the enable + rename
+    # commits are metadata-only — physical shape identical — so the
+    # feed spans them and serves under to_version's logical names.
+    spanning = dl.delta_changes(spark, tbl, 0, 3).collect()
+    assert [(r["key"], r["val"], r["_change_type"]) for r in spanning] == [
+        (2, 20.0, "insert")
+    ]
 
 
 def test_checkpoint_carries_current_protocol(spark, tmp_path):
