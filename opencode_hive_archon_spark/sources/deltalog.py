@@ -1356,6 +1356,76 @@ def delta_snapshot(
 _CONSTRAINT_PREFIX = "delta.constraints."
 
 
+_GENERATION_KEY = "delta.generationExpression"
+
+
+def _generated_columns(meta: dict | None) -> dict[str, str]:
+    """Generated columns of a table (PROTOCOL.md generated columns,
+    writer-4 feature): {logical name: SQL generation expression}, from
+    the `delta.generationExpression` key in schemaString field
+    metadata. Empty for tables without the feature."""
+    if not meta or not meta.get("schemaString"):
+        return {}
+    out: dict[str, str] = {}
+    for field in json.loads(meta["schemaString"]).get("fields", []):
+        expr = (field.get("metadata") or {}).get(_GENERATION_KEY)
+        if expr:
+            out[field["name"]] = expr
+    return out
+
+
+def _generation_referencing(meta: dict, col: str) -> list[str]:
+    """Generated columns whose expression mentions `col` (same
+    conservative word-boundary rule as `_constraints_referencing`) —
+    renaming or dropping a source column would orphan the stored
+    expression string, so both are refused upfront."""
+    rx = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+    return sorted(
+        name
+        for name, expr in _generated_columns(meta).items()
+        if name != col and rx.search(expr)
+    )
+
+
+def _complete_generated(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Spec writer obligation for generated columns: a batch that OMITS
+    a generated column gets it computed from its expression (cast to
+    the declared type, placed in schema position); a batch that
+    PROVIDES one is left alone — `_enforce_constraints` then verifies
+    the provided values satisfy the expression. No-op without the
+    feature."""
+    gens = _generated_columns(meta)
+    missing = [n for n in gens if n not in df.columns]
+    if not missing:
+        return df
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    for name in missing:
+        df = df.withColumn(
+            name, F.expr(gens[name]).cast(schema[name].dataType)
+        )
+    order = [f.name for f in schema.fields if f.name in df.columns]
+    extras = [c for c in df.columns if c not in order]
+    return df.select(*order, *extras)
+
+
+def _regenerate(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Recompute EVERY generated column from its expression — the
+    delta-spark behavior for rows an UPDATE re-evaluates (a SET on a
+    source column must cascade into the generated value; SET on the
+    generated column itself is refused by the caller)."""
+    gens = _generated_columns(meta)
+    if not gens:
+        return df
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    cols = list(df.columns)
+    for name, expr in gens.items():
+        if name in cols:
+            df = df.withColumn(
+                name, F.expr(expr).cast(schema[name].dataType)
+            )
+    return df.select(*cols)
+
+
 def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
     """Write-path CHECK enforcement (PROTOCOL.md: `delta.constraints.*`
     keys in metaData configuration): every incoming row must satisfy
@@ -1364,7 +1434,12 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
     a single limit(1) pass — the scan stops at the first bad row, and a
     clean batch costs one extra pass over the data being written (real
     delta fuses the same check into the write job as an invariant
-    expression; that fusion is the documented extension)."""
+    expression; that fusion is the documented extension).
+
+    Generated columns ride the SAME fused pass: a provided value that
+    differs from its generation expression (null-safe compare, post-cast
+    to the declared type) is a violation — the invariant the spec
+    requires writers to uphold."""
     if not meta:
         return
     conf = meta.get("configuration") or {}
@@ -1373,19 +1448,30 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
         for k, v in conf.items()
         if k.startswith(_CONSTRAINT_PREFIX)
     }
-    if not checks:
+    gens = {
+        name: expr
+        for name, expr in _generated_columns(meta).items()
+        if name in df.columns
+    }
+    if not checks and not gens:
         return
-    violated = reduce(
-        lambda a, b: a | b,
-        (
-            ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
-            for e in checks.values()
-        ),
-    )
+    preds = [
+        ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+        for e in checks.values()
+    ]
+    if gens:
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        preds.extend(
+            ~F.col(name).eqNullSafe(
+                F.expr(expr).cast(schema[name].dataType)
+            )
+            for name, expr in gens.items()
+        )
+    violated = reduce(lambda a, b: a | b, preds)
     if df.filter(violated).limit(1).count():
         raise DeltaProtocolError(
             f"CHECK constraint violation: a written row fails one of "
-            f"{sorted(checks)}"
+            f"{sorted(checks) + [f'generated:{g}' for g in sorted(gens)]}"
         )
 
 
@@ -1609,6 +1695,12 @@ def delta_rename_column(
             f"cannot rename {old!r}: referenced by CHECK constraint(s) "
             f"{refs}; drop them first"
         )
+    gen_refs = _generation_referencing(state["meta"], old)
+    if gen_refs:
+        raise DeltaProtocolError(
+            f"cannot rename {old!r}: referenced by the generation "
+            f"expression(s) of {gen_refs}"
+        )
     for field in schema_json["fields"]:
         if field["name"] == old:
             field["name"] = new
@@ -1659,6 +1751,12 @@ def delta_drop_column(spark: SparkSession, table: str, name: str) -> int:
         raise DeltaProtocolError(
             f"cannot drop {name!r}: referenced by CHECK constraint(s) "
             f"{refs}; drop them first"
+        )
+    gen_refs = _generation_referencing(state["meta"], name)
+    if gen_refs:
+        raise DeltaProtocolError(
+            f"cannot drop {name!r}: referenced by the generation "
+            f"expression(s) of {gen_refs}"
         )
     schema_json["fields"] = [
         f for f in schema_json["fields"] if f["name"] != name
@@ -1982,8 +2080,17 @@ def delta_write(
     partition_by: list[str] | None = None,
     name: str | None = None,
     txn: tuple[str, int] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Commit df as the table's next version; returns the version.
+
+    `generated={name: sql_expr}` (CREATE only, PROTOCOL.md generated
+    columns / writer-4): declares columns computed from the row's other
+    columns. Omitted generated columns are computed at every write;
+    provided ones are VALIDATED against the expression in the same
+    fused pass as CHECK constraints. The expression is stored as
+    `delta.generationExpression` field metadata, and the create commit
+    carries minWriterVersion 4.
 
     First commit carries protocol + metaData (schemaString = Spark
     StructType JSON, deterministic table id). `overwrite` removes every
@@ -2010,6 +2117,11 @@ def delta_write(
     partition_by = list(partition_by or [])
     write_meta: dict | None = None
     v = latest_version(table) + 1
+    if generated and v > 0:
+        raise DeltaProtocolError(
+            "generated columns are declared at table creation; "
+            f"{table} already exists at v{v - 1}"
+        )
     if txn is not None and v > 0:
         seen = _snapshot_state(spark, table, v - 1)["txns"].get(txn[0], -1)
         if seen >= txn[1]:
@@ -2027,24 +2139,46 @@ def delta_write(
             "lastUpdated": _now_ms(),
         }})
     if v == 0:
+        if generated:
+            # Compute omitted generated columns so the CREATE schema
+            # includes them; provided ones are validated below via the
+            # fused constraint pass.
+            for g, expr in generated.items():
+                if g not in df.columns:
+                    df = df.withColumn(g, F.expr(expr))
+        schema_json_v0 = json.loads(df.schema.json())
+        if generated:
+            for field in schema_json_v0["fields"]:
+                if field["name"] in generated:
+                    field["metadata"] = {
+                        **(field.get("metadata") or {}),
+                        _GENERATION_KEY: generated[field["name"]],
+                    }
         table_id = hashlib.sha1(
             (os.path.abspath(table) + df.schema.json()).encode()
         ).hexdigest()
         actions.append({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 2,
+            "minReaderVersion": 1,
+            # Generated columns are a writer-4 feature: pre-4 writers
+            # could append rows violating the generation invariant.
+            "minWriterVersion": 4 if generated else 2,
         }})
-        actions.append({"metaData": {
+        write_meta = {
             "id": table_id,
             "name": name or os.path.basename(table.rstrip("/")),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": json.dumps(schema_json_v0),
             "partitionColumns": partition_by,
             "configuration": {},
             "createdTime": _now_ms(),
-        }})
+        }
+        actions.append({"metaData": write_meta})
+        if generated:
+            _enforce_constraints(df, write_meta)
     elif mode == "overwrite":
         prior = _snapshot_state(spark, table, v - 1)
         _check_append_only(prior, "overwrite")
+        df = _complete_generated(df, prior["meta"])
         _enforce_constraints(df, prior["meta"])
         write_meta = prior["meta"]
         ts = _now_ms()
@@ -2090,6 +2224,7 @@ def delta_write(
         # delta_stream_sink) appending to a partitioned table keeps the
         # layout without having to know it.
         meta = _peek_meta(spark, table, v - 1)
+        df = _complete_generated(df, meta)
         _enforce_constraints(df, meta)
         write_meta = meta
         if meta is not None:
@@ -2360,6 +2495,14 @@ def _delta_update_attempt(
         raise DeltaProtocolError(
             f"UPDATE SET names unknown column(s) {unknown} of {table}"
         )
+    gen_hit = sorted(set(assignments) & set(
+        _generated_columns(state["meta"])
+    ))
+    if gen_hit:
+        raise DeltaProtocolError(
+            f"UPDATE SET cannot target generated column(s) {gen_hit}; "
+            "they are recomputed from their expressions"
+        )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     actions: list[dict] = [{
         "commitInfo": {
@@ -2387,8 +2530,11 @@ def _delta_update_attempt(
                 for c in cols
             ]
         )
-        # Kept rows satisfy the constraints by induction; re-evaluated
-        # rows must be re-checked.
+        # A SET on a source column cascades into its generated columns
+        # (the delta-spark UPDATE behavior); then kept rows satisfy the
+        # constraints by induction while re-evaluated rows are
+        # re-checked.
+        updated = _regenerate(updated, state["meta"])
         _enforce_constraints(updated, state["meta"])
         rewrite = kept.unionByName(updated)
         actions.extend(
@@ -2868,6 +3014,7 @@ def _delta_merge_attempt(
                         for c in cols
                     ]
                 )
+                touched = _regenerate(touched, state["meta"])
                 _enforce_constraints(touched, state["meta"])
                 kept = kept.unionByName(touched)
             # "delete": affected unmatched rows simply don't survive.
@@ -5342,6 +5489,102 @@ ORDER BY priority
 """
 
 
+GENPART_SLICE_MOD = 997  # the re-appended slice: event_id ≡ 0 (mod 997)
+GENPART_LO = "2024-01-08 00:00:00"
+GENPART_HI = "2024-01-11 00:00:00"
+
+
+def source_delta_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generated columns (PROTOCOL.md writer-4 feature, r18): events
+    land in a table whose partition column `day` is DECLARED as
+    `CAST(ts AS DATE)` — the create computes it, an append that OMITS
+    it gets it computed, and a provided-but-wrong value fails the fused
+    invariant check (pytest-pinned). The payoff is read-side: a
+    predicate on `ts` alone prunes day partitions THROUGH the
+    generation expression (`ts >= L` ⇒ `day >= date(L)`), which is the
+    ONLY skipping mechanism available here — the stats writer
+    deliberately drops timestamp bounds, so without the derivation the
+    scan reads every file.
+
+    Scale shape: the derived-partition pattern delta-spark documents —
+    at 100 TB a time-range query reads only its days' bytes while
+    writers never materialize `day` by hand; pruning arithmetic is
+    driver-side metadata (one file-list walk), and the oracle pins the
+    exact file counts via count(distinct day), so a derivation bug that
+    stopped pruning (or pruned wrongly) hash-mismatches."""
+    table = _demo_table(sf_dir, "genpart", "events.parquet")
+    marker = os.path.join(table, "_BUILD_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(table, ignore_errors=True)
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "value"
+        )
+        # One task per day -> exactly one file per day partition.
+        delta_write(
+            spark,
+            ev.repartition(F.to_date("ts")),
+            table,
+            generated={"day": "CAST(ts AS DATE)"},
+            partition_by=["day"],
+        )
+        # Append OMITS the generated column: the writer computes it.
+        delta_write(
+            spark,
+            ev.filter(F.col("event_id") % GENPART_SLICE_MOD == 0)
+            .repartition(1),
+            table,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    from opencode_hive_archon_spark.sources.deltastats import (
+        delta_scan,
+        delta_scan_accounting,
+    )
+
+    predicate = f"ts >= '{GENPART_LO}' AND ts < '{GENPART_HI}'"
+    n_total, n_scanned = delta_scan_accounting(spark, table, predicate)
+    assert 0 < n_scanned < n_total, (n_scanned, n_total)
+    return delta_scan(spark, table, predicate).agg(
+        F.lit(n_total).alias("n_files_total"),
+        F.lit(n_scanned).alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("key_sum"),
+        _cents("value").alias("value_cents"),
+    )
+
+
+_ORACLE_GENPART = f"""
+WITH slice AS (
+  SELECT event_id, ts, value FROM events
+  WHERE event_id % {GENPART_SLICE_MOD} = 0
+), all_rows AS (
+  SELECT event_id, ts, value FROM events
+  UNION ALL SELECT event_id, ts, value FROM slice
+), base_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+), slice_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM slice
+), hit AS (
+  SELECT * FROM all_rows
+  WHERE ts >= TIMESTAMP '{GENPART_LO}' AND ts < TIMESTAMP '{GENPART_HI}'
+)
+SELECT CAST((SELECT count(*) FROM base_days)
+     + (SELECT count(*) FROM slice_days) AS INT) AS n_files_total,
+       CAST((SELECT count(*) FROM base_days
+             WHERE d >= DATE '2024-01-08' AND d < DATE '2024-01-11')
+     + (SELECT count(*) FROM slice_days
+             WHERE d >= DATE '2024-01-08' AND d < DATE '2024-01-11')
+         AS INT) AS n_files_scanned,
+       count(*) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM hit
+"""
+
+
 OVW_GEN1_MOD = 7   # generation 1 = orders with o_orderkey ≡ 0 (mod 7)
 OVW_GEN2_MOD = 3   # generation 2 = orders with o_orderkey ≡ 0 (mod 3)
 
@@ -5592,6 +5835,16 @@ SPECS = [
         "partition columns as metadata-only commits, physical "
         "partitionValues keys pinned, pruning on the renamed column "
         "still skips files, DV delete + per-priority aggregate "
+        "hash-checked",
+    ),
+    QuerySpec(
+        "source_delta_generated_partition",
+        source_delta_generated_partition,
+        _ORACLE_GENPART, "sources",
+        "Generated columns (writer 4): day partition DECLARED as "
+        "CAST(ts AS DATE), computed at write, validated when provided; "
+        "a ts-only predicate prunes day partitions THROUGH the "
+        "generation expression — file counts + surviving rows "
         "hash-checked",
     ),
     QuerySpec(

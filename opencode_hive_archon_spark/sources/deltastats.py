@@ -52,6 +52,7 @@ from opencode_hive_archon_spark.spec import QuerySpec
 from opencode_hive_archon_spark.sources.deltalog import (
     _cents,
     _demo_table,
+    _generated_columns,
     _mapping_enabled,
     _physical_map,
     _read_state,
@@ -243,9 +244,104 @@ def _string_typed_cols(meta: dict | None) -> frozenset[str] | None:
     return frozenset(out)
 
 
+def _date_typed_cols(meta: dict | None) -> frozenset[str]:
+    """Top-level DATE-typed columns (logical and physical names). A
+    DATE partition value is the hive dir's `YYYY-MM-DD` string, whose
+    code-point order IS date order — so an ISO-shaped string literal
+    can be compared lexicographically, exactly like a string column.
+    Empty (never None) when the schema is unavailable: an unknown
+    column simply isn't in the set and the caller keeps the file."""
+    if not meta or not meta.get("schemaString"):
+        return frozenset()
+    out: set[str] = set()
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields", [])
+    except (ValueError, TypeError):
+        return frozenset()
+    for field in fields:
+        if field.get("type") == "date":
+            out.add(field["name"])
+            md = field.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if phys:
+                out.add(phys)
+    return frozenset(out)
+
+
+_ISO_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
+# A timestamp/date literal whose leading 10 chars are the ISO day.
+_TS_LIT_RE = re.compile(r"(\d{4}-\d{2}-\d{2})([ T].*)?")
+# The generation-expression shape pruning understands: CAST(src AS DATE)
+# (delta-spark's canonical derived-partition pattern). Anything else
+# keeps files — sound, just not accelerated.
+_CAST_DATE_RE = re.compile(
+    r"\s*CAST\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+DATE\s*\)\s*",
+    re.IGNORECASE,
+)
+
+
+def _augment_generated(node, meta: dict | None):
+    """Derive partition-pruning atoms THROUGH generation expressions
+    (the delta-spark generated-column optimization): for a partition
+    column g generated as `CAST(src AS DATE)`, every predicate atom on
+    `src` with a timestamp-shaped string literal implies a day-level
+    atom on g — `src >= L` ⇒ `g >= date(L)`, `src <(=) U` ⇒
+    `g <= date(U)`, `src = x` ⇒ `g = date(x)` (CAST AS DATE is
+    monotone non-decreasing, so each implication holds row-wise).
+    The derived atom is AND-ed onto the source atom, which is sound
+    under any and/or structure: it only ever REMOVES candidate files
+    for rows the original atom already excludes.
+
+    This is the ONLY pruning path for timestamp predicates: the stats
+    writer deliberately drops non-numeric logical values, so `src`
+    itself carries no footer bounds."""
+    gens: dict[str, str] = {}
+    for name, expr in _generated_columns(meta).items():
+        m = _CAST_DATE_RE.fullmatch(expr)
+        if m:
+            gens[m.group(1).lower()] = name
+
+    if not gens:
+        return node
+
+    def walk(n):
+        kind = n[0]
+        if kind in ("and", "or"):
+            return (kind, [walk(b) for b in n[1]])
+        if kind == "null":
+            return n
+        _, col, op, lit = n
+        g = gens.get(col.lower())
+        if g is None or not isinstance(lit, str):
+            return n
+        m = _TS_LIT_RE.fullmatch(lit)
+        if m is None:
+            return n
+        day = m.group(1)
+        rest = m.group(2)
+        midnight = rest is None or re.fullmatch(
+            r"[ T]00:00:00(\.0+)?", rest
+        )
+        if op in (">", ">="):
+            derived = ("atom", g, ">=", day)
+        elif op == "<" and midnight:
+            # ts < midnight(U) excludes ALL of day U: tighten to <.
+            derived = ("atom", g, "<", day)
+        elif op in ("<", "<="):
+            derived = ("atom", g, "<=", day)
+        elif op == "=":
+            derived = ("atom", g, "=", day)
+        else:  # '!=' admits no day-level implication
+            return n
+        return ("and", [n, derived])
+
+    return walk(node)
+
+
 def _atom_can_match(
     col: str, op: str, lit, add: dict,
     string_cols: frozenset | None = frozenset(),
+    date_cols: frozenset = frozenset(),
 ) -> bool:
     """Could `col op lit` be true for ANY row of this file? Partition
     values are exact (every row shares them); data columns use the
@@ -276,6 +372,22 @@ def _atom_can_match(
                 # Spark compares lexicographically) or not (then it
                 # casts) — neither fallback is provably right, so keep
                 # the file (sound).
+                return True
+            if col in date_cols:
+                # DATE partition column: the hive value is the ISO
+                # `YYYY-MM-DD` string, whose code-point order IS date
+                # order — compare lexicographically, but ONLY when both
+                # sides are ISO-shaped (Spark would CAST a loose form
+                # like '2024-1-8' to the same date; lexicographic order
+                # on it would diverge, so keep the file instead).
+                if _ISO_DATE_RE.fullmatch(lit) and _ISO_DATE_RE.fullmatch(
+                    raw
+                ):
+                    return {
+                        "<": raw < lit, "<=": raw <= lit, ">": raw > lit,
+                        ">=": raw >= lit, "=": raw == lit,
+                        "!=": raw != lit,
+                    }[op]
                 return True
             if col not in string_cols:
                 # String literal vs a schema-confirmed NON-string
@@ -407,18 +519,23 @@ def _null_can_match(col: str, neg: bool, add: dict) -> bool:
 
 
 def _can_match(
-    node, add: dict, string_cols: frozenset | None = frozenset()
+    node, add: dict, string_cols: frozenset | None = frozenset(),
+    date_cols: frozenset = frozenset(),
 ) -> bool:
     kind = node[0]
     if kind == "and":
-        return all(_can_match(b, add, string_cols) for b in node[1])
+        return all(
+            _can_match(b, add, string_cols, date_cols) for b in node[1]
+        )
     if kind == "or":
-        return any(_can_match(b, add, string_cols) for b in node[1])
+        return any(
+            _can_match(b, add, string_cols, date_cols) for b in node[1]
+        )
     if kind == "null":
         _, col, neg = node
         return _null_can_match(col, neg, add)
     _, col, op, lit = node
-    return _atom_can_match(col, op, lit, add, string_cols)
+    return _atom_can_match(col, op, lit, add, string_cols, date_cols)
 
 
 def _rename_atoms(node, mapping: dict[str, str]):
@@ -440,10 +557,18 @@ def prune_files(state: dict, predicate: str) -> list[dict]:
     node = parse_skipping_predicate(predicate)
     if node is None:
         return list(state["files"])
+    # Derive generated-column atoms BEFORE the physical rename (the
+    # stored generation expression references LOGICAL names).
+    node = _augment_generated(node, state.get("meta"))
     if _mapping_enabled(state.get("meta")):
         node = _rename_atoms(node, _physical_map(state["meta"]))
     string_cols = _string_typed_cols(state.get("meta"))
-    return [f for f in state["files"] if _can_match(node, f, string_cols)]
+    date_cols = _date_typed_cols(state.get("meta"))
+    return [
+        f
+        for f in state["files"]
+        if _can_match(node, f, string_cols, date_cols)
+    ]
 
 
 def prune_files_by_key_bounds(

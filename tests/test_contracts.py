@@ -387,6 +387,7 @@ _CENSUS = [
     "source_delta_clone_partitioned",
     "source_delta_deletion_vectors",
     "source_delta_dv_clone_interop",
+    "source_delta_generated_partition",
     "source_delta_mapped_partitioned",
     "source_delta_merge_evolution",
     "source_delta_merge_upsert",
