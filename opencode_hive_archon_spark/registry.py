@@ -70,9 +70,12 @@ _SPEC_MODULES = [
 #   (b) 1 tail slot for a query REGISTERED this round (r18 protocol work:
 #       column-mapping on partitioned tables, overwriteSchema, MERGE
 #       schema evolution / BY SOURCE, ZORDER, multi-part checkpoints).
-#       The window holds 50; r18 registrations past slot 50 carry
-#       committed SWEEP_r18 hash-exact evidence and rotate into the r19
-#       window first (zero-driver-evidence outranks any age).
+#       The window holds 50; the other five r18 registrations
+#       (source_delta_overwrite_schema, source_delta_merge_evolution,
+#       source_delta_generated_partition, text_pii_redact,
+#       corpus_blocklist_filter) carry committed SWEEP_r18 hash-exact
+#       evidence at both sfs and rotate into the r19 window first
+#       (zero-driver-evidence outranks any age).
 # After this round the max driver-row age anywhere in the registry is r15.
 _PRIORITY = [
     # (a) every query whose latest driver row is r14
