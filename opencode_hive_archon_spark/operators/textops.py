@@ -1159,7 +1159,15 @@ def _bpe_train_loop(spark: SparkSession, docs: DataFrame):
             )
             .select("p.l", "p.r")
         )
-        top1 = (
+        # Materialize the 1-row top-1 eagerly: it is referenced again by
+        # corpus_bpe_train's per-generation output row and by
+        # corpus_tokenize_trained's merge table, and each lazy reference
+        # re-ran the full corpus pairs pass (explode + vocab aggregate).
+        # As a leaf, that pass runs exactly ONCE per generation
+        # (guide §1.2 step 1: don't repeat passes). The top-1 is unique by
+        # construction (deterministic (count desc, l, r) tiebreak), so
+        # materialization cannot change any downstream result.
+        top1 = _materialize_iter(
             pairs.groupBy("l", "r")
             .agg(F.count(F.lit(1)).alias("n_pair_occurrences"))
             .orderBy(F.desc("n_pair_occurrences"), "l", "r")
@@ -1184,16 +1192,34 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged pair, its pre-merge adjacent-pair count, how many merges were
     applied (< count when occurrences overlap, e.g. 'aaa'), and the
     corpus-wide symbol total after the merge."""
+    from opencode_hive_archon_spark.session import (
+        materialize_iter as _materialize_iter,
+    )
+
     states, tops = _bpe_train_loop(spark, _docs(spark, sf_dir))
+    # ONE 1-row stats scan per state, shared between generation g's
+    # "after" and generation g+1's "before" (the lazy per-generation
+    # before/after aggs each re-scanned the same state twice — guide §1.2
+    # step 1). sum(length) is order-insensitive, so sharing the scan
+    # cannot change the numbers.
+    stats = [
+        _materialize_iter(
+            st.agg(
+                F.sum(F.length("st")).alias("chars"),
+                F.sum(
+                    F.length("st")
+                    - F.length(F.regexp_replace("st", _BPE_SEP, ""))
+                ).alias("sep_chars"),
+            )
+        )
+        for st in states
+    ]
     gen_rows = []
     for g in range(1, BPE_TRAIN_GENERATIONS + 1):
-        before = states[g - 1].agg(F.sum(F.length("st")).alias("chars_before"))
-        after = states[g].agg(
-            F.sum(F.length("st")).alias("chars_after"),
-            F.sum(
-                F.length("st")
-                - F.length(F.regexp_replace("st", _BPE_SEP, ""))
-            ).alias("sep_chars_after"),
+        before = stats[g - 1].select(F.col("chars").alias("chars_before"))
+        after = stats[g].select(
+            F.col("chars").alias("chars_after"),
+            F.col("sep_chars").alias("sep_chars_after"),
         )
         gen_rows.append(
             tops[g - 1].crossJoin(F.broadcast(before))

@@ -75,6 +75,19 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # NOTE (r18, measured): RocksDB changelog checkpointing
+        # (spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.
+        # enabled) was tried here and REVERTED. It defers per-commit
+        # snapshots to the background maintenance thread, which is the
+        # right trade for ONE long-lived query with large state — but this
+        # engine runs MANY short-lived streaming queries per session, each
+        # with a fresh checkpoint dir, so deferred snapshot work piles up
+        # in the shared maintenance pool and bleeds into later queries:
+        # measured 14.1 s -> 50.1 s on stream_mv_maintenance and
+        # 11.3 s -> 28.2 s (escalating per iteration: 12.8 warm -> 65.8)
+        # on stream_dedup_ladder, while single-shot runs looked fine.
+        # Production deployments with long-lived queries can re-enable it
+        # via get_spark(extra_conf=...).
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -21,6 +21,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,58 @@ def _ensure_rocksdb(spark: SparkSession) -> None:
         pass  # conf locked down: the session keeps its configured provider
 
 
+STREAM_STATE_TARGET_ROWS = 25_000
+"""Stream-input rows per STATE PARTITION. Structured Streaming fixes each
+stateful operator's state-partition count at query start from
+``spark.sql.shuffle.partitions`` — AQE never coalesces stateful exchanges,
+so unlike the batch side there is no runtime correction for a constant
+that's wrong for the input size. Every state partition costs a real
+per-micro-batch floor (a RocksDB instance opened, committed and
+checkpointed per batch, per stateful operator — a stream-stream join holds
+FOUR stores per partition), so the count must be DERIVED from input scale
+(guide §2: derive partitioning from input size), not pinned to a local
+core count: tiny inputs get a handful of stores, and the value grows
+linearly with rows until the cluster-parallelism cap. Production
+deployments size it explicitly via ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS``
+(state volume / target per-store size); the derived local default keeps
+the driver's bench comparable across core counts because it depends on the
+DATA, not on ``SPARK_GRAFT_CPUS``."""
+
+
+def _stream_shuffle_partitions(spark: SparkSession, n_rows: int) -> int:
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cap = max(int(spark.sparkContext.defaultParallelism), 1)
+    return max(4, min(cap, -(-int(n_rows) // STREAM_STATE_TARGET_ROWS)))
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession, n_rows: int):
+    """Pin ``spark.sql.shuffle.partitions`` to the input-derived state
+    partition count for the duration of ONE streaming query (the conf is
+    read when the query starts; each run uses a fresh checkpoint, so the
+    pinned count is consistent for the query's whole lifetime), then
+    restore the session value. foreachBatch merge jobs run inside the
+    window and inherit the right-sized shuffle too."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_shuffle_partitions(spark, n_rows)),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _events_rows(sf_dir: str) -> int:
+    """events row count from parquet footer metadata (driver-side peek)."""
+    from opencode_hive_archon_spark.operators.similarity import corpus_rows
+
+    return corpus_rows(sf_dir, "events")
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nanos->micros fix."""
     _ensure_rocksdb(spark)
@@ -84,21 +137,38 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_timestamps(stream)
 
 
-def _run_to_table(spark: SparkSession, agg: DataFrame, mode: str) -> DataFrame:
+def _run_to_table(
+    spark: SparkSession,
+    agg: DataFrame,
+    mode: str,
+    n_rows: int | None = None,
+) -> DataFrame:
     """Drive a streaming DF to completion into a memory sink; return it as a
-    static DataFrame (materialized so the sink can be torn down)."""
+    static DataFrame (materialized so the sink can be torn down).
+
+    ``n_rows`` (stream input row count, from footer metadata) sizes the
+    stateful operators' state-partition count for this query — see
+    ``_stream_shuffle_partitions``."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    def drive() -> None:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    if n_rows is not None:
+        with _stream_partitions(spark, n_rows):
+            drive()
+    else:
+        drive()
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
@@ -116,7 +186,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    out = _run_to_table(spark, agg, "append")
+    out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -166,7 +236,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    out = _run_to_table(spark, agg, "append")
+    out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -212,7 +282,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = funnel_join(
         _stream_events(spark, sf_dir), _stream_events(spark, sf_dir)
     )
-    return _run_to_table(spark, joined, "append")
+    return _run_to_table(spark, joined, "append", n_rows=_events_rows(sf_dir))
 
 
 def funnel_join(lead_src: DataFrame, follow_src: DataFrame) -> DataFrame:
@@ -282,7 +352,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
-    out = _run_to_table(spark, agg, "append")
+    out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -328,7 +398,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap."""
     ev = _stream_events(spark, sf_dir)
     agg = session_windows_agg(ev)
-    out = _run_to_table(spark, agg, "append")
+    out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -383,7 +453,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "minute"])
         .select("user_id", "event_type", "minute")
     )
-    return _run_to_table(spark, deduped, "append")
+    return _run_to_table(spark, deduped, "append", n_rows=_events_rows(sf_dir))
 
 
 _ORACLE_STREAM_DEDUP = """
@@ -459,12 +529,38 @@ def stream_late_data(spark: SparkSession, sf_dir: str, cut=None) -> DataFrame:
     indir = os.path.join(workdir, "in")
     os.makedirs(indir)
     try:
+        # ONE partitioned write instead of three filter+coalesce(1) jobs
+        # (guide §1.2 step 1: the three slice predicates are disjoint and
+        # total, so one pass with a slice column replaces three full scans).
+        # Per-file contents are identical to the per-filter writes: slice
+        # membership is the only thing the stream depends on, and
+        # partitionBy drops the slice column so the data-file schema is
+        # unchanged.
+        sliced = ev.withColumn(
+            "slice",
+            F.when(F.col("ts") >= F.lit(cut), F.lit(1))
+            .when(held_back, F.lit(2))
+            .otherwise(F.lit(0)),
+        )
+        tmp = os.path.join(workdir, "slices")
+        sliced.repartition(F.col("slice")).write.mode("overwrite").partitionBy(
+            "slice"
+        ).parquet(tmp)
         for i, sl in enumerate(slices):
-            tmp = os.path.join(workdir, f"w{i}")
-            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            sdir = os.path.join(tmp, f"slice={i}")
             dst = os.path.join(indir, f"{i:04d}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
+            if os.path.isdir(sdir):
+                part = next(
+                    f for f in os.listdir(sdir) if f.endswith(".parquet")
+                )
+                shutil.copy(os.path.join(sdir, part), dst)
+            else:  # empty slice: still emit a (schema-only) batch file
+                w = os.path.join(workdir, f"w{i}")
+                sl.coalesce(1).write.mode("overwrite").parquet(w)
+                part = next(
+                    f for f in os.listdir(w) if f.endswith(".parquet")
+                )
+                shutil.copy(os.path.join(w, part), dst)
             os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
 
         stream = spark.readStream.schema(
@@ -478,7 +574,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str, cut=None) -> DataFrame:
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
-        out = _run_to_table(spark, agg, "append")
+        out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
         return out.select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -532,7 +628,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_table(spark, out, "update")
+    return _run_to_table(spark, out, "update", n_rows=_events_rows(sf_dir))
 
 
 # Single-batch input => one state emission per user == the batch profile.
@@ -631,7 +727,7 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    out = _run_to_table(spark, agg, "append")
+    out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -692,15 +788,25 @@ def _write_time_slices(sliced: DataFrame, workdir: str,
     Kafka source produces. Returns the stream input dir."""
     indir = os.path.join(workdir, "in")
     os.makedirs(indir, exist_ok=True)
+    # ONE partitioned write instead of four filter+coalesce(1) jobs: the
+    # old shape re-ran the (globally-windowed) slicing plan once per slice
+    # — 4 full passes over the input for 4 output files (guide §1.2 step 1:
+    # don't repeat passes). repartition(slice) puts each slice value in
+    # exactly one task, so every slice dir gets exactly one parquet file,
+    # and partitionBy drops the slice column from the data files — the
+    # same per-file contents as before (micro-batch membership, the only
+    # thing the streams depend on, is unchanged; row order within a file
+    # is not part of any declared result).
+    tmp = os.path.join(workdir, "slices")
+    sliced.repartition(F.col("slice")).write.mode("overwrite").partitionBy(
+        "slice"
+    ).parquet(tmp)
     srcs = []
     for i in range(1, 5):
-        tmp = os.path.join(workdir, f"w{i}")
-        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        sdir = os.path.join(tmp, f"slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
         dst = os.path.join(indir, f"{i:04d}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
+        shutil.copy(os.path.join(sdir, part), dst)
         srcs.append(dst)
     if replay_slice is not None:
         shutil.copy(srcs[replay_slice - 1], os.path.join(indir, "9999-replay.parquet"))
@@ -1117,6 +1223,12 @@ def _mv_merge_batch(spark: SparkSession, mv_dir: str, bdf: DataFrame,
     _mv_prev_manifest(batch_id), so re-running a batch after a crash
     between the parquet write and the checkpoint commit recomputes the
     identical v{batch_id} instead of double-applying the delta."""
+    # Materialize the churn-sized aggregate ONCE (also cuts the streaming
+    # lineage, so callers need not checkpoint the raw batch): `delta` is
+    # referenced twice below (affected-bucket collect + merge union), and
+    # each lazy reference re-ran the batch groupBy (guide §1.2 step 1).
+    # One pass over the batch instead of three (raw checkpoint + 2x agg);
+    # sums are associative, so the merged numbers are unchanged.
     delta = (
         bdf.groupBy("o_custkey")
         .agg(
@@ -1124,6 +1236,7 @@ def _mv_merge_batch(spark: SparkSession, mv_dir: str, bdf: DataFrame,
             F.sum("dp").cast("decimal(18,2)").alias("total"),
         )
         .withColumn("bucket", _mv_bucket(F.col("o_custkey")))
+        .localCheckpoint(eager=True)
     )
     prev_manifest = _mv_prev_manifest(mv_dir, batch_id)
     # Affected-bucket set: bounded by N_MV_BUCKETS, a metadata-sized
