@@ -914,17 +914,26 @@ def stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         indir = _ladder_sliced_docs(spark, sf_dir, workdir)
-        q = (
-            _ladder_stream(spark, indir)
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        # Input-derived state-partition count (see _stream_shuffle_
+        # partitions): the in-stream dedup rung holds one RocksDB store
+        # per state partition per batch, and the foreachBatch merge's
+        # groupBy inherits the same right-sized shuffle.
+        from opencode_hive_archon_spark.operators.similarity import (
+            corpus_rows,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+
+        with _stream_partitions(spark, corpus_rows(sf_dir, "documents")):
+            q = (
+                _ladder_stream(spark, indir)
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         final_map = spark.read.parquet(
             os.path.join(map_dir, f"v{state['version']}")
         )
@@ -1347,22 +1356,33 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mv_seed(spark, sf_dir, mv_dir)
 
     def merge_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf = bdf.localCheckpoint(eager=True)  # cut streaming lineage
+        # No raw-batch checkpoint: _mv_merge_batch consumes bdf exactly
+        # once (its churn-sized `delta` aggregate is the eager
+        # materialization point), so the batch is computed in ONE pass.
         _mv_merge_batch(bdf.sparkSession, mv_dir, bdf, batch_id)
 
     try:
         indir = _mv_sliced_changelog(spark, sf_dir, workdir)
-        q = (
-            _mv_stream(spark, indir)
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        # Input-derived state partitions for the dedup rung + foreachBatch
+        # merge shuffles (see _stream_shuffle_partitions); the changelog
+        # is a bounded fraction of orders, so orders' footer row count is
+        # the scale proxy.
+        from opencode_hive_archon_spark.operators.similarity import (
+            corpus_rows,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+
+        with _stream_partitions(spark, corpus_rows(sf_dir, "orders")):
+            q = (
+                _mv_stream(spark, indir)
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         manifest = _mv_latest_manifest(mv_dir)
         final = _mv_read_buckets(
             spark, mv_dir, manifest, sorted(set(manifest))
@@ -1489,7 +1509,9 @@ def stream_delta_cdf_mv(
         )
 
         def merge_batch(bdf: DataFrame, batch_id: int) -> None:
-            bdf = bdf.localCheckpoint(eager=True)  # cut streaming lineage
+            # No raw-batch checkpoint: the signed projection feeds
+            # _mv_merge_batch's single eager materialization point, so
+            # each micro-batch's change files are read exactly ONCE.
             sign = F.when(
                 F.col("_change_type") == "insert", F.lit(1)
             ).otherwise(F.lit(-1))
@@ -1526,11 +1548,22 @@ def stream_delta_cdf_mv(
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
             )
-        q = writer.start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # Right-size every foreachBatch merge shuffle from the TABLE's
+        # scale (the per-batch churn is a fraction of it) — the tailed
+        # stream itself is stateless, but each batch's groupBy/repartition
+        # jobs otherwise run at the session's cluster-sized constant.
+        from opencode_hive_archon_spark.operators.similarity import (
+            corpus_rows,
+        )
+
+        with _stream_partitions(
+            spark, corpus_rows(sf_dir, "orders") // CDFMV_SLICE_MOD
+        ):
+            q = writer.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         manifest = _mv_latest_manifest(mv_dir)
         final = _mv_read_buckets(
             spark, mv_dir, manifest, sorted(set(manifest))
