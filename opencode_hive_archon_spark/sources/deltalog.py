@@ -2618,8 +2618,12 @@ def _delta_delete_attempt(
         }
     }]
     candidates = prune_files(state, predicate) if state["files"] else []
-    hit_files = _find_hit_files(spark, table, state, pred, candidates)
-    if hit_files and not use_dv:
+    hit_files: list[dict] = (
+        _find_hit_files(spark, table, state, pred, candidates)
+        if not use_dv
+        else []
+    )
+    if not use_dv and hit_files:
         # Copy-on-write: re-plan the rewrite scan over ONLY the hit
         # files — I/O proportional to what is rewritten, not the table.
         # A hit file's old DV dies with it (the rewrite purges).
@@ -2635,19 +2639,27 @@ def _delta_delete_attempt(
         actions.extend(
             {"remove": _remove_action(f, ts, True)} for f in hit_files
         )
-    elif hit_files:
-        # Merge-on-read: the DV bitmaps are built PER-FILE ON EXECUTORS
-        # (r17, VERDICT r16 #3) — one applyInPandas group per hit file
-        # merges its newly-dead row indexes with its existing DV and
-        # writes the spec DV file from the task. The driver collects
-        # DESCRIPTORS only, so a wide low-selectivity delete is bounded
-        # by the hit-file count, never by delete cardinality.
+    elif use_dv and candidates:
+        # Merge-on-read: ONE fused row-index scan over the stats-pruned
+        # candidates does hit discovery AND DV construction (r18,
+        # guide §1.2 step 1 — previously a bulk discovery pass over the
+        # candidates was followed by a second row-index scan of the hit
+        # files). _scan_with_row_index applies existing DVs, so only
+        # LIVE matching rows form groups — a file whose only matches
+        # are already-dead rows produces no group and is left alone,
+        # exactly the old hit semantics. The DV bitmaps are built
+        # PER-FILE ON EXECUTORS (r17, VERDICT r16 #3) — one
+        # applyInPandas group per hit file merges its newly-dead row
+        # indexes with its existing DV and writes the spec DV file from
+        # the task. The driver collects DESCRIPTORS only, so a wide
+        # low-selectivity delete is bounded by the hit-file count,
+        # never by delete cardinality.
         table_abs = os.path.abspath(table)
         old_desc = {
             os.path.abspath(os.path.join(table, _rel_path(table, f["path"]))):
                 (json.dumps(f["deletionVector"])
                  if f.get("deletionVector") else None)
-            for f in hit_files
+            for f in candidates
         }
 
         def _build_dv(pdf):
@@ -2670,7 +2682,7 @@ def _delta_delete_attempt(
             )
 
         desc_rows = (
-            _scan_with_row_index(spark, table, state, hit_files)
+            _scan_with_row_index(spark, table, state, candidates)
             .filter(pred)
             .select("_dv_fp", "_dv_ri")
             .groupBy("_dv_fp")
@@ -2680,18 +2692,22 @@ def _delta_delete_attempt(
         desc_by_file = {
             r["_dv_fp"]: json.loads(r["descriptor"]) for r in desc_rows
         }
-        actions.extend(_dv_protocol_actions(state))
+        # Hit set = candidates that produced a descriptor (>= 1 LIVE
+        # matching row) — same membership the two-pass discovery found.
+        hit_files = [
+            f for f in candidates
+            if os.path.abspath(
+                os.path.join(table, _rel_path(table, f["path"]))
+            ) in desc_by_file
+        ]
+        if hit_files:
+            actions.extend(_dv_protocol_actions(state))
         ts = _now_ms()
         for f in hit_files:
             full_path = os.path.abspath(
                 os.path.join(table, _rel_path(table, f["path"]))
             )
-            descriptor = desc_by_file.get(full_path)
-            if descriptor is None:
-                # Defensive: a hit file with no matching live rows after
-                # all (shouldn't happen — hits are discovered from live
-                # rows) is left untouched rather than superseded.
-                continue
+            descriptor = desc_by_file[full_path]
             new_add = dict(f, dataChange=True, deletionVector=descriptor)
             if f.get("stats"):
                 st = json.loads(f["stats"])

@@ -548,3 +548,27 @@ def test_dv_wide_read_expands_bitmaps_on_executors(spark, tmp_path, monkeypatch)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     monkeypatch.undo()
+
+
+def test_dv_delete_matching_only_dead_rows_leaves_file_alone(spark, tmp_path):
+    """r18 fused discovery+build pin: a DV delete whose only matching rows
+    are ALREADY dead must not supersede the file — the commit carries no
+    add/remove actions (version still advances with its commitInfo), the
+    (file, DV) incarnation is unchanged, and the snapshot is unchanged."""
+    tbl = _mk(spark, tmp_path)
+    dl.delta_delete(spark, tbl, "k >= 7", use_dv=True)
+    state1 = dl._snapshot_state(spark, tbl)
+    v2 = dl.delta_delete(spark, tbl, "k = 8", use_dv=True)  # 8 already dead
+    state2 = dl._snapshot_state(spark, tbl)
+    assert state2["version"] == v2
+    assert [
+        (f["path"], f.get("deletionVector")) for f in state2["files"]
+    ] == [(f["path"], f.get("deletionVector")) for f in state1["files"]]
+    with open(dl._version_file(tbl, v2)) as fh:
+        kinds = {
+            next(iter(json.loads(line)))
+            for line in fh
+            if line.strip()
+        }
+    assert kinds == {"commitInfo"}
+    assert _ks(dl.delta_snapshot(spark, tbl)) == [0, 1, 2, 3, 4, 5, 6]

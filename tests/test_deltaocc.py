@@ -255,12 +255,15 @@ def test_dv_delete_vs_disjoint_append_single_attempt(
 ):
     """The merge-on-read DELETE takes the same fast path (its actions —
     DV supersede + protocol upgrade — stay valid past a disjoint
-    append)."""
+    append). r18: the DV path's work pass is the FUSED discovery+build
+    row-index scan (_scan_with_row_index), no longer _find_hit_files —
+    count that pass instead; the invariant (one attempt, no OCC retry
+    re-running it) is unchanged."""
     tbl = _mk(spark, tmp_path)
     racer = spark.createDataFrame(
         [(900, 9.0)], "k long, val double"
     ).repartition(1)
-    calls = _count_calls(monkeypatch, "_find_hit_files")
+    calls = _count_calls(monkeypatch, "_scan_with_row_index")
     _race_once(monkeypatch, spark, tbl, racer)
     v = dl.delta_delete(spark, tbl, "k >= 7 AND k <= 9", use_dv=True)
     assert v == 2
