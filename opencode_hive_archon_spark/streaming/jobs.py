@@ -57,33 +57,53 @@ def _ensure_rocksdb(spark: SparkSession) -> None:
 
 
 STREAM_STATE_TARGET_ROWS = 25_000
-"""Stream-input rows per STATE PARTITION. Structured Streaming fixes each
-stateful operator's state-partition count at query start from
+"""Rows PER MICRO-BATCH per STATE PARTITION for LIGHT stateful operators
+(windowed/hash aggregations, dedup, flatMapGroupsWithState): one store per
+partition, O(1) work per row. Structured Streaming fixes each stateful
+operator's state-partition count at query start from
 ``spark.sql.shuffle.partitions`` — AQE never coalesces stateful exchanges,
 so unlike the batch side there is no runtime correction for a constant
 that's wrong for the input size. Every state partition costs a real
 per-micro-batch floor (a RocksDB instance opened, committed and
-checkpointed per batch, per stateful operator — a stream-stream join holds
-FOUR stores per partition), so the count must be DERIVED from input scale
-(guide §2: derive partitioning from input size), not pinned to a local
-core count: tiny inputs get a handful of stores, and the value grows
-linearly with rows until the cluster-parallelism cap. Production
-deployments size it explicitly via ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS``
-(state volume / target per-store size); the derived local default keeps
-the driver's bench comparable across core counts because it depends on the
-DATA, not on ``SPARK_GRAFT_CPUS``."""
+checkpointed per batch, per stateful operator), so the count must be
+DERIVED from input scale (guide §2: derive partitioning from input size),
+not pinned to a local core count — and from the PER-BATCH row count, not
+the stream total: a single-batch query pays the store floor once, while an
+N-batch pipeline re-pays it every batch over 1/N of the rows. Measured at
+the 100 k-row single-batch point (quiet host): the derived 4 partitions
+beat 16 by ~0.3-0.8 s per aggregation query and beat the session constant
+32 by ~1-2.5 s; the multi-batch foreachBatch pipelines measured best at
+their derived 4-6. Production deployments size it explicitly via
+``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` (state volume / target per-store
+size); the derived local default keeps the driver's bench comparable
+across core counts because it depends on the DATA, not on
+``SPARK_GRAFT_CPUS``."""
+
+STREAM_JOIN_TARGET_ROWS = 6_250
+"""Per-batch rows per state partition for the stream-stream JOIN: each
+partition holds FOUR RocksDB stores and does O(candidate-pairs) probe work
+per row, so the balance point sits at ~4x finer partitioning than the
+light operators. Measured knee (quiet host, median-of-3
+stream_stream_join over 100 k rows/side): 4 partitions 9.9 s, 8 -> 7.9 s,
+16 --> 4.8 s, 32 -> slower than all three. Same env override applies."""
 
 
-def _stream_shuffle_partitions(spark: SparkSession, n_rows: int) -> int:
+def _stream_shuffle_partitions(
+    spark: SparkSession, n_rows: int, target: int = STREAM_STATE_TARGET_ROWS
+) -> int:
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
     if env:
         return max(1, int(env))
     cap = max(int(spark.sparkContext.defaultParallelism), 1)
-    return max(4, min(cap, -(-int(n_rows) // STREAM_STATE_TARGET_ROWS)))
+    return max(4, min(cap, -(-int(n_rows) // target)))
 
 
 @contextmanager
-def _stream_partitions(spark: SparkSession, n_rows: int):
+def _stream_partitions(
+    spark: SparkSession,
+    n_rows: int,
+    target: int = STREAM_STATE_TARGET_ROWS,
+):
     """Pin ``spark.sql.shuffle.partitions`` to the input-derived state
     partition count for the duration of ONE streaming query (the conf is
     read when the query starts; each run uses a fresh checkpoint, so the
@@ -93,7 +113,7 @@ def _stream_partitions(spark: SparkSession, n_rows: int):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(_stream_shuffle_partitions(spark, n_rows)),
+        str(_stream_shuffle_partitions(spark, n_rows, target)),
     )
     try:
         yield
@@ -142,13 +162,16 @@ def _run_to_table(
     agg: DataFrame,
     mode: str,
     n_rows: int | None = None,
+    target: int = STREAM_STATE_TARGET_ROWS,
 ) -> DataFrame:
     """Drive a streaming DF to completion into a memory sink; return it as a
     static DataFrame (materialized so the sink can be torn down).
 
-    ``n_rows`` (stream input row count, from footer metadata) sizes the
-    stateful operators' state-partition count for this query — see
-    ``_stream_shuffle_partitions``."""
+    ``n_rows`` (the query's PER-MICRO-BATCH row count — for these
+    single-batch availableNow streams, the whole input's footer row
+    count) sizes the stateful operators' state-partition count — see
+    ``_stream_shuffle_partitions``; ``target`` picks the per-partition
+    row budget (light aggregations vs the 4-store stream-stream join)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
 
     def drive() -> None:
@@ -165,7 +188,7 @@ def _run_to_table(
             q.stop()
 
     if n_rows is not None:
-        with _stream_partitions(spark, n_rows):
+        with _stream_partitions(spark, n_rows, target):
             drive()
     else:
         drive()
@@ -282,7 +305,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = funnel_join(
         _stream_events(spark, sf_dir), _stream_events(spark, sf_dir)
     )
-    return _run_to_table(spark, joined, "append", n_rows=_events_rows(sf_dir))
+    return _run_to_table(
+        spark, joined, "append",
+        n_rows=_events_rows(sf_dir), target=STREAM_JOIN_TARGET_ROWS,
+    )
 
 
 def funnel_join(lead_src: DataFrame, follow_src: DataFrame) -> DataFrame:
@@ -574,7 +600,10 @@ def stream_late_data(spark: SparkSession, sf_dir: str, cut=None) -> DataFrame:
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
-        out = _run_to_table(spark, agg, "append", n_rows=_events_rows(sf_dir))
+        # 3 slice files at maxFilesPerTrigger=1 -> per-batch rows = total/3.
+        out = _run_to_table(
+            spark, agg, "append", n_rows=_events_rows(sf_dir) // 3
+        )
         return out.select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -922,7 +951,8 @@ def stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus_rows,
         )
 
-        with _stream_partitions(spark, corpus_rows(sf_dir, "documents")):
+        # 4 slices at maxFilesPerTrigger=1 -> per-batch rows = total/4.
+        with _stream_partitions(spark, corpus_rows(sf_dir, "documents") // 4):
             q = (
                 _ladder_stream(spark, indir)
                 .writeStream.foreachBatch(merge_batch)
@@ -1371,7 +1401,9 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus_rows,
         )
 
-        with _stream_partitions(spark, corpus_rows(sf_dir, "orders")):
+        # 4 slices at maxFilesPerTrigger=1 -> per-batch rows = total/4
+        # (the changelog is itself a bounded fraction of orders).
+        with _stream_partitions(spark, corpus_rows(sf_dir, "orders") // 4):
             q = (
                 _mv_stream(spark, indir)
                 .writeStream.foreachBatch(merge_batch)

@@ -29,6 +29,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from opencode_hive_archon_spark.streaming.jobs import (
+    STREAM_JOIN_TARGET_ROWS,
     STREAM_STATE_TARGET_ROWS,
     _stream_partitions,
     _stream_shuffle_partitions,
@@ -51,6 +52,13 @@ def test_stream_partitions_derive_from_rows(spark, monkeypatch):
     )
     # capped at cluster parallelism, no matter the input size
     assert _stream_shuffle_partitions(spark, 10**12) == max(4, cap)
+    # the 4-store stream-stream join uses the ~4x finer target: at the
+    # 100k-row single-batch point that is 16 partitions (measured knee),
+    # still capped by cluster parallelism
+    assert _stream_shuffle_partitions(
+        spark, 100_000, STREAM_JOIN_TARGET_ROWS
+    ) == max(4, min(cap, 16))
+    assert STREAM_JOIN_TARGET_ROWS < STREAM_STATE_TARGET_ROWS
 
 
 def test_stream_partitions_env_override_wins(spark, monkeypatch):
