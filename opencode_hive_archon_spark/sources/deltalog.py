@@ -750,6 +750,179 @@ def _stage_data_files(
 # snapshot reconstruction (log replay)
 # --------------------------------------------------------------------------
 
+# Driver-side replay size gate (bytes of checkpoint parts + JSON tail).
+# Snapshot state is DRIVER-SIZED by contract — the Spark replay already
+# collect()s the full live-file list, the tombstones and the txn map to the
+# driver — so for a metadata slice this small, reconciling it with Spark
+# jobs only adds 4-5 scheduler round-trips and shuffles per replay (guide
+# §1.2 step 1: the verbs call this once or more per commit). Above the
+# gate (a 100 TB table's checkpoint is GBs of parquet) the distributed
+# replay below takes over unchanged — same reconciliation, same results,
+# pinned by tests/test_deltalog.py::test_driver_and_spark_replay_agree.
+_DRIVER_REPLAY_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_REPLAY_MAX_BYTES", str(8 << 20))
+)
+
+
+def _norm_action(val, dtype):
+    """Normalize one parsed action value against the declared Spark type:
+    drop undeclared fields, materialize missing ones as None, coerce
+    numerics/bools, and turn pyarrow's [(k, v), ...] map encoding into a
+    dict — so driver-parsed actions are indistinguishable from the Spark
+    path's Row.asDict(recursive=True) output."""
+    if val is None:
+        return None
+    if isinstance(dtype, T.StructType):
+        return {
+            f.name: _norm_action(val.get(f.name), f.dataType)
+            for f in dtype.fields
+        }
+    if isinstance(dtype, T.MapType):
+        if isinstance(val, dict):
+            return dict(val)
+        return {k: v for k, v in val}  # pyarrow map -> list of pairs
+    if isinstance(dtype, T.ArrayType):
+        return [_norm_action(x, dtype.elementType) for x in val]
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        return int(val)
+    if isinstance(dtype, T.BooleanType):
+        return bool(val)
+    if isinstance(dtype, T.DoubleType):
+        return float(val)
+    return val
+
+
+def _iter_log_actions(table: str, ckpt_v: int | None, need: list[int]):
+    """Yield (version, action_name, normalized_dict) in ascending version
+    order: the checkpoint's state rows first (all tagged with the
+    checkpoint version, exactly like the Spark path's _v literal), then
+    each JSON commit's lines."""
+    kinds = {f.name: f.dataType for f in STATE_SCHEMA.fields}
+    if ckpt_v is not None:
+        import pyarrow.parquet as pq
+
+        for part in _checkpoint_parts(table, ckpt_v):
+            for row in pq.read_table(part).to_pylist():
+                for kind, dtype in kinds.items():
+                    v = row.get(kind)
+                    if v is not None:
+                        yield ckpt_v, kind, _norm_action(v, dtype)
+    for ver in need:
+        with open(_version_file(table, ver)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                raw = json.loads(line)
+                for kind, dtype in kinds.items():
+                    v = raw.get(kind)
+                    if v is not None:
+                        yield ver, kind, _norm_action(v, dtype)
+
+
+def _replay_slice_bytes(table: str, ckpt_v: int | None, need: list[int]) -> int:
+    total = 0
+    try:
+        if ckpt_v is not None:
+            for part in _checkpoint_parts(table, ckpt_v):
+                total += os.path.getsize(part)
+        for ver in need:
+            total += os.path.getsize(_version_file(table, ver))
+    except OSError:
+        return _DRIVER_REPLAY_MAX_BYTES + 1  # racing GC: use the Spark path
+    return total
+
+
+def _replay_driver(table: str, ckpt_v: int | None, need: list[int]) -> dict:
+    """Driver-side log reconciliation — same rules as the Spark path:
+    file identity = path + DV id, last-writer-wins per key, live iff the
+    newest add outranks the newest remove (a same-version add+remove
+    tombstones), newest metaData/protocol win, txns keep the max version
+    per appId."""
+    last_add: dict[str, tuple[int, dict]] = {}
+    last_rem: dict[str, tuple[int, dict]] = {}
+    meta: tuple[int, dict] | None = None
+    protocol: tuple[int, dict] | None = None
+    txns: dict[str, int] = {}
+
+    def _fkey(d: dict) -> str:
+        dv = d.get("deletionVector") or {}
+        return f"{d['path']}@@{dv.get('pathOrInlineDv') or ''}"
+
+    for ver, kind, act in _iter_log_actions(table, ckpt_v, need):
+        if kind == "add":
+            k = _fkey(act)
+            if k not in last_add or ver >= last_add[k][0]:
+                last_add[k] = (ver, act)
+        elif kind == "remove":
+            k = _fkey(act)
+            if k not in last_rem or ver >= last_rem[k][0]:
+                last_rem[k] = (ver, act)
+        elif kind == "metaData":
+            if act.get("schemaString") is not None and (
+                meta is None or ver >= meta[0]
+            ):
+                meta = (ver, act)
+        elif kind == "protocol":
+            if act.get("minReaderVersion") is not None and (
+                protocol is None or ver >= protocol[0]
+            ):
+                protocol = (ver, act)
+        elif kind == "txn":
+            app = act.get("appId")
+            if app is not None:
+                v = int(act.get("version") or 0)
+                if txns.get(app, -(1 << 62)) < v:
+                    txns[app] = v
+
+    def _clean(d: dict) -> dict:
+        if d.get("deletionVector") is None:
+            d.pop("deletionVector", None)
+        return d
+
+    files = [
+        _clean(add)
+        for k, (av, add) in last_add.items()
+        if k not in last_rem or av > last_rem[k][0]
+    ]
+    tombstones = [
+        _clean(rem)
+        for k, (rv, rem) in last_rem.items()
+        if k not in last_add or rv >= last_add[k][0]
+    ]
+    return {
+        "files": files,
+        "tombstones": tombstones,
+        "meta": None if meta is None else meta[1],
+        "protocol": None if protocol is None else {
+            k: v for k, v in protocol[1].items() if v is not None
+        },
+        "txns": txns,
+    }
+
+
+def _check_reader_protocol(protocol: dict) -> None:
+    """Reader-version / table-features gate, shared by both replay paths."""
+    mrv = protocol["minReaderVersion"]
+    if mrv == 3:
+        # Table features (reader 3): supported iff every declared
+        # readerFeature is one we implement; a v3 table without the
+        # feature list is malformed — refuse rather than guess.
+        feats = set(protocol.get("readerFeatures") or [])
+        unknown = feats - SUPPORTED_READER_FEATURES
+        if not feats or unknown:
+            raise DeltaProtocolError(
+                f"table requires readerFeatures={sorted(feats)}; this "
+                f"reader supports {sorted(SUPPORTED_READER_FEATURES)}"
+                + ("" if feats else " (v3 table missing feature list)")
+            )
+    elif mrv > SUPPORTED_READER_VERSION:
+        raise DeltaProtocolError(
+            f"table requires minReaderVersion={mrv}; this reader "
+            f"supports {SUPPORTED_READER_VERSION}"
+        )
+
+
 def _snapshot_state(
     spark: SparkSession, table: str, version: int | None = None
 ) -> dict:
@@ -759,10 +932,18 @@ def _snapshot_state(
     (newest-action-is-remove dicts, for VACUUM), txns (latest version per
     appId, for idempotent sinks), checkpoint_version, json_replayed}.
 
-    Replay is a Spark job over the bounded slice (newest checkpoint ≤
-    target, plus the JSON commits after it); live files are
-    last-writer-wins per path. A gap in the required JSON range means
-    metadata cleanup removed commits this read needs — fail loudly."""
+    Replay covers the bounded slice (newest checkpoint ≤ target, plus the
+    JSON commits after it); live files are last-writer-wins per path. A
+    gap in the required JSON range means metadata cleanup removed commits
+    this read needs — fail loudly.
+
+    Two replay engines, same reconciliation: below
+    _DRIVER_REPLAY_MAX_BYTES the slice is parsed and reconciled on the
+    driver (the state is driver-sized either way — this function has
+    always collect()ed the live-file list), avoiding 4-5 Spark jobs per
+    replay; above it (100 TB tables: multi-GB checkpoints) the
+    distributed Spark reconciliation runs as before. Equivalence is
+    pinned by tests/test_deltalog.py::test_driver_and_spark_replay_agree."""
     versions = _list_log(table, _VERSION_RE)
     ckpts = _checkpoint_versions(table)
     # `newest` counts incomplete-checkpoint versions too: the table HAS
@@ -788,6 +969,27 @@ def _snapshot_state(
             f"have {have} — versions at or before a checkpoint may be "
             "GC'd; time travel older than the earliest checkpoint is gone"
         )
+    if _replay_slice_bytes(table, ckpt_v, need) <= _DRIVER_REPLAY_MAX_BYTES:
+        st = _replay_driver(table, ckpt_v, need)
+        if st["meta"] is None:
+            raise DeltaProtocolError(f"no metaData action in log of {table}")
+        protocol = st["protocol"] or {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+        }
+        _check_reader_protocol(protocol)
+        meta = st["meta"]
+        return {
+            "txns": st["txns"],
+            "tombstones": st["tombstones"],
+            "protocol": protocol,
+            "version": target,
+            "schema": T.StructType.fromJson(json.loads(meta["schemaString"])),
+            "partition_columns": list(meta["partitionColumns"] or []),
+            "meta": meta,
+            "files": st["files"],
+            "checkpoint_version": ckpt_v,
+            "json_replayed": len(need),
+        }
     parts: list[DataFrame] = []
     if ckpt_v is not None:
         ck = spark.read.schema(STATE_SCHEMA).parquet(
@@ -880,24 +1082,7 @@ def _snapshot_state(
             for k, v in proto_rows[0]["protocol"].asDict().items()
             if v is not None
         }
-        mrv = protocol["minReaderVersion"]
-        if mrv == 3:
-            # Table features (reader 3): supported iff every declared
-            # readerFeature is one we implement; a v3 table without the
-            # feature list is malformed — refuse rather than guess.
-            feats = set(protocol.get("readerFeatures") or [])
-            unknown = feats - SUPPORTED_READER_FEATURES
-            if not feats or unknown:
-                raise DeltaProtocolError(
-                    f"table requires readerFeatures={sorted(feats)}; this "
-                    f"reader supports {sorted(SUPPORTED_READER_FEATURES)}"
-                    + ("" if feats else " (v3 table missing feature list)")
-                )
-        elif mrv > SUPPORTED_READER_VERSION:
-            raise DeltaProtocolError(
-                f"table requires minReaderVersion={mrv}; this reader "
-                f"supports {SUPPORTED_READER_VERSION}"
-            )
+        _check_reader_protocol(protocol)
     txns = {
         r["appId"]: r["v"]
         for r in acts.filter(F.col("txn.appId").isNotNull())

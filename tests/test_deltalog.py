@@ -1960,3 +1960,47 @@ def test_metadata_cleanup_respects_checkpoint_and_retention(spark, tmp_path):
     )
     os.utime(dl._version_file(tbl2, 0), (0, 0))
     assert dl.delta_cleanup_metadata(spark, tbl2) == []
+
+
+def test_driver_and_spark_replay_agree(spark, tmp_path, monkeypatch):
+    """The size-gated driver-side replay and the distributed Spark replay
+    must reconcile IDENTICAL state — files (incl. DV identity keys),
+    tombstones, metaData, protocol, txn watermarks, and the replay
+    accounting — across appends, a partitioned layout, a checkpoint base
+    and a copy-on-write delete."""
+    tbl = str(tmp_path / "t")
+    dl.delta_write(
+        spark, _df(spark, 0, 40, "a").repartition(2), tbl,
+        partition_by=["g"],
+    )
+    for i in range(6):  # crosses CHECKPOINT_INTERVAL
+        dl.delta_write(
+            spark, _df(spark, 40 + 10 * i, 50 + 10 * i, "b").repartition(1),
+            tbl, mode="append", txn=("app-replay", i),
+        )
+    dl.delta_delete(spark, tbl, "k >= 80")
+
+    def canon(st):
+        return {
+            "files": sorted(
+                json.dumps(f, sort_keys=True) for f in st["files"]
+            ),
+            "tombstones": sorted(
+                json.dumps(f, sort_keys=True) for f in st["tombstones"]
+            ),
+            "protocol": st["protocol"],
+            "meta": st["meta"],
+            "txns": st["txns"],
+            "version": st["version"],
+            "checkpoint_version": st["checkpoint_version"],
+            "json_replayed": st["json_replayed"],
+            "schema": st["schema"].json(),
+            "partition_columns": st["partition_columns"],
+        }
+
+    for v in (None, 0, 3, dl.latest_version(tbl)):
+        drv = dl._snapshot_state(spark, tbl, v)
+        monkeypatch.setattr(dl, "_DRIVER_REPLAY_MAX_BYTES", -1)
+        spk = dl._snapshot_state(spark, tbl, v)
+        monkeypatch.undo()
+        assert canon(drv) == canon(spk), f"replay paths diverge at v={v}"
