@@ -1295,19 +1295,24 @@ def _mv_merge_batch(spark: SparkSession, mv_dir: str, bdf: DataFrame,
         compact = len(set(manifest.values())) > MV_COMPACT_DIR_THRESHOLD
         read_bks = sorted(prev_manifest) if compact else affected
         prev = _mv_read_buckets(spark, mv_dir, prev_manifest, read_bks)
+        # ONE exchange (r19, guide §2.4): repartition by bucket BEFORE the
+        # groupBy — hash-partitioning on `bucket` (a subset of the grouping
+        # keys) already satisfies the aggregation's clustering requirement,
+        # so the agg runs in the repartition's partitions instead of adding
+        # a second exchange, and every bucket still lands in exactly one
+        # task (one parquet file per bucket dir, not shuffle-partitions x
+        # buckets shards). Groups and sums are unchanged.
         merged = (
             prev.select("o_custkey", "n_orders", "total", "bucket")
             .unionByName(delta)
+            .repartition(F.col("bucket"))
             .groupBy("o_custkey", "bucket")
             .agg(
                 F.sum("n_orders").cast("long").alias("n_orders"),
                 F.sum("total").cast("decimal(18,2)").alias("total"),
             )
         )
-        # repartition("bucket") before partitionBy: every bucket lands in
-        # exactly one task, so each bucket dir gets ONE parquet file
-        # instead of (shuffle partitions x buckets) shards.
-        merged.repartition(F.col("bucket")).write.partitionBy(
+        merged.write.partitionBy(
             "bucket"
         ).mode("overwrite").parquet(os.path.join(mv_dir, f"v{batch_id}"))
         if compact:
@@ -1321,17 +1326,22 @@ def _mv_seed(spark: SparkSession, sf_dir: str, mv_dir: str) -> None:
     seed_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_totalprice"
     )
+    # One exchange: bucket is a pure function of o_custkey, so hash-
+    # partitioning on it satisfies the groupBy's clustering requirement
+    # (bucket rides the grouping keys) — no second repartition before the
+    # bucket-partitioned write (r19, guide §2.4; groups unchanged).
     seed = (
-        seed_orders.groupBy("o_custkey")
+        seed_orders.withColumn("bucket", _mv_bucket(F.col("o_custkey")))
+        .repartition(F.col("bucket"))
+        .groupBy("o_custkey", "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
             .alias("total"),
         )
-        .withColumn("bucket", _mv_bucket(F.col("o_custkey")))
     )
-    seed.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+    seed.write.partitionBy("bucket").mode(
         "overwrite"
     ).parquet(os.path.join(mv_dir, "seed"))
     _mv_write_manifest(mv_dir, "seed",
@@ -1490,17 +1500,20 @@ def stream_delta_cdf_mv(
         delta_write(spark, s0.repartition(4), table)
         # Seed the MV from the v0 snapshot (all buckets present so the
         # manifest covers the key space, like _mv_seed).
+        # One exchange: partition by bucket (a function of the grouping
+        # key) before the groupBy — see _mv_seed (r19, guide §2.4).
         seed = (
             delta_snapshot(spark, table, version=0)
-            .groupBy("o_custkey")
+            .withColumn("bucket", _mv_bucket(F.col("o_custkey")))
+            .repartition(F.col("bucket"))
+            .groupBy("o_custkey", "bucket")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_orders"),
                 F.sum(dec(F.col("o_totalprice")))
                 .cast("decimal(18,2)").alias("total"),
             )
-            .withColumn("bucket", _mv_bucket(F.col("o_custkey")))
         )
-        seed.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        seed.write.partitionBy("bucket").mode(
             "overwrite"
         ).parquet(os.path.join(mv_dir, "seed"))
         _mv_write_manifest(
