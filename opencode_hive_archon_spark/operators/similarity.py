@@ -1151,33 +1151,53 @@ def _kmeans_train(spark: SparkSession, sf_dir: str):
         materialize_iter as _materialize_iter,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qcol = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"),
+    # Session-keyed (r19): FOUR registered queries (the two IVF ANNs, the
+    # Lloyd reporter, SemDeDup) each consume the identical trained
+    # quantizer — training it once per (session, sf_dir) is the in-session
+    # analogue of persisting a trained coarse quantizer next to the index,
+    # exactly like the shared LSH signature table. The Lloyd loop itself
+    # still materializes each iteration with lineage truncation.
+    vecs = _materialize_keyed(
+        spark,
+        ("kmeans_vecs", sf_dir),
+        lambda: _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(QUANT_SCALE)
+                ).cast("long"),
+            ).alias("q"),
+        ),
     )
-    vecs = _materialize_iter(emb.select("vec_id", qcol.alias("q")))
-    cents = vecs.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= KMEANS_K)
-    ).select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
-    for _ in range(KMEANS_ITERS - 1):
-        assigned = _kmeans_assign(vecs, cents)
-        fan = assigned.select("cid", F.posexplode("q").alias("dim", "qv"))
-        cents = _materialize_iter(
-            fan.groupBy("cid", "dim")
-            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "cid", "dim",
-                F.floor(F.col("s") / F.col("n")).cast("long").alias("cd"),
+
+    def _train():
+        cents = vecs.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= KMEANS_K)
+        ).select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
+        for _ in range(KMEANS_ITERS - 1):
+            assigned = _kmeans_assign(vecs, cents)
+            fan = assigned.select("cid", F.posexplode("q").alias("dim", "qv"))
+            cents = _materialize_iter(
+                fan.groupBy("cid", "dim")
+                .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select(
+                    "cid", "dim",
+                    F.floor(F.col("s") / F.col("n")).cast("long").alias("cd"),
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cd"))),
+                        lambda t: t["cd"],
+                    ).alias("c")
+                )
             )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cd"))),
-                    lambda t: t["cd"],
-                ).alias("c")
-            )
-        )
+        return cents
+
+    cents = _materialize_keyed(
+        spark, ("kmeans_cents", sf_dir, KMEANS_K, KMEANS_ITERS), _train
+    )
     return vecs, cents
 
 
