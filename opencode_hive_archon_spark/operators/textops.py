@@ -1111,12 +1111,19 @@ _BPE_SEP = "\x1f"
 
 
 def _bpe_wrapped_syms(col: str = "st"):
-    """Wrapped-symbol string -> array of symbols (seps stripped)."""
+    """Wrapped-symbol string -> array of symbols (seps stripped).
+
+    A wrapped stream is ``\\x1f s1 \\x1f\\x1f s2 \\x1f ... \\x1f sN \\x1f``:
+    only the FIRST and LAST characters are single separators — every
+    interior boundary is the double separator. Stripping the outer two
+    chars once and splitting on the double separator therefore yields the
+    symbols directly, replacing the old per-symbol regexp_replace (a regex
+    pass over every symbol of every document per training generation) with
+    one substring + split (r19, guide §1.2 step 2). Identical output:
+    symbols never contain the separator (reserved in the normalizer)."""
     sep2 = _BPE_SEP + _BPE_SEP
-    return F.transform(
-        F.split(F.col(col), sep2),
-        lambda x: F.regexp_replace(x, _BPE_SEP, ""),
-    )
+    c = F.col(col)
+    return F.split(c.substr(F.lit(2), F.length(c) - 2), sep2)
 
 
 def _bpe_train_loop(spark: SparkSession, docs: DataFrame):
