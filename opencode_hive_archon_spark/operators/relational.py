@@ -656,8 +656,16 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is built with a triangle join over #years rows (bounded by the
     calendar, not data volume) — no unpartitioned WindowExec anywhere.
     """
+    from opencode_hive_archon_spark.session import materialize as _materialize
+
     orders = _t(spark, sf_dir, "orders")
-    daily = (
+    # The daily aggregate feeds THREE subtrees (the output rows, the
+    # year-edge totals, and — via the self-joined offsets — a second
+    # year-edge derivation); without a persist each one re-scans orders
+    # and re-runs the groupBy (3 scans for one calendar-sized table).
+    # Materialized once, calendar-sized (one row per day), exact DECIMAL —
+    # the stitched result is unchanged (r19, guide §1.2 step 1).
+    daily = _materialize(
         orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total_dec"))
         .withColumn("yr", F.year("day"))
